@@ -1,0 +1,70 @@
+"""Headline benchmark: runs the bench-flagged registry queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Usage: python bench.py [--sf-dir DIR] [--repeat N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from nyc_taxi_bigdata_pipeline_spark.benchqueries import REGISTRY
+from nyc_taxi_bigdata_pipeline_spark.session import get_spark
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--repeat", type=int, default=1)
+    ap.add_argument("--all", action="store_true", help="bench every registry query")
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="bench")
+    names = [n for n, q in REGISTRY.items() if q.bench or args.all]
+
+    # one cheap action to absorb JVM/session warmup before timing
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        q = REGISTRY[name]
+        best = float("inf")
+        for _ in range(args.repeat):
+            t0 = time.perf_counter()
+            rows = q.spark_fn(spark, args.sf_dir).collect()
+            dt = time.perf_counter() - t0
+            best = min(best, dt)
+            assert rows is not None
+        timings[name] = round(best, 4)
+
+    sf = None
+    tail = os.path.basename(args.sf_dir.rstrip("/"))
+    if tail.startswith("sf"):
+        try:
+            sf = float(tail[2:])
+        except ValueError:
+            pass
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

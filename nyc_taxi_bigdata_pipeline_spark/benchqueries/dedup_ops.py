@@ -1,0 +1,192 @@
+"""Deduplication operators over the documents table (training-data
+pipeline extensions): exact hash dedup, word-n-gram Jaccard, MinHash,
+SimHash.
+
+Spark-first design notes (100 TB mindset):
+- Exact dedup is a hash-groupBy — one shuffle on the fingerprint, with
+  map-side partial aggregation.
+- N-gram/MinHash/SimHash signatures are computed with JVM array
+  expressions (whole-stage codegen), NOT Python UDFs — the per-doc
+  signature work is embarrassingly parallel and stays in Tungsten.
+- Candidate generation at scale uses LSH band-bucket joins
+  (operators/dedup.py); the oracle-checked queries here use bounded pair
+  sets (adjacent doc ids / band joins at test SF) so DuckDB can verify
+  the exact same arithmetic via the portable md5 hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.tables import load_table
+from . import dialect as D
+from .registry import register
+
+
+def _run_rendered(spark: SparkSession, sf_dir: str, table: str, render, view: str) -> DataFrame:
+    load_table(spark, sf_dir, table).createOrReplaceTempView(view)
+    return spark.sql(render(D.SPARK, view))
+
+
+# --------------------------------------------------------------- exact dedup
+
+
+def _dedup_exact(engine: str, table: str) -> str:
+    fp = D.h64("lower(trim(text))", engine)
+    return f"""
+    SELECT COUNT(*) AS total_docs,
+           COUNT(DISTINCT {fp}) AS distinct_docs,
+           CAST(COUNT(*) - COUNT(DISTINCT {fp}) AS BIGINT) AS exact_dups
+    FROM {table}"""
+
+
+@register(
+    "dedup_exact",
+    _dedup_exact(D.DUCK, "documents"),
+    doc="training-data ext: exact dedup via hash-groupBy on normalized text "
+        "(one shuffle, map-side combine)",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_rendered(spark, sf_dir, "documents", _dedup_exact, "bq_dexact_docs")
+
+
+# ------------------------------------------------- n-gram Jaccard similarity
+
+
+def _ngram_expr(engine: str, n: int = 3) -> tuple[str, str]:
+    """(distinct word-n-gram array over column __t, tokenizer expr).
+
+    Assumes docs have ≥ n tokens, which the testdata guarantees
+    (min n_chars ≈ 150); the GREATEST clamp keeps Spark's sequence()
+    ascending on degenerate inputs.
+    """
+    toks = D.split_ws("trim(text)", engine)
+    idx = [D.at("__t", f"i + {j}", engine) for j in range(n)]
+    sep = ", ' ', "
+    lam = f"i -> concat({sep.join(idx)})"
+    seq = D.iseq("1", f"greatest({D.alen('__t', engine)} - {n - 1}, 1)", engine)
+    return D.arr_distinct(D.transform(seq, lam, engine), engine), toks
+
+
+def _ngram_jaccard(engine: str, table: str) -> str:
+    grams, toks = _ngram_expr(engine, 3)
+    inter = D.alen(D.arr_intersect("a.g", "b.g", engine), engine)
+    size_a = D.alen("a.g", engine)
+    size_b = D.alen("b.g", engine)
+    return f"""
+    WITH g AS (
+      SELECT doc_id, {grams} AS g
+      FROM (SELECT doc_id, {toks} AS __t FROM {table}) tt
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST({inter} AS DOUBLE) / ({size_a} + {size_b} - {inter}) AS jaccard
+    FROM g a JOIN g b ON b.doc_id = a.doc_id + 1"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    _ngram_jaccard(D.DUCK, "documents"),
+    doc="training-data ext: word-3-gram Jaccard similarity on a bounded "
+        "deterministic pair set (adjacent doc ids); the scale path buckets "
+        "pairs via LSH first (operators/dedup.py)",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_rendered(spark, sf_dir, "documents", _ngram_jaccard, "bq_njac_docs")
+
+
+# ---------------------------------------------------------------- MinHash
+
+
+_MINHASH_SEEDS = tuple(range(8))
+_BANDS = 4  # 4 bands × 2 rows
+
+
+def _minhash_sig(engine: str) -> list[str]:
+    """Per-seed minhash over char-5-gram shingles of column __txt, using
+    the seeded portable hash (no modular arithmetic → no overflow
+    divergence between engines)."""
+    seq = D.iseq("1", "greatest(length(__txt) - 4, 1)", engine)
+    shingles = D.arr_distinct(D.transform(seq, "i -> substring(__txt, i, 5)", engine), engine)
+    sigs = []
+    for s in _MINHASH_SEEDS:
+        hashed = D.transform("__sh", f"x -> {D.seeded_h64('x', s, engine)}", engine)
+        sigs.append(D.arr_min(hashed, engine))
+    return shingles, sigs
+
+
+def _minhash_bands(engine: str, table: str) -> str:
+    shingles, sigs = _minhash_sig(engine)
+    sig_cols = ", ".join(f"{s} AS mh{i}" for i, s in enumerate(sigs))
+    band_exprs = []
+    rows = len(_MINHASH_SEEDS) // _BANDS
+    for b in range(_BANDS):
+        cols = ", '#', ".join(f"CAST(mh{b * rows + r} AS STRING)" for r in range(rows))
+        band_exprs.append(f"{D.h64(f'concat({cols})', engine)} AS band{b}")
+    return f"""
+    WITH sigs AS (
+      SELECT doc_id, {sig_cols}
+      FROM (
+        SELECT doc_id, {shingles} AS __sh
+        FROM (SELECT doc_id, lower(trim(text)) AS __txt FROM {table}) n
+      ) s
+    ),
+    banded AS (SELECT doc_id, {', '.join(band_exprs)} FROM sigs)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           COUNT(DISTINCT band0) AS b0_buckets,
+           COUNT(DISTINCT band1) AS b1_buckets,
+           COUNT(DISTINCT band2) AS b2_buckets,
+           COUNT(DISTINCT band3) AS b3_buckets
+    FROM banded"""
+
+
+@register(
+    "dedup_minhash_bands",
+    _minhash_bands(D.DUCK, "documents"),
+    doc="training-data ext: MinHash signatures (8 seeded portable hashes over "
+        "char-5-gram shingles) banded 4×2 for LSH bucketing; bucket-cardinality "
+        "summary is the oracle-checked surface, pair generation lives in "
+        "operators/dedup.py",
+)
+def dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_rendered(spark, sf_dir, "documents", _minhash_bands, "bq_mh_docs")
+
+
+# ---------------------------------------------------------------- SimHash
+
+
+_SIMHASH_BITS = 16
+
+
+def _simhash(engine: str, table: str) -> str:
+    toks = D.split_ws("lower(trim(text))", engine)
+    tok_hash = D.seeded_h64("x", 99, engine)
+    bit_terms = []
+    for b in range(_SIMHASH_BITS):
+        pm1 = D.transform(
+            "__t", f"x -> CASE WHEN ({tok_hash} >> {b}) & 1 = 1 THEN 1 ELSE -1 END", engine
+        )
+        # integer list sum: DuckDB list_sum widens to HUGEINT → cast
+        if engine == D.DUCK:
+            ssum = f"CAST(list_sum({pm1}) AS BIGINT)"
+        else:
+            ssum = f"aggregate({pm1}, CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        bit_terms.append(f"(CASE WHEN {ssum} > 0 THEN {1 << b} ELSE 0 END)")
+    simhash = " + ".join(bit_terms)
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, lang, CAST({simhash} AS BIGINT) AS simhash
+      FROM (SELECT doc_id, lang, {toks} AS __t FROM {table}) t
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count({D.bit_xor('a.simhash', 'b.simhash', engine)}) AS INT) AS hamming
+    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1"""
+
+
+@register(
+    "dedup_simhash",
+    _simhash(D.DUCK, "documents"),
+    doc=f"training-data ext: {_SIMHASH_BITS}-bit SimHash over token hashes; "
+        "Hamming distance on a bounded deterministic pair set",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_rendered(spark, sf_dir, "documents", _simhash, "bq_simh_docs")

@@ -1,0 +1,89 @@
+"""Tiny dual-dialect SQL renderer for Spark-SQL vs DuckDB.
+
+Most queries share fragments verbatim (functions/compat.py); the
+text/dedup/similarity operators additionally need a handful of functions
+whose *names* differ while semantics match. A query renders once per
+engine from the same template, so both sides stay structurally identical.
+"""
+
+from __future__ import annotations
+
+SPARK = "spark"
+DUCK = "duck"
+
+
+def split_ws(expr: str, engine: str) -> str:
+    """Whitespace-ish tokenization on single spaces (testdata is
+    space-joined synthetic vocab)."""
+    return f"string_split({expr}, ' ')" if engine == DUCK else f"split({expr}, ' ')"
+
+
+def alen(expr: str, engine: str) -> str:
+    return f"len({expr})" if engine == DUCK else f"size({expr})"
+
+
+def re_replace_all(expr: str, pattern: str, rep: str, engine: str) -> str:
+    """Replace-all: DuckDB needs the 'g' flag, Spark is global by default.
+
+    Pass the regex with *single* backslashes (r"\\s+"); Spark SQL string
+    literals eat one level of backslash escaping, DuckDB does not.
+    """
+    if engine == DUCK:
+        return f"regexp_replace({expr}, '{pattern}', '{rep}', 'g')"
+    pat = pattern.replace("\\", "\\\\")
+    return f"regexp_replace({expr}, '{pat}', '{rep}')"
+
+
+def at(arr: str, idx: str, engine: str) -> str:
+    """1-based array indexing (out-of-bounds → NULL in both)."""
+    return f"{arr}[{idx}]" if engine == DUCK else f"element_at({arr}, {idx})"
+
+
+def iseq(start: str, stop: str, engine: str) -> str:
+    """Ascending integer sequence. Spark's sequence() flips to descending
+    when start > stop, so callers must clamp stop with GREATEST."""
+    return f"generate_series({start}, {stop})" if engine == DUCK else f"sequence({start}, {stop})"
+
+
+def transform(arr: str, lam: str, engine: str) -> str:
+    return f"list_transform({arr}, {lam})" if engine == DUCK else f"transform({arr}, {lam})"
+
+
+def arr_filter(arr: str, lam: str, engine: str) -> str:
+    return f"list_filter({arr}, {lam})" if engine == DUCK else f"filter({arr}, {lam})"
+
+
+def arr_distinct(arr: str, engine: str) -> str:
+    return f"list_distinct({arr})" if engine == DUCK else f"array_distinct({arr})"
+
+
+def arr_intersect(a: str, b: str, engine: str) -> str:
+    return f"list_intersect({a}, {b})" if engine == DUCK else f"array_intersect({a}, {b})"
+
+
+def arr_min(arr: str, engine: str) -> str:
+    return f"list_min({arr})" if engine == DUCK else f"array_min({arr})"
+
+
+def fold_sum_double(arr: str, engine: str) -> str:
+    """Sequential left-fold sum of a double array — both engines fold in
+    element order, so the float accumulation is bit-identical."""
+    if engine == DUCK:
+        return f"list_sum({arr})"
+    return f"aggregate({arr}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+
+
+def h64(expr: str, engine: str) -> str:
+    """Portable md5-based 64-bit hash (see functions/compat.py)."""
+    if engine == DUCK:
+        return f"CAST(CONCAT('0x', SUBSTRING(MD5({expr}), 1, 15)) AS BIGINT)"
+    return f"CAST(CONV(SUBSTRING(MD5({expr}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def seeded_h64(expr: str, seed: int, engine: str) -> str:
+    return h64(f"CONCAT('{seed}#', {expr})", engine)
+
+
+def bit_xor(a: str, b: str, engine: str) -> str:
+    """Bitwise xor: DuckDB's ^ is exponentiation, use xor()."""
+    return f"xor({a}, {b})" if engine == DUCK else f"({a} ^ {b})"

@@ -1,0 +1,91 @@
+"""Similarity-search operators over the embeddings table (training-data
+pipeline extensions): brute-force cosine top-k and embedding near-dup.
+
+Scale notes: at 100 TB the brute-force path is a broadcast of the (small)
+query set against a partitioned candidate scan — no shuffle until the
+per-query top-k (TakeOrderedAndProject per group via window). The dot
+products run as JVM array expressions inside whole-stage codegen; an
+IVF/LSH-bucketed variant lives in operators/similarity.py. Here the
+arithmetic is a sequential left-fold in BOTH engines so float
+accumulation is order-identical; cosine is rounded to 6 decimals as a
+safety margin with deterministic id tiebreaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.tables import load_table
+from . import dialect as D
+from .registry import register
+
+_DIM = 64
+_N_QUERIES = 5
+_TOP_K = 10
+
+
+def _dot(a: str, b: str, engine: str) -> str:
+    prods = D.transform(
+        D.iseq("1", str(_DIM), engine),
+        f"i -> CAST({D.at(a, 'i', engine)} AS DOUBLE) * CAST({D.at(b, 'i', engine)} AS DOUBLE)",
+        engine,
+    )
+    return D.fold_sum_double(prods, engine)
+
+
+def _knn(engine: str, table: str) -> str:
+    dot = _dot("q.embedding", "c.embedding", engine)
+    qnorm = _dot("q.embedding", "q.embedding", engine)
+    cnorm = _dot("c.embedding", "c.embedding", engine)
+    return f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round({dot} / (sqrt({qnorm}) * sqrt({cnorm})), 6) AS cos_sim
+      FROM {table} q JOIN {table} c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < {_N_QUERIES}
+    )
+    SELECT query_id, neighbor_id, CAST(cos_sim AS DOUBLE) AS cos_sim, rn FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rn
+      FROM scored) t
+    WHERE rn <= {_TOP_K}"""
+
+
+@register(
+    "similarity_knn_bruteforce",
+    _knn(D.DUCK, "embeddings"),
+    doc="training-data ext: brute-force cosine top-k ANN baseline "
+        f"({_N_QUERIES} query vectors × corpus, k={_TOP_K}); order-identical "
+        "sequential-fold dot products + rounded tie-broken ranking",
+    bench=True,
+)
+def similarity_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("bq_knn_emb")
+    return spark.sql(_knn(D.SPARK, "bq_knn_emb"))
+
+
+def _norm_buckets(engine: str, table: str) -> str:
+    """LSH-flavored bucketing surface: random-hyperplane signs are the real
+    LSH; the oracle-checked stand-in buckets by norm decile + first-component
+    sign, which exercises the same bucket-then-join plumbing."""
+    norm = f"sqrt({_dot('e.embedding', 'e.embedding', engine)})"
+    first = f"CAST({D.at('e.embedding', '1', engine)} AS DOUBLE)"
+    return f"""
+    SELECT CAST(floor({norm}) AS BIGINT) AS norm_bucket,
+           CASE WHEN {first} >= 0 THEN 1 ELSE 0 END AS sign_first,
+           COUNT(*) AS cnt, label_card
+    FROM {table} e
+    CROSS JOIN (SELECT COUNT(DISTINCT label) AS label_card FROM {table}) lc
+    GROUP BY 1, 2, label_card"""
+
+
+@register(
+    "similarity_norm_buckets",
+    _norm_buckets(D.DUCK, "embeddings"),
+    doc="training-data ext: embedding bucketing summary (norm decile × "
+        "first-component sign) — the bucket-join skeleton of LSH ANN",
+)
+def similarity_norm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("bq_nb_emb")
+    return spark.sql(_norm_buckets(D.SPARK, "bq_nb_emb"))

@@ -1,0 +1,156 @@
+"""Text-analysis operators over the documents table (training-data
+pipeline extensions): token counting, language-ID heuristic, quality
+scoring, document fingerprinting.
+
+Beyond reference surface (SURVEY §7.2 step 8) — these are the text ops a
+large-scale training-data pipeline needs. Everything is built from
+JVM-side expressions (no Python UDFs): tokenization via split, scoring
+via arithmetic on lengths, fingerprints via the portable md5 hash. Each
+query renders the same template for Spark and DuckDB (dialect.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.tables import load_table
+from . import dialect as D
+from .registry import register
+
+
+def _run_rendered(spark: SparkSession, sf_dir: str, table: str, render, view: str) -> DataFrame:
+    load_table(spark, sf_dir, table).createOrReplaceTempView(view)
+    return spark.sql(render(D.SPARK, view))
+
+
+# ------------------------------------------------------------- token counting
+
+
+def _token_counts(engine: str, table: str) -> str:
+    tok = D.alen(D.split_ws("trim(text)", engine), engine)
+    return f"""
+    SELECT lang, COUNT(*) AS docs,
+           CAST(SUM({tok}) AS BIGINT) AS total_tokens,
+           CAST(SUM({tok}) AS DOUBLE) / COUNT(*) AS avg_tokens,
+           CAST(MAX({tok}) AS INT) AS max_tokens
+    FROM {table} GROUP BY lang"""
+
+
+@register(
+    "text_token_counts",
+    _token_counts(D.DUCK, "documents"),
+    doc="training-data ext: whitespace token counting per language",
+    bench=True,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_rendered(spark, sf_dir, "documents", _token_counts, "bq_tokcnt_docs")
+
+
+# ----------------------------------------------------------- language ID
+
+
+# Marker tokens per language; the synthetic corpus shares one vocabulary,
+# so this measures the *machinery* (per-class token scoring + argmax),
+# not linguistic accuracy.
+_LANG_MARKERS = {
+    "en": ("the", "and", "of", "fast", "slow"),
+    "de": ("der", "und", "die", "das", "nicht"),
+    "es": ("el", "la", "los", "que", "de"),
+    "fr": ("le", "la", "les", "et", "de"),
+    "zh": ("zh0", "zh1", "zh2", "zh3", "zh4"),
+}
+
+
+def _lang_id(engine: str, table: str) -> str:
+    toks = D.split_ws("lower(text)", engine)
+    scores = []
+    for lang, markers in _LANG_MARKERS.items():
+        inlist = ", ".join(f"'{m}'" for m in markers)
+        scores.append(
+            f"{D.alen(D.arr_filter(toks, f'x -> x IN ({inlist})', engine), engine)} AS s_{lang}"
+        )
+    # deterministic argmax: strict > comparisons in fixed order
+    pred = """CASE
+        WHEN s_de > s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        WHEN s_es > s_en AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        WHEN s_fr > s_en AND s_fr >= s_zh THEN 'fr'
+        WHEN s_zh > s_en THEN 'zh'
+        ELSE 'en' END"""
+    return f"""
+    SELECT pred_lang, COUNT(*) AS docs,
+           CAST(SUM(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS BIGINT) AS hits
+    FROM (
+      SELECT lang, {pred} AS pred_lang
+      FROM (SELECT lang, {', '.join(scores)} FROM {table}) scored
+    ) labeled
+    GROUP BY pred_lang"""
+
+
+@register(
+    "text_lang_id",
+    _lang_id(D.DUCK, "documents"),
+    doc="training-data ext: marker-token language-ID heuristic + accuracy "
+        "against the stored lang label",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_rendered(spark, sf_dir, "documents", _lang_id, "bq_langid_docs")
+
+
+# ----------------------------------------------------------- quality scoring
+
+
+def _quality_score(engine: str, table: str) -> str:
+    tok = D.alen(D.split_ws("trim(text)", engine), engine)
+    nopunct = D.re_replace_all("text", r"[.,;:!?]", "", engine)
+    nospace = D.re_replace_all("text", " ", "", engine)
+    return f"""
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(punct_cnt AS BIGINT) AS punct_cnt,
+           CAST(avg_token_len AS DOUBLE) AS avg_token_len,
+           CAST(CASE WHEN n_tokens >= 20 THEN 1 ELSE 0 END
+              + CASE WHEN punct_cnt * 10 <= n_chars THEN 1 ELSE 0 END
+              + CASE WHEN avg_token_len >= 3.0 AND avg_token_len <= 12.0 THEN 1 ELSE 0 END
+             AS INT) AS quality_score
+    FROM (
+      SELECT doc_id, n_chars,
+             {tok} AS n_tokens,
+             length(text) - length({nopunct}) AS punct_cnt,
+             CAST(length({nospace}) AS DOUBLE) / {tok} AS avg_token_len
+      FROM {table}
+    ) m"""
+
+
+@register(
+    "text_quality_score",
+    _quality_score(D.DUCK, "documents"),
+    doc="training-data ext: doc quality scoring from length/punctuation/"
+        "token-shape ratios (one row per doc)",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_rendered(spark, sf_dir, "documents", _quality_score, "bq_quality_docs")
+
+
+# --------------------------------------------------------- fingerprinting
+
+
+def _fingerprint(engine: str, table: str) -> str:
+    norm = D.re_replace_all("lower(trim(text))", r"\s+", " ", engine)
+    full_fp = D.h64(norm, engine)
+    prefix_fp = D.h64(f"substring({norm}, 1, 64)", engine)
+    return f"""
+    SELECT COUNT(*) AS total_docs,
+           COUNT(DISTINCT {full_fp}) AS distinct_fp,
+           COUNT(DISTINCT {prefix_fp}) AS distinct_prefix_fp,
+           CAST(COUNT(*) - COUNT(DISTINCT {full_fp}) AS BIGINT) AS dup_docs
+    FROM {table}"""
+
+
+@register(
+    "text_fingerprint",
+    _fingerprint(D.DUCK, "documents"),
+    doc="training-data ext: md5-based document fingerprinting; dup summary "
+        "over full and 64-char-prefix fingerprints",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_rendered(spark, sf_dir, "documents", _fingerprint, "bq_fp_docs")

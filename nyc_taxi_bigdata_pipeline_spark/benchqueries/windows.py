@@ -1,0 +1,85 @@
+"""Window-function queries (SURVEY §2.5 + O1-O3).
+
+The reference does its only "rank" client-side in pandas (app.py:421);
+the Spark-native engine expresses it as window functions. Window frames
+are fully ordered with key tiebreaks so results are deterministic.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..functions import compat as C
+from ..sources.tables import load_table
+from .registry import register, sx
+
+
+@register(
+    "window_rank_topk",
+    """SELECT segment, c_custkey, c_acctbal, rn FROM (
+         SELECT c_mktsegment AS segment, c_custkey, c_acctbal,
+                ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                   ORDER BY c_acctbal DESC, c_custkey) AS rn
+         FROM customer) t
+       WHERE rn <= 3""",
+    doc="§2.5 row_number rank (app.py:421 client-side rank → window); top-3 "
+        "customers by balance per segment",
+)
+def window_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.select(
+            F.col("c_mktsegment").alias("segment"),
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w).alias("rn"),
+        ).filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_running_total",
+    f"""SELECT o_custkey, o_orderkey,
+               CAST(SUM({C.fine('o_totalprice')}) OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 AS running_total
+        FROM orders""",
+    doc="§2.5 running aggregate per key; exact-decimal window SUM so the "
+        "accumulation order can't produce float drift",
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.expr(C.fine("o_totalprice"))).over(w).cast("double").alias("running_total"),
+    )
+
+
+@register(
+    "window_lag_delta",
+    """SELECT o_custkey, o_orderkey,
+              CAST(o_totalprice - LAG(o_totalprice) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS delta_prev
+       FROM orders""",
+    doc="§2.5 lag/lead: order-to-order price delta per customer (double "
+        "subtraction of identical operands is engine-exact)",
+)
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.col("o_totalprice") - F.lag("o_totalprice").over(w)).cast("double").alias("delta_prev"),
+    )

@@ -1,0 +1,46 @@
+"""Every registry query must match its DuckDB oracle exactly — the local
+mirror of the driver's CORRECTNESS gate (strictest interpretation)."""
+
+from __future__ import annotations
+
+import pytest
+
+from nyc_taxi_bigdata_pipeline_spark.benchqueries import REGISTRY
+
+from .oracle_harness import duck_connection, compare_frames, ParityResult
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duck_connection(sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", list(REGISTRY))
+def test_query_matches_oracle(name, spark, sf_dir, duck):
+    q = REGISTRY[name]
+    sdf = q.spark_fn(spark, sf_dir).toPandas()
+    if q.oracle is None:
+        assert len(sdf) >= 0  # rows-only contract: runs and yields a frame
+        return
+    odf = duck.execute(q.oracle).fetchdf()
+    res: ParityResult = compare_frames(name, sdf, odf)
+    assert res.ok, f"{name}: {res.detail}"
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert len(df.columns) >= 5
+
+
+def test_contract_shapes():
+    import __spark_entry__ as e
+
+    qs, os_ = e.queries(), e.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert len(qs) >= 10
