@@ -1,0 +1,205 @@
+"""Scale-path deduplication operators (training-data pipeline).
+
+The oracle-checked flavors live in ``benchqueries/dedup_ops.py`` (md5
+portable hashing so DuckDB can verify); these are the production
+variants built for 100 TB:
+
+- exact dedup: xxhash64 fingerprint → dropDuplicates (one shuffle,
+  map-side combine; the 128-bit-safe variant uses md5 to make collision
+  probability negligible at trillions of docs)
+- MinHash+LSH: signatures via JVM array expressions (codegen), band
+  bucket join for candidate pairs — pair count is bucket-bounded, never
+  O(n²) — then exact Jaccard verification on candidates only
+- SimHash: 64-bit fingerprint + Hamming ≤ k candidate filter
+
+All JVM expressions, no Python UDFs in the hot path.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def normalize_text(col: str = "text") -> F.Column:
+    return F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " ")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep one row per distinct normalized text. At 100 TB this is one
+    hash-partition shuffle on the 64-bit fingerprint; within-fingerprint
+    ties resolved arbitrarily (first writer wins, matching J6)."""
+    return (
+        df.withColumn("__fp", F.xxhash64(normalize_text(text_col)))
+        .dropDuplicates(["__fp"])
+        .drop("__fp")
+    )
+
+
+def dedup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    fp = F.xxhash64(normalize_text(text_col))
+    return df.select(fp.alias("fp")).agg(
+        F.count("*").alias("total"),
+        F.countDistinct("fp").alias("distinct"),
+        (F.count("*") - F.countDistinct("fp")).alias("dups"),
+    )
+
+
+# ------------------------------------------------------------ MinHash + LSH
+
+
+def char_shingles(col: str, n: int = 5) -> F.Column:
+    """Distinct char n-gram array (JVM expression, codegen-friendly)."""
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(length({col}) - {n - 1}, 1)),"
+            f" i -> substring({col}, i, {n}))"
+        )
+    )
+
+
+def minhash_signature(shingles_col: str, num_hashes: int = 32) -> list[F.Column]:
+    """One min-hash per seed over the shingle array using xxhash64(seed)
+    — Spark's native seeded hash family, computed without exploding."""
+    return [
+        F.array_min(
+            F.expr(f"transform({shingles_col}, s -> xxhash64(s, {seed}))")
+        ).alias(f"mh{seed}")
+        for seed in range(num_hashes)
+    ]
+
+
+def add_minhash(df: DataFrame, text_col: str = "text", num_hashes: int = 32) -> DataFrame:
+    out = df.withColumn("__sh", char_shingles(text_col))
+    return out.select("*", *minhash_signature("__sh", num_hashes)).drop("__sh")
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Band-bucket join: docs sharing any band signature become a
+    candidate pair. Shuffle key = (band_id, band_hash) — collision
+    buckets are tiny for non-near-dup corpora, so the join output stays
+    linear-ish; a skew-guard (AQE skew join) handles pathological
+    buckets of boilerplate duplicates."""
+    rows = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh{b * rows + r}").cast("string") for r in range(rows)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band_id"), F.xxhash64(F.concat_ws("#", *parts)).alias("bh"))
+        )
+    banded = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
+    ).select(id_col, "band.band_id", "band.bh")
+    a, b_ = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact shingle-Jaccard on candidates only."""
+    sh = docs.select(F.col(id_col), char_shingles(text_col).alias("sh"))
+    j = (
+        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.size("sh_a") + F.size("sh_b") - F.col("inter")),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def minhash_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full near-dup pipeline: signatures → LSH candidates → verify.
+    Returns confirmed near-dup pairs (id_a < id_b, jaccard ≥ threshold)."""
+    sigs = add_minhash(docs.select(id_col, text_col), text_col, num_hashes)
+    pairs = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+    return jaccard_verify(pairs, docs, id_col, text_col, threshold)
+
+
+# ------------------------------------------------------------------ SimHash
+
+
+def simhash64(col: str = "text") -> F.Column:
+    """63-bit SimHash over whitespace tokens: per-bit majority vote of
+    token-hash bits, built as one JVM aggregate expression. Bit 63 is
+    left unused so the fingerprint stays a positive signed long."""
+    toks = f"split(lower(trim({col})), ' ')"
+    bits = []
+    for b in range(63):
+        vote = (
+            f"aggregate({toks}, 0L, (acc, t) ->"
+            f" acc + CASE WHEN (xxhash64(t) >> {b}) & 1 = 1 THEN 1 ELSE -1 END)"
+        )
+        bits.append(f"(CASE WHEN {vote} > 0 THEN CAST({1 << b} AS LONG) ELSE 0L END)")
+    return F.expr(" + ".join(bits))
+
+
+def simhash_near_pairs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance. Candidate generation
+    blocks on the 4×16-bit chunks (a pair within Hamming ≤ 3 of 64 bits
+    must share at least one exact 16-bit chunk — pigeonhole)."""
+    sh = docs.select(F.col(id_col), simhash64(text_col).alias("sh"))
+    chunks = sh.select(
+        id_col,
+        "sh",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("chunk_id"),
+                    F.expr(f"(sh >> {c * 16}) & 65535").alias("chunk"),
+                )
+                for c in range(4)
+            ])
+        ).alias("c"),
+    ).select(id_col, "sh", "c.chunk_id", "c.chunk")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.expr("sh_a ^ sh_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

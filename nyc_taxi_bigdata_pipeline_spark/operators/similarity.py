@@ -1,0 +1,164 @@
+"""Scale-path similarity search over embedding columns.
+
+Brute-force cosine top-k as the exact baseline, and an LSH-bucketed
+(random hyperplane) approximate variant as the scale path. The query
+set is broadcast (it's small); candidates stream through a vectorized
+Pandas UDF doing one numpy matmul per Arrow batch — the idiomatic way
+to get BLAS throughput out of Spark for this shape. Per-query top-k is
+a window rank (Spark plans per-partition partial top-k before the final
+shuffle, so the full score matrix never materializes).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def _collect_queries(queries: DataFrame, id_col: str, vec_col: str) -> tuple[np.ndarray, np.ndarray]:
+    rows = queries.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    return ids, mat / norms[:, None]
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k of each query against the corpus.
+
+    Executes as: broadcast query matrix (driver→executors inside the
+    mapInPandas closure), one matmul per Arrow batch, per-batch local
+    top-k, then a global window rank over the (tiny) surviving rows.
+    """
+    q_ids, q_mat = _collect_queries(queries, id_col, vec_col)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            sims = (mat / norms[:, None]) @ q_mat.T  # (batch, n_queries)
+            # k+1 so dropping the query's own row later can't starve a query
+            n_local = min(k + 1, sims.shape[0])
+            # per-batch partial top-k keeps the shuffle tiny
+            idx = np.argpartition(-sims, n_local - 1, axis=0)[:n_local]
+            out = {
+                "query_id": np.repeat(q_ids, n_local),
+                "neighbor_id": pdf[id_col].to_numpy()[idx].T.ravel(),
+                "cos_sim": np.take_along_axis(sims, idx, axis=0).T.ravel(),
+            }
+            yield pd.DataFrame(out)
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(
+        score, "query_id long, neighbor_id long, cos_sim double"
+    )
+    scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+def random_hyperplane_buckets(
+    df: DataFrame,
+    dim: int,
+    num_planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH bucketing: sign pattern against ``num_planes`` fixed random
+    hyperplanes → integer bucket id. Near vectors collide with high
+    probability; ANN search then joins query buckets to corpus buckets
+    (with optional multi-probe) instead of scanning everything."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_planes, dim))
+    terms = []
+    for p in range(num_planes):
+        dot = " + ".join(
+            f"CAST(element_at({vec_col}, {i + 1}) AS DOUBLE) * ({planes[p, i]!r})"
+            for i in range(dim)
+        )
+        terms.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << p} ELSE 0 END)")
+    return df.withColumn("lsh_bucket", F.expr(" + ".join(terms)).cast("long"))
+
+
+def ann_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    num_planes: int = 8,
+    probe_radius: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: exact cosine within matching LSH buckets only.
+
+    Multi-probe: each query additionally probes every bucket within
+    ``probe_radius`` bit flips of its own — exploded on the (tiny) query
+    side so the corpus join stays a plain equi-join on the bucket id.
+    Recall < 1.0 by construction; raise num_planes for tighter buckets,
+    probe_radius for recall.
+    """
+    cb = random_hyperplane_buckets(corpus, dim, num_planes, vec_col=vec_col)
+    qb = random_hyperplane_buckets(queries, dim, num_planes, vec_col=vec_col)
+    if probe_radius >= 1:
+        flips = [F.expr(f"lsh_bucket ^ {1 << p}") for p in range(num_planes)]
+        if probe_radius >= 2:
+            flips += [
+                F.expr(f"lsh_bucket ^ {(1 << p) | (1 << q)}")
+                for p in range(num_planes)
+                for q in range(p + 1, num_planes)
+            ]
+        qb = qb.withColumn(
+            "lsh_bucket",
+            F.explode(F.array_distinct(F.array(F.col("lsh_bucket"), *flips))),
+        )
+    dot = " + ".join(
+        f"CAST(element_at(q_vec, {i + 1}) AS DOUBLE) * CAST(element_at(c_vec, {i + 1}) AS DOUBLE)"
+        for i in range(dim)
+    )
+
+    def _norm(col: str) -> str:
+        return " + ".join(
+            f"CAST(element_at({col}, {i + 1}) AS DOUBLE) * CAST(element_at({col}, {i + 1}) AS DOUBLE)"
+            for i in range(dim)
+        )
+
+    joined = (
+        qb.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            "lsh_bucket",
+        )
+        .join(
+            cb.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("c_vec"),
+                "lsh_bucket",
+            ),
+            "lsh_bucket",
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cos_sim",
+            F.expr(f"({dot}) / (sqrt({_norm('q_vec')}) * sqrt({_norm('c_vec')}))"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rn")
+    )

@@ -1,0 +1,115 @@
+"""Monthly orchestration (ex06 parity): run_month = ingest → warehouse →
+quality gates → (ML when eligible), with backfill as a driver-side loop.
+
+The Airflow DAG's task graph (full_pipeline_dag.py:82-594) collapses
+into one function per month; SLAs/retries belong to whatever scheduler
+invokes this, the data logic lives here.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import ingest, quality, warehouse
+from .functions.datetime_parity import sliding_months
+from .ml.features import build_feature_table
+from .ml.registry import ModelRegistry
+from .ml.train import TrainResult, train_and_evaluate
+
+
+@dataclass
+class MonthRunResult:
+    year: int
+    month: int
+    counts: dict[str, int] = field(default_factory=dict)
+    checks: list[quality.CheckResult] = field(default_factory=list)
+    ml: TrainResult | None = None
+    ml_decision: str | None = None
+
+    @property
+    def ok(self) -> bool:
+        return all(c.ok for c in self.checks)
+
+
+def run_month(
+    spark: SparkSession,
+    raw_df: DataFrame,
+    zone_lookup: DataFrame,
+    silver_path: str,
+    gold_path: str,
+    year: int,
+    month: int,
+    min_rows: int = quality.MIN_ROWCOUNT,
+) -> MonthRunResult:
+    """EX01→EX03 for one month: clean, write silver partition, build/extend
+    the star schema with the idempotent fact load, evaluate gates."""
+    res = MonthRunResult(year, month)
+
+    counts = ingest.ingest_month(spark, raw_df, silver_path, year, month)
+    res.counts.update(counts)
+    res.checks.append(
+        quality.retention_check(counts["rows_in"], counts["rows_out"], "ingest")
+    )
+    res.checks.append(quality.min_rowcount_check(counts["rows_out"], "silver", min_rows))
+
+    clean = ingest.read_silver(spark, silver_path, [(year, month)])
+    fact_incoming = warehouse.build_fact(clean)
+
+    fact_path = str(Path(gold_path) / "fact_trip")
+    existing = None
+    if (Path(fact_path) / "_SUCCESS").exists() or any(Path(fact_path).glob("*.parquet")):
+        existing = spark.read.parquet(fact_path)
+    new_rows = warehouse.load_fact_idempotent(fact_incoming, existing)
+    new_rows.write.mode("append").parquet(fact_path)
+
+    fact = spark.read.parquet(fact_path)
+    res.counts["fact_rows"] = fact.count()
+    res.checks.append(quality.min_rowcount_check(res.counts["fact_rows"], "fact", min_rows))
+
+    # dims are cheap: rebuild from current state each month (idempotent)
+    dims = warehouse.seed_enum_dims(spark)
+    dims["dim_location"] = warehouse.build_dim_location(zone_lookup, clean)
+    dims["dim_date"] = warehouse.build_dim_date(clean)
+    dims["dim_time"] = warehouse.build_dim_time(spark)
+    for name, df in dims.items():
+        df.write.mode("overwrite").parquet(str(Path(gold_path) / name))
+    return res
+
+
+def run_ml_month(
+    spark: SparkSession,
+    silver_path: str,
+    registry_root: str,
+    year: int,
+    month: int,
+) -> tuple[TrainResult | None, str | None, list[quality.CheckResult]]:
+    """EX05 for one month: sliding 3-month training window, test on the
+    target month, register + promote-or-discard (Q4/Q5 gating)."""
+    window = sliding_months(year, month, quality.ML_WINDOW_MONTHS)
+    silver = ingest.read_silver(spark, silver_path)
+    months_present = {
+        (r["year"], r["month"])
+        for r in silver.select("year", "month").distinct().collect()
+    }
+    train_months = [m for m in window if m in months_present]
+    checks = [quality.ml_eligibility_check(len(train_months))]
+    if (year, month) not in months_present:
+        checks.append(quality.CheckResult("ml_test_month", "FAIL", f"{year}-{month} missing"))
+    if not all(c.ok for c in checks):
+        return None, None, checks
+
+    train_df = build_feature_table(ingest.read_silver(spark, silver_path, train_months))
+    test_df = build_feature_table(ingest.read_silver(spark, silver_path, [(year, month)]))
+    checks.append(quality.schema_check(train_df, "train"))
+    if not checks[-1].ok:
+        return None, None, checks
+
+    result = train_and_evaluate(train_df, test_df)
+    reg = ModelRegistry(registry_root)
+    tag = f"{year}-{month:02d}"
+    reg.register_candidate(result.model, result.metrics, tag)
+    decision = reg.promote_or_discard(result.metrics, tag)
+    return result, decision, checks

@@ -1,0 +1,78 @@
+"""Data-quality gates (ex06 parity, SURVEY §2.12).
+
+The Airflow DAG's verification tasks become composable library checks so
+``pipeline.run_month`` owns its own quality layer:
+Q2 retention thresholds, Q3 min-rowcount gates, Q4 ML eligibility,
+plus the schema validation of ``validation.py:16-93``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+from .schema import ML_REQUIRED_INFER, ML_REQUIRED_TRAIN
+
+RETENTION_FAIL = 0.80  # full_pipeline_dag.py:59-60
+RETENTION_WARN = 0.90
+MIN_ROWCOUNT = 1000  # full_pipeline_dag.py:392-411
+ML_MIN_TRAIN_MONTHS = 2  # ml_pipeline.py:296-310
+ML_WINDOW_MONTHS = 3
+
+
+@dataclass(frozen=True)
+class CheckResult:
+    name: str
+    status: str  # PASS | WARN | FAIL
+    detail: str
+
+    @property
+    def ok(self) -> bool:
+        return self.status != "FAIL"
+
+
+def retention_check(rows_in: int, rows_out: int, stage: str = "ingest") -> CheckResult:
+    """Q2: stage-to-stage row retention (<80% FAIL, <90% WARN —
+    full_pipeline_dag.py:130-181)."""
+    ratio = (rows_out / rows_in) if rows_in else 0.0
+    if ratio < RETENTION_FAIL:
+        status = "FAIL"
+    elif ratio < RETENTION_WARN:
+        status = "WARN"
+    else:
+        status = "PASS"
+    return CheckResult(
+        f"retention:{stage}", status, f"{rows_out}/{rows_in} = {ratio:.3f}"
+    )
+
+
+def min_rowcount_check(n: int, table: str, minimum: int = MIN_ROWCOUNT) -> CheckResult:
+    """Q3: table must carry at least ``minimum`` rows
+    (full_pipeline_dag.py:392-411,504-524)."""
+    status = "PASS" if n >= minimum else "FAIL"
+    return CheckResult(f"min_rowcount:{table}", status, f"{n} rows (min {minimum})")
+
+
+def ml_eligibility_check(available_train_months: int) -> CheckResult:
+    """Q4: run ML only with enough history (≥2 of the 3-month window —
+    full_pipeline_dag.py:236-256, ml_pipeline.py:296-310)."""
+    status = "PASS" if available_train_months >= ML_MIN_TRAIN_MONTHS else "FAIL"
+    return CheckResult(
+        "ml_eligibility", status,
+        f"{available_train_months} train months (min {ML_MIN_TRAIN_MONTHS})",
+    )
+
+
+def schema_check(df: DataFrame, mode: str = "train") -> CheckResult:
+    """Required-column presence, train vs inference modes
+    (validation.py:16-28,62-93)."""
+    required = ML_REQUIRED_TRAIN if mode == "train" else ML_REQUIRED_INFER
+    missing = [c for c in required if c not in df.columns]
+    status = "PASS" if not missing else "FAIL"
+    return CheckResult(f"schema:{mode}", status, f"missing={missing}")
+
+
+def run_gates(*results: CheckResult) -> tuple[bool, list[CheckResult]]:
+    """True iff no FAIL among the given checks."""
+    return all(r.ok for r in results), list(results)

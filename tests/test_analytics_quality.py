@@ -1,0 +1,98 @@
+"""Analytics (ex04) + quality (ex06) layer tests over the star schema."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from nyc_taxi_bigdata_pipeline_spark import analytics, ingest, quality, warehouse
+
+from .taxi_fixtures import make_trips_month, make_zone_lookup
+
+
+@pytest.fixture(scope="module")
+def star(spark):
+    raw = make_trips_month(spark, 2023, 1, n=2000)
+    clean = ingest.clean_month(raw, 2023, 1).cache()
+    fact = warehouse.build_fact(clean).cache()
+    dims = warehouse.seed_enum_dims(spark)
+    dims["dim_location"] = warehouse.build_dim_location(make_zone_lookup(spark), clean).cache()
+    dims["dim_date"] = warehouse.build_dim_date(clean)
+    dims["dim_time"] = warehouse.build_dim_time(spark)
+    return fact, dims
+
+
+def test_kpis(spark, star):
+    fact, dims = star
+    row = analytics.kpis(fact, dims).first()
+    assert row["total_trips"] == fact.count()
+    assert row["total_revenue"] > 0
+    assert 0 < row["avg_amount"] < 1000
+
+
+def test_kpis_with_filters(spark, star):
+    fact, dims = star
+    flt = analytics.TripFilters(
+        date_from="2023-01-10", date_to="2023-01-20", payment_descriptions=["Cash"]
+    )
+    row = analytics.kpis(fact, dims, flt).first()
+    manual = (
+        fact.filter(F.col("pickup_date").between("2023-01-10", "2023-01-20"))
+        .filter(F.col("payment_type_id") == 2)
+        .count()
+    )
+    assert row["total_trips"] == manual
+
+
+def test_daily_and_hourly(spark, star):
+    fact, dims = star
+    daily = analytics.daily_trips(fact, dims).collect()
+    assert sum(r["trips"] for r in daily) == fact.count()
+    assert all(r["pickup_date"].month == 1 for r in daily)
+    hourly = analytics.hourly_trips(fact, dims).collect()
+    assert sum(r["trips"] for r in hourly) == fact.count()
+    assert {r["hour"] for r in hourly} <= set(range(24))
+
+
+def test_payment_breakdown_and_top_zones(spark, star):
+    fact, dims = star
+    pb = analytics.payment_breakdown(fact, dims)
+    assert pb.agg(F.sum("trips")).first()[0] == fact.count()
+    tz = analytics.top_zones(fact, dims, k=5).collect()
+    assert len(tz) == 5
+    assert [r["rank"] for r in tz] == [1, 2, 3, 4, 5]
+    trips = [r["trips"] for r in tz]
+    assert trips == sorted(trips, reverse=True)
+
+
+def test_profiles(spark, star):
+    fact, dims = star
+    np_ = analytics.null_profile(fact.select("passenger_count", "ratecode_id")).first()
+    assert np_["nulls_passenger_count"] >= 0
+    neg = analytics.negative_profile(fact, ["trip_distance", "total_amount"]).first()
+    assert neg["neg_trip_distance"] == 0  # cleaned data has none
+
+
+def test_quality_gates():
+    assert quality.retention_check(100, 95).status == "PASS"
+    assert quality.retention_check(100, 85).status == "WARN"
+    assert quality.retention_check(100, 70).status == "FAIL"
+    assert quality.retention_check(0, 0).status == "FAIL"
+    assert quality.min_rowcount_check(999, "t").status == "FAIL"
+    assert quality.min_rowcount_check(1000, "t").status == "PASS"
+    assert quality.ml_eligibility_check(1).status == "FAIL"
+    assert quality.ml_eligibility_check(2).status == "PASS"
+    ok, results = quality.run_gates(
+        quality.retention_check(100, 95), quality.min_rowcount_check(5, "t", 1)
+    )
+    assert ok and len(results) == 2
+
+
+def test_schema_check(spark):
+    from nyc_taxi_bigdata_pipeline_spark.ml.features import build_feature_table
+    raw = make_trips_month(spark, 2023, 1, n=300)
+    clean = ingest.clean_month(raw, 2023, 1)
+    feats = build_feature_table(clean)
+    assert quality.schema_check(feats, "train").ok
+    assert not quality.schema_check(feats.drop("total_amount"), "train").ok
+    assert quality.schema_check(feats.drop("total_amount"), "infer").ok

@@ -1,0 +1,99 @@
+"""Ingest + warehouse layer tests (ex02/ex03 parity) on synthetic taxi
+fixtures, including idempotent re-runs and the anti-dup fact load."""
+
+from __future__ import annotations
+
+import pytest
+
+import pyspark.sql.functions as F
+
+from nyc_taxi_bigdata_pipeline_spark import ingest, warehouse
+from nyc_taxi_bigdata_pipeline_spark.quality import retention_check
+
+from .taxi_fixtures import make_trips_month, make_trips_month_drifted, make_zone_lookup
+
+
+@pytest.fixture(scope="module")
+def raw_month(spark):
+    return make_trips_month(spark, 2023, 1, n=2000).cache()
+
+
+def test_normalize_types_canonical(spark, raw_month):
+    drifted = make_trips_month_drifted(spark, 2023, 1, n=200)
+    norm = ingest.normalize_types(drifted)
+    types = dict(norm.dtypes)
+    assert types["airport_fee"] == "double"
+    assert types["passenger_count"] == "int"
+    assert len(norm.columns) == 19
+
+
+def test_normalize_missing_column_becomes_null(spark, raw_month):
+    partial = raw_month.drop("congestion_surcharge")
+    norm = ingest.normalize_types(partial)
+    assert norm.filter(F.col("congestion_surcharge").isNotNull()).count() == 0
+
+
+def test_clean_month_filters(spark, raw_month):
+    cleaned = ingest.clean_month(raw_month, 2023, 1)
+    n_raw, n_clean = raw_month.count(), cleaned.count()
+    # dirty quota ~6% → retention must clear the 90% WARN bar
+    assert retention_check(n_raw, n_clean).status == "PASS"
+    assert cleaned.filter(F.col("tpep_pickup_datetime").isNull()).count() == 0
+    assert cleaned.filter(F.col("trip_distance") < 0).count() == 0
+    assert cleaned.filter(F.month("tpep_pickup_datetime") != 1).count() == 0
+
+
+def test_silver_roundtrip_and_partition_overwrite(spark, raw_month, tmp_path):
+    silver = str(tmp_path / "silver")
+    r1 = ingest.ingest_month(spark, raw_month, silver, 2023, 1)
+    # re-run the same month: idempotent (dynamic partition overwrite)
+    r2 = ingest.ingest_month(spark, raw_month, silver, 2023, 1)
+    assert r1 == r2
+    back = ingest.read_silver(spark, silver, [(2023, 1)])
+    assert back.count() == r1["rows_out"]
+    # second month lands beside the first
+    feb = make_trips_month(spark, 2023, 2, n=1000)
+    ingest.ingest_month(spark, feb, silver, 2023, 2)
+    both = ingest.read_silver(spark, silver)
+    assert both.select("month").distinct().count() == 2
+    # partition pruning: month filter must prune, not scan both
+    pruned = ingest.read_silver(spark, silver, [(2023, 2)])
+    assert pruned.count() < both.count()
+
+
+def test_dim_builders(spark, raw_month):
+    clean = ingest.clean_month(raw_month, 2023, 1)
+    zones = make_zone_lookup(spark)
+    dims = warehouse.seed_enum_dims(spark)
+    assert dims["dim_payment_type"].count() == 7
+    assert dims["dim_ratecode"].count() == 7
+    assert dims["dim_vendor"].count() == 4
+    dim_time = warehouse.build_dim_time(spark)
+    assert dim_time.count() == 1440
+    assert dim_time.filter(F.col("time_id") == "23:59").count() == 1
+    dim_date = warehouse.build_dim_date(clean)
+    assert dim_date.filter((F.col("day_of_week") < 0) | (F.col("day_of_week") > 6)).count() == 0
+    # 2023-01-01 was a Sunday → Postgres DOW 0
+    assert dim_date.filter(F.col("date_id") == "2023-01-01").select("day_of_week").first()[0] == 0
+    dim_loc = warehouse.build_dim_location(zones, clean)
+    assert dim_loc.count() >= 265
+    assert dim_loc.select("location_id").distinct().count() == dim_loc.count()
+
+
+def test_fact_idempotent_load(spark, raw_month):
+    clean = ingest.clean_month(raw_month, 2023, 1)
+    fact = warehouse.build_fact(clean)
+    assert fact.columns[0] == "trip_id"
+    first = warehouse.load_fact_idempotent(fact, None)
+    n_first = first.count()
+    # natural-key dedup inside the batch
+    assert n_first == fact.dropDuplicates(list(warehouse.FACT_NATURAL_KEY)).count()
+    # loading the same month against itself → zero new rows
+    again = warehouse.load_fact_idempotent(fact, first)
+    assert again.count() == 0
+    # partial overlap: half the existing + new month → only new month rows in
+    feb = warehouse.build_fact(
+        ingest.clean_month(make_trips_month(spark, 2023, 2, n=500), 2023, 2)
+    )
+    mixed = warehouse.load_fact_idempotent(fact.union(feb), first)
+    assert mixed.count() == feb.dropDuplicates(list(warehouse.FACT_NATURAL_KEY)).count()

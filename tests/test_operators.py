@@ -1,0 +1,163 @@
+"""Scale-path operator tests: dedup (exact/MinHash-LSH/SimHash),
+similarity (brute-force + LSH ANN), text features, multimodal plumbing,
+top-k."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from nyc_taxi_bigdata_pipeline_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    text,
+    topk,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark, docs):
+    """Corpus + exact dups + near-dups (one-token edits) with known ids."""
+    base = docs.limit(50)
+    exact = base.limit(5).withColumn("doc_id", F.col("doc_id") + 100000)
+    near = (
+        base.limit(5)
+        .withColumn("doc_id", F.col("doc_id") + 200000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" zzquux")))
+    )
+    return base.unionByName(exact).unionByName(near).cache()
+
+
+def test_exact_dedup(docs_with_dups):
+    stats = dedup.dedup_stats(docs_with_dups).first()
+    assert stats["total"] == 60
+    assert stats["dups"] == 5  # the 5 exact copies
+    deduped = dedup.exact_dedup(docs_with_dups)
+    assert deduped.count() == 55
+
+
+def test_minhash_lsh_finds_near_dups(docs_with_dups):
+    pairs = dedup.minhash_dedup(
+        docs_with_dups, num_hashes=16, bands=8, threshold=0.5
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    # every exact dup pair must be found (jaccard 1.0)
+    for i in range(5):
+        doc = docs_with_dups.orderBy("doc_id").limit(5).collect()[i]["doc_id"]
+        assert (doc, doc + 100000) in found
+    # near-dup pairs (one appended token) should also surface
+    near_hits = [p for p in found if p[1] >= 200000 and p[1] - 200000 == p[0]]
+    assert len(near_hits) >= 3
+    for r in pairs:
+        assert 0.0 <= r["jaccard"] <= 1.0
+
+
+def test_simhash_near_pairs(docs_with_dups):
+    pairs = dedup.simhash_near_pairs(docs_with_dups, max_hamming=3).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    base_ids = [r["doc_id"] for r in docs_with_dups.orderBy("doc_id").limit(5).collect()]
+    for doc in base_ids:
+        assert (doc, doc + 100000) in found  # exact dups at Hamming 0
+    hams = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    for doc in base_ids:
+        assert hams[(doc, doc + 100000)] == 0
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+def test_cosine_topk_matches_registry_oracle(spark, sf_dir, emb):
+    """The numpy scale path must agree with the oracle-checked
+    expression flavor (same data, same k) up to float tolerance."""
+    from nyc_taxi_bigdata_pipeline_spark.benchqueries import REGISTRY
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = {
+        (r["query_id"], r["rn"]): (r["neighbor_id"], r["cos_sim"])
+        for r in similarity.cosine_topk(emb, queries, k=10).collect()
+    }
+    want = {
+        (r["query_id"], r["rn"]): (r["neighbor_id"], r["cos_sim"])
+        for r in REGISTRY["similarity_knn_bruteforce"].spark_fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for key, (nid, sim) in want.items():
+        gnid, gsim = got[key]
+        assert abs(gsim - sim) < 1e-5
+        # ids can differ only on rounded-cosine ties
+        if gnid != nid:
+            assert abs(gsim - sim) < 2e-6
+
+
+def test_ann_lsh_recall(emb):
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(emb, queries, k=10)
+    # the synthetic embeddings are near-uniform on the sphere, so recall
+    # tracks the probed-bucket fraction: 4 planes + radius-2 multiprobe
+    # probes 11/16 buckets → measured recall ≈ 0.76
+    approx = similarity.ann_topk_lsh(
+        emb, queries, dim=64, k=10, num_planes=4, probe_radius=2
+    )
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5
+    assert all(-1.001 <= r["cos_sim"] <= 1.001 for r in approx.collect())
+    # multiprobe must not duplicate (query, neighbor) pairs
+    n = approx.count()
+    assert n == approx.select("query_id", "neighbor_id").distinct().count()
+
+
+def test_text_features(docs):
+    out = text.with_text_features(docs.limit(100))
+    rows = out.select("n_tokens", "punct_ratio", "stopword_ratio", "quality_score",
+                      "fingerprint").collect()
+    for r in rows:
+        assert r["n_tokens"] > 0
+        assert 0.0 <= r["punct_ratio"] <= 1.0
+        assert 0.0 <= r["stopword_ratio"] <= 1.0
+        assert 0 <= r["quality_score"] <= 3
+    # fingerprint is deterministic: same input → same hash
+    f1 = out.select("fingerprint").collect()
+    f2 = text.with_text_features(docs.limit(100)).select("fingerprint").collect()
+    assert f1 == f2
+
+
+def test_multimodal_plumbing(spark):
+    rows = [
+        ("img1", "image", b"\x01\x02\x03\x04" * 64, 640, 480, None, "png"),
+        ("img2", "image", b"\xff\xee" * 100, 800, 600, None, "jpg"),
+        ("vid1", "video", b"\x00" * 32, None, None, 3500, "mp4"),
+        ("aud1", "audio", None, None, None, 2000, "wav"),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    feats = multimodal.extract_features(media).collect()
+    assert len(feats) == 4
+    by_id = {r["media_id"]: r["features"] for r in feats}
+    assert len(by_id["img1"]) == multimodal.FEATURE_DIM
+    assert by_id["aud1"] == [0.0] * multimodal.FEATURE_DIM  # null payload
+    # deterministic fake decoder
+    assert by_id["img1"] == multimodal.default_fake_decoder(rows[0][2]).tolist()
+    # real decoder is an explicit stub
+    with pytest.raises(NotImplementedError):
+        multimodal.real_decoder_unavailable(b"x")
+    frames = multimodal.frame_sample_plan(media, every_ms=1000).collect()
+    assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000, 3000]
+
+
+def test_topk_helpers(spark, emb):
+    g = topk.grouped_topk(
+        emb, ["label"], [F.desc("vec_id")], k=3
+    )
+    counts = g.groupBy("label").count().collect()
+    assert all(r["count"] == 3 for r in counts)
+    t = topk.topk(emb.select("vec_id"), [F.desc("vec_id")], 5).collect()
+    assert len(t) == 5
