@@ -1,0 +1,196 @@
+"""Structured Streaming over the events table (SURVEY §2.9 extension).
+
+The reference is monthly batch; its late-data policy is the strict
+month-window filter. This module exceeds that with real event-time
+streaming semantics on the same data model:
+
+- tumbling / sliding window aggregations with watermarked late-data
+  handling (``withWatermark`` + ``window``),
+- a stateful sessionization operator via ``applyInPandasWithState``
+  (the Spark-native custom-stateful-operator escape hatch),
+- file/memory sinks for tests; the transformations are sink-agnostic.
+
+Batch/stream unification: ``windowed_counts`` accepts either a static
+or a streaming DataFrame — the benchquery ``tumbling_hourly`` is its
+batch twin, which is how correctness is oracle-checked.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections.abc import Iterable
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def windowed_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling (or sliding) event-time window aggregation with a
+    watermark bounding state for late data. Works on both static and
+    streaming frames."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark("ts", watermark)
+    win = F.window("ts", window_duration, slide) if slide else F.window("ts", window_duration)
+    return (
+        df.groupBy(win.alias("win"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("end_us", LongType()),
+        StructField("n", LongType()),
+        StructField("total", DoubleType()),
+    ]
+)
+
+
+def _us(t: dt.datetime) -> int:
+    return int(t.timestamp() * 1_000_000)
+
+
+def _from_us(us: int) -> dt.datetime:
+    return dt.datetime.fromtimestamp(us / 1_000_000, dt.timezone.utc).replace(tzinfo=None)
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Custom stateful operator: per-user session windows with an
+    inactivity gap, via ``applyInPandasWithState``. Emits a session when
+    the event-time timeout (gap past the watermark) fires."""
+    gap_us = int(pd.Timedelta(gap).total_seconds() * 1_000_000)
+
+    def _emit(user_id, sessions):
+        return pd.DataFrame(
+            {
+                "user_id": [user_id] * len(sessions),
+                "session_start": [_from_us(s[0]) for s in sessions],
+                "session_end": [_from_us(s[1]) for s in sessions],
+                "n_events": [s[2] for s in sessions],
+                "total_value": [s[3] for s in sessions],
+            }
+        )
+
+    def fn(key, pdf_iter: Iterable[pd.DataFrame], state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            sess = tuple(state.get)
+            state.remove()
+            yield _emit(user_id, [sess])
+            return
+        # gather this batch's events (plus the open session from state)
+        parts = []
+        for pdf in pdf_iter:
+            ts_us = pdf["ts"].astype("int64") // 1000  # ns → µs
+            parts.append(
+                pd.DataFrame({"ts": ts_us, "v": pdf["value"].fillna(0.0).astype(float)})
+            )
+        ev = pd.concat(parts).sort_values("ts") if parts else pd.DataFrame(columns=["ts", "v"])
+        open_sess = tuple(state.get) if state.exists else None
+        # walk in time order, splitting on inactivity gaps — a batch can
+        # close many sessions; only the trailing one stays in state
+        sessions: list[tuple[int, int, int, float]] = []
+        cur = open_sess
+        for ts, v in zip(ev["ts"].astype(int), ev["v"].astype(float)):
+            if cur is None:
+                cur = (ts, ts, 1, v)
+            elif ts - cur[1] <= gap_us:
+                cur = (cur[0], max(cur[1], ts), cur[2] + 1, cur[3] + v)
+            else:
+                sessions.append(cur)
+                cur = (ts, ts, 1, v)
+        if cur is None:
+            return
+        state.update(cur)
+        state.setTimeoutTimestamp(cur[1] // 1000 + gap_us // 1000)
+        if sessions:
+            yield _emit(user_id, sessions)
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def sessionize_batch(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Batch twin of :func:`sessionize` (lag + cumulative session ids) —
+    the correctness oracle for the stateful streaming operator."""
+    from pyspark.sql import Window
+
+    gap_s = int(pd.Timedelta(gap).total_seconds())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        events.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            (
+                F.col("prev_ts").isNull()
+                | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > gap_s)
+            ).cast("int"),
+        )
+        .withColumn("session_id", F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ))
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.sum(F.coalesce("value", F.lit(0.0))).alias("total_value"),
+    ).drop("session_id")

@@ -1,0 +1,89 @@
+"""Structured Streaming tests: windowed aggregation and stateful
+sessionization, checked against their batch twins on the events table."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from nyc_taxi_bigdata_pipeline_spark.sources.tables import load_table
+from nyc_taxi_bigdata_pipeline_spark.streaming import events as ev
+
+
+@pytest.fixture(scope="module")
+def events_df(spark):
+    return load_table(spark, "/root/testdata/sf0.001", "events").cache()
+
+
+def test_windowed_counts_batch_semantics(spark, events_df):
+    out = ev.windowed_counts(events_df, "1 hour").collect()
+    total = sum(r["cnt"] for r in out)
+    assert total == events_df.count()
+    for r in out:
+        assert (r["window_end"] - r["window_start"]).total_seconds() == 3600
+
+
+def test_windowed_counts_streaming_with_watermark(spark, events_df, tmp_path):
+    src = str(tmp_path / "stream_src")
+    events_df.repartition(4).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(ev.EVENT_SCHEMA).option(
+        "maxFilesPerTrigger", 2
+    ).parquet(src)
+    agg = ev.windowed_counts(stream, "1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT sum(cnt) FROM win_counts").first()[0]
+    assert got == events_df.count()
+    q.stop()
+
+
+def test_sessionize_batch_twin(spark, events_df):
+    sessions = ev.sessionize_batch(events_df, gap="30 minutes")
+    rows = sessions.collect()
+    assert sum(r["n_events"] for r in rows) == events_df.count()
+    # sessions are disjoint per user and ordered
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for user, ss in by_user.items():
+        ss.sort(key=lambda r: r["session_start"])
+        for a, b in zip(ss, ss[1:]):
+            assert a["session_end"] < b["session_start"]
+            gap = (b["session_start"] - a["session_end"]).total_seconds()
+            assert gap > 30 * 60  # split only on real gaps
+
+
+def test_sessionize_streaming_matches_batch(spark, events_df, tmp_path):
+    # restrict to a few users to keep state small
+    subset = events_df.filter(F.col("user_id") < 20)
+    src = str(tmp_path / "sess_src")
+    subset.orderBy("ts").coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(ev.EVENT_SCHEMA).parquet(src)
+    q = (
+        ev.sessionize(stream, gap="30 minutes", watermark="0 seconds")
+        .writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sessions_out").collect()
+    }
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in ev.sessionize_batch(subset, gap="30 minutes").collect()
+    }
+    # the final (unclosed) session per user never times out in a finite
+    # run: compare on the sessions the stream did emit, require substance
+    assert got <= want
+    assert len(got) >= len(want) * 0.5
