@@ -24,13 +24,22 @@ def main() -> None:
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--repeat", type=int, default=1)
     ap.add_argument("--all", action="store_true", help="bench every registry query")
+    ap.add_argument(
+        "--warmup-dir",
+        default="/root/testdata/sf0.001",
+        help="tiny SF dir used to warm JIT/codegen per query (no result reuse)",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="bench")
     names = [n for n, q in REGISTRY.items() if q.bench or args.all]
 
-    # one cheap action to absorb JVM/session warmup before timing
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # Warm the JVM + whole-stage-codegen paths of each benched query at the
+    # smallest SF: measures the engine, not the JIT. Different directory →
+    # nothing of the timed run is cached.
+    if args.warmup_dir:
+        for name in names:
+            REGISTRY[name].spark_fn(spark, args.warmup_dir).collect()
 
     timings: dict[str, float] = {}
     for name in names:

@@ -1,0 +1,216 @@
+"""Advanced operator coverage: multidimensional aggregates (ROLLUP/CUBE),
+sessionization (the batch twin of streaming/events.sessionize), exact
+count-distinct, closed-form ML regression, embedding near-dup pairs.
+
+These exceed the reference surface (SURVEY §2.4 notes grouping sets are
+absent there; §2.9 streaming) but are first-class for a Spark-native
+analytics engine — each still carries a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions import compat as C
+from ..sources.tables import load_table
+from . import dialect as D
+from .registry import register
+
+# ----------------------------------------------------- ROLLUP / CUBE
+
+_ROLLUP_SQL = f"""
+SELECT CAST(year(o_orderdate) AS INT) AS yr, o_orderpriority,
+       CAST(GROUPING(year(o_orderdate)) AS INT) AS g_yr,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_pri,
+       COUNT(*) AS cnt, {C.sum_exact(C.fine('o_totalprice'), 'revenue')}
+FROM {{table}}
+GROUP BY ROLLUP(year(o_orderdate), o_orderpriority)"""
+
+
+@register(
+    "rollup_revenue",
+    _ROLLUP_SQL.format(table="orders"),
+    doc="§2.4 extension: ROLLUP with GROUPING() indicators (absent from the "
+        "reference; stock Spark capability exposed by the analytical layer)",
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("bq_rollup_orders")
+    return spark.sql(_ROLLUP_SQL.format(table="bq_rollup_orders"))
+
+
+_CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_st,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_pri,
+       COUNT(*) AS cnt
+FROM {table}
+GROUP BY CUBE(o_orderstatus, o_orderpriority)"""
+
+
+@register(
+    "cube_counts",
+    _CUBE_SQL.format(table="orders"),
+    doc="§2.4 extension: CUBE over status × priority",
+)
+def cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("bq_cube_orders")
+    return spark.sql(_CUBE_SQL.format(table="bq_cube_orders"))
+
+
+# ------------------------------------------------ exact count-distinct
+
+
+@register(
+    "distinct_users_by_type",
+    """SELECT event_type, COUNT(DISTINCT user_id) AS users, COUNT(*) AS cnt
+       FROM events GROUP BY event_type""",
+    doc="§2.4: exact COUNT(DISTINCT) per group (approx_count_distinct is "
+        "engine-private HLL, so the oracle-checked flavor is exact)",
+)
+def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    import pyspark.sql.functions as F
+
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("users"), F.count("*").alias("cnt")
+    )
+
+
+# ------------------------------------------------------ sessionization
+
+
+def _sessionize(engine: str, table: str, gap_minutes: int = 30) -> str:
+    epoch_us = (
+        "epoch_us(ts)" if engine == D.DUCK else "unix_micros(ts)"
+    )
+    gap_us = gap_minutes * 60 * 1_000_000
+    return f"""
+    WITH e AS (
+      SELECT user_id, event_id, {epoch_us} AS t,
+             COALESCE(value, 0.0) AS v
+      FROM {table}
+    ),
+    flagged AS (
+      SELECT user_id, event_id, t, v,
+             CASE WHEN t - LAG(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+                       > {gap_us}
+                  OR LAG(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e
+    ),
+    sess AS (
+      SELECT user_id, t, v,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           MIN(t) AS start_us, MAX(t) AS end_us, COUNT(*) AS n_events,
+           {C.sum_exact(C.money('v'), 'total_value')}
+    FROM sess GROUP BY user_id, session_id"""
+
+
+@register(
+    "sessionize_events",
+    _sessionize(D.DUCK, "events"),
+    doc="§2.9: gap-based sessionization (batch twin of the "
+        "applyInPandasWithState streaming operator); epoch-µs keys avoid "
+        "ns/µs timestamp precision skew between engines",
+    bench=True,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("bq_sess_events")
+    return spark.sql(_sessionize(D.SPARK, "bq_sess_events"))
+
+
+# --------------------------------------- closed-form linear regression
+
+
+def _linreg(engine: str, table: str) -> str:
+    """OLS l_extendedprice ~ l_quantity via exact decimal moments: the
+    SQL-expressible core of the ML layer (the GBT pipeline itself is
+    checked in pytest; this gives the driver an oracle-checkable ML
+    surface). All double arithmetic derives from exact decimal sums."""
+    x = C.money("l_quantity")
+    y = C.money("l_extendedprice")
+    sx = f"CAST(SUM({x}) AS DOUBLE)"
+    sy = f"CAST(SUM({y}) AS DOUBLE)"
+    sxx = f"CAST(SUM({x} * {x}) AS DOUBLE)"
+    sxy = f"CAST(SUM({x} * {y}) AS DOUBLE)"
+    syy = f"CAST(SUM({y} * {y}) AS DOUBLE)"
+    n = "COUNT(*)"
+    return f"""
+    WITH m AS (
+      SELECT {n} AS n, {sx} AS sx, {sy} AS sy, {sxx} AS sxx, {sxy} AS sxy, {syy} AS syy
+      FROM {table}
+    )
+    SELECT n,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+           (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS intercept,
+           ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+    FROM m"""
+
+
+@register(
+    "ml_linreg_closed_form",
+    _linreg(D.DUCK, "lineitem"),
+    doc="§2.10 oracle-checkable ML: closed-form OLS from exact decimal "
+        "moments (GBT/MLlib parity is pytest-gated — nondeterministic "
+        "across engines by nature)",
+)
+def ml_linreg_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("bq_linreg_li")
+    return spark.sql(_linreg(D.SPARK, "bq_linreg_li"))
+
+
+# ------------------------------------------- embedding near-dup pairs
+
+
+def _near_dup(engine: str, table: str, threshold: float = 0.99) -> str:
+    dim = 64
+    prods = D.transform(
+        D.iseq("1", str(dim), engine),
+        f"i -> CAST({D.at('a.embedding', 'i', engine)} AS DOUBLE)"
+        f" * CAST({D.at('b.embedding', 'i', engine)} AS DOUBLE)",
+        engine,
+    )
+    dot = D.fold_sum_double(prods, engine)
+    na = D.fold_sum_double(
+        D.transform(
+            D.iseq("1", str(dim), engine),
+            f"i -> CAST({D.at('a.embedding', 'i', engine)} AS DOUBLE)"
+            f" * CAST({D.at('a.embedding', 'i', engine)} AS DOUBLE)",
+            engine,
+        ),
+        engine,
+    )
+    nb = D.fold_sum_double(
+        D.transform(
+            D.iseq("1", str(dim), engine),
+            f"i -> CAST({D.at('b.embedding', 'i', engine)} AS DOUBLE)"
+            f" * CAST({D.at('b.embedding', 'i', engine)} AS DOUBLE)",
+            engine,
+        ),
+        engine,
+    )
+    return f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({dot} / (sqrt({na}) * sqrt({nb})), 6) AS cos_sim
+    FROM {table} a JOIN {table} b
+      ON b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 16
+    WHERE round({dot} / (sqrt({na}) * sqrt({nb})), 6) >= {threshold}
+       OR (b.vec_id = a.vec_id + 1)"""
+
+
+@register(
+    "embedding_near_dup",
+    _near_dup(D.DUCK, "embeddings"),
+    doc="training-data ext: embedding-cosine near-dup scan over a bounded "
+        "deterministic candidate band (id-distance ≤ 16); the unbounded "
+        "scale path is operators/similarity.ann_topk_lsh",
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("bq_nd_emb")
+    return spark.sql(_near_dup(D.SPARK, "bq_nd_emb"))

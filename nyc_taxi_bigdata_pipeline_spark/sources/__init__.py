@@ -1,3 +1,12 @@
+from . import csv, http, reports
 from .tables import TESTDATA_TABLES, load_table, load_tables, register_views
 
-__all__ = ["TESTDATA_TABLES", "load_table", "load_tables", "register_views"]
+__all__ = [
+    "TESTDATA_TABLES",
+    "csv",
+    "http",
+    "load_table",
+    "load_tables",
+    "register_views",
+    "reports",
+]

@@ -1,0 +1,94 @@
+"""Source/sink operator tests: CSV lookup (S8), report sinks (S10/S11),
+HTTP fetch idempotency (S1 — against a local file:// fixture, no
+network), sample sink (S9), stage logging (Q6)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from nyc_taxi_bigdata_pipeline_spark.sources import csv as csv_src
+from nyc_taxi_bigdata_pipeline_spark.sources import http, reports
+
+from .taxi_fixtures import make_zone_lookup
+
+
+def test_zone_lookup_csv_roundtrip(spark, tmp_path):
+    zones = make_zone_lookup(spark)
+    p = str(tmp_path / "zones_csv")
+    zones.coalesce(1).write.mode("overwrite").csv(p, header=True)
+    back = csv_src.read_zone_lookup(spark, p)
+    assert back.count() == 265
+    assert dict(back.dtypes)["LocationID"] == "int"
+
+
+def test_report_csv_sink_bounded(spark, tmp_path):
+    df = spark.range(100).toDF("id")
+    out = str(tmp_path / "report_csv")
+    csv_src.write_report_csv(df, out, limit=10)
+    back = spark.read.csv(out, header=True)
+    assert back.count() == 10
+
+
+def test_json_report_roundtrip(spark, tmp_path):
+    agg = spark.range(10).selectExpr("count(*) AS n", "sum(id) AS s")
+    payload = {"metrics": reports.df_to_report(agg)}
+    p = reports.write_json_report(payload, tmp_path / "r" / "metrics.json")
+    assert json.loads(p.read_text())["metrics"][0]["n"] == 10
+
+
+def test_json_report_refuses_unbounded(spark, tmp_path):
+    with pytest.raises(ValueError, match="aggregate before reporting"):
+        reports.df_to_report(spark.range(5000).toDF("id"), max_rows=100)
+
+
+def test_stage_logger():
+    sl = reports.StageLogger()
+    with sl.stage("ingest", month="2023-01") as s:
+        s["rows"] = 123
+    with pytest.raises(RuntimeError):
+        with sl.stage("boom"):
+            raise RuntimeError("x")
+    summary = sl.summary()
+    assert [x["stage"] for x in summary["stages"]] == ["ingest", "boom"]
+    assert summary["ok"] is False
+    assert summary["stages"][0]["rows"] == 123
+
+
+def test_monthly_url_and_probe_unavailable():
+    url = http.monthly_url(2023, 4)
+    assert url.endswith("yellow_tripdata_2023-04.parquet")
+    # unreachable host → clean False, no exception (Q1 short-circuit)
+    assert http.probe_available("http://127.0.0.1:1/none.parquet", timeout=0.5) is False
+
+
+def test_fetch_if_absent_idempotent(tmp_path):
+    src = tmp_path / "src.parquet"
+    src.write_bytes(b"PAYLOAD" * 100)
+    url = src.as_uri()
+    dest = tmp_path / "out" / "m.parquet"
+    p1, dl1 = http.fetch_if_absent(url, dest)
+    p2, dl2 = http.fetch_if_absent(url, dest)
+    assert (dl1, dl2) == (True, False)  # second call skips (S1 idempotency)
+    assert p1 == p2 and p1.read_bytes() == src.read_bytes()
+    assert not list(dest.parent.glob("*.part"))  # no partial left behind
+
+
+def test_sample_sink_deterministic(spark, tmp_path):
+    """S9: seeded 10% sample write (spark_prepare.py:55-57).
+
+    Pinned form: ``sample(fraction=..., seed=...)`` — in PySpark 4.1 the
+    positional ``sample(0.1, seed=42)`` binds 0.1 to withReplacement and
+    silently drops the seed (nondeterministic across calls).
+    """
+    df = spark.range(10000).toDF("id")
+    s1 = df.sample(fraction=0.1, seed=42)
+    out = str(tmp_path / "sample")
+    s1.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    assert 700 <= back.count() <= 1300
+    # same seed → identical sample
+    assert sorted(r["id"] for r in s1.collect()) == sorted(
+        r["id"] for r in df.sample(fraction=0.1, seed=42).collect()
+    )
