@@ -1,0 +1,106 @@
+"""Rows-only registry entries (no DuckDB oracle — the driver records a
+weaker rows+schema check, as the contract allows for genuinely
+non-SQL-expressible operators).
+
+Each of these drives a scale-path operator whose semantics are verified
+elsewhere: the LSH ANN against the exact top-k (tests/test_operators),
+the multimodal plumbing against the deterministic fake decoder, the GBT
+pipeline against the reference's quality thresholds (tests/test_ml).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.tables import load_table
+from .registry import register
+
+
+@register(
+    "ann_lsh_topk",
+    None,
+    doc="training-data ext (rows-only): multi-probe random-hyperplane LSH "
+        "ANN top-k; recall vs the exact oracle-checked "
+        "similarity_knn_bruteforce is pinned in tests/test_operators.py",
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ann_topk_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ann_topk_lsh(emb, queries, dim=64, k=10, num_planes=4, probe_radius=2)
+
+
+@register(
+    "multimodal_features",
+    None,
+    doc="training-data ext (rows-only): binary-column decode/featurize "
+        "plumbing — documents' text bytes stand in for media payloads, the "
+        "deterministic fake decoder stands in for codecs this container "
+        "lacks (operators/multimodal.py)",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import extract_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("content"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+        F.lit("txt").alias("format"),
+    )
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        F.round(F.expr("aggregate(features, CAST(0.0 AS DOUBLE), (a, v) -> a + v)"), 6).alias(
+            "feature_sum"
+        ),
+        F.size("features").alias("dim"),
+    )
+
+
+@register(
+    "ml_gbt_quick",
+    None,
+    doc="§2.10 (rows-only): end-to-end MLlib pipeline fit+transform on "
+        "lineitem (predict extendedprice from quantity/discount/partkey "
+        "buckets); small maxIter so the correctness run stays fast — the "
+        "full ex05-parity GBT (maxDepth 6, maxIter 50) is pytest-gated",
+)
+def ml_gbt_quick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import GBTRegressor
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_extendedprice"
+    )
+    train = li.filter(F.col("l_orderkey") % 10 < 8)
+    test = li.filter(F.col("l_orderkey") % 10 >= 8)
+    pipe = Pipeline(
+        stages=[
+            VectorAssembler(
+                inputCols=["l_quantity", "l_discount"], outputCol="features"
+            ),
+            GBTRegressor(
+                featuresCol="features",
+                labelCol="l_extendedprice",
+                maxDepth=4,
+                maxIter=5,
+                seed=42,
+            ),
+        ]
+    )
+    model = pipe.fit(train)
+    preds = model.transform(test)
+    return preds.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        F.round("prediction", 2).alias("prediction"),
+    ).orderBy("l_orderkey", "l_linenumber").limit(100)

@@ -1,0 +1,141 @@
+"""Property-based tests (hypothesis) for the invariants the engine's
+correctness rests on — a layer the reference lacks entirely (SURVEY §5).
+
+Driver-side pure logic gets wide random coverage cheaply; Spark-touching
+properties run on a few drawn examples per test to keep wall-time sane.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from nyc_taxi_bigdata_pipeline_spark.functions.datetime_parity import (
+    month_window,
+    sliding_months,
+)
+from nyc_taxi_bigdata_pipeline_spark.ml.registry import improves_2_of_3
+from nyc_taxi_bigdata_pipeline_spark.quality import retention_check
+
+# ----------------------------------------------------- pure driver logic
+
+
+@given(st.integers(1990, 2100), st.integers(1, 12))
+def test_month_window_is_half_open_and_contiguous(y, m):
+    start, end = month_window(y, m)
+    assert start < end
+    ny, nm = (y + 1, 1) if m == 12 else (y, m + 1)
+    assert end == month_window(ny, nm)[0]  # windows tile the timeline
+
+
+@given(st.integers(1990, 2100), st.integers(1, 12), st.integers(1, 24))
+def test_sliding_months_chain(y, m, n):
+    months = sliding_months(y, m, n)
+    assert len(months) == n
+    seq = months + [(y, m)]
+    for (ya, ma), (yb, mb) in zip(seq, seq[1:]):
+        assert (yb, mb) == ((ya + 1, 1) if ma == 12 else (ya, ma + 1))
+
+
+@given(st.integers(0, 10**9), st.integers(0, 10**9))
+def test_retention_check_monotone(a, b):
+    r = retention_check(a, b)
+    assert r.status in {"PASS", "WARN", "FAIL"}
+    if a and b >= a * 0.9:
+        assert r.status == "PASS"
+    if a and b < a * 0.8:
+        assert r.status == "FAIL"
+
+
+@given(
+    st.fixed_dictionaries(
+        {"rmse": st.floats(0.1, 100), "mae": st.floats(0.1, 100), "r2": st.floats(-1, 1)}
+    ),
+    st.fixed_dictionaries(
+        {"rmse": st.floats(0.1, 100), "mae": st.floats(0.1, 100), "r2": st.floats(-1, 1)}
+    ),
+)
+def test_promotion_rule_antisymmetric_on_strict_orders(cand, cur):
+    """If the candidate strictly wins all three, it must promote; if it
+    strictly loses all three, it must not. (Middle cases are the 2-of-3
+    judgment call.)"""
+    if cand["rmse"] < cur["rmse"] and cand["mae"] < cur["mae"] and cand["r2"] > cur["r2"]:
+        assert improves_2_of_3(cand, cur)
+    if cand["rmse"] > cur["rmse"] and cand["mae"] > cur["mae"] and cand["r2"] < cur["r2"]:
+        assert not improves_2_of_3(cand, cur)
+
+
+# ------------------------------------------- cross-engine hash portability
+
+
+@settings(max_examples=30, suppress_health_check=[HealthCheck.too_slow])
+@given(st.text(min_size=0, max_size=200))
+def test_h64_portable_across_engines(s):
+    """The md5→int64 hash must agree between DuckDB and Python's hashlib
+    (the ground truth both engines implement)."""
+    import duckdb
+    import hashlib
+
+    expected = int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+    got = duckdb.sql(
+        "SELECT CAST(CONCAT('0x', SUBSTRING(MD5(?), 1, 15)) AS BIGINT)", params=[s]
+    ).fetchone()[0]
+    assert got == expected
+    assert 0 <= got < 2**63  # 60 bits → always a valid positive BIGINT
+
+
+# -------------------------------------------------- Spark-backed invariants
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 5), st.integers(0, 100)),
+        min_size=1,
+        max_size=40,
+    ),
+    st.lists(st.tuples(st.integers(0, 5), st.integers(0, 5)), max_size=10),
+)
+def test_anti_dup_append_invariants(spark, rows, existing_keys):
+    """After anti_dup_append: (1) no incoming key that already exists is
+    appended, (2) appended keys are unique, (3) appending the result to
+    existing and re-running yields nothing new (idempotency)."""
+    from nyc_taxi_bigdata_pipeline_spark.operators.upsert import anti_dup_append
+
+    inc = spark.createDataFrame(rows, "k1 int, k2 int, payload int")
+    ex = (
+        spark.createDataFrame([(a, b, -1) for a, b in existing_keys],
+                              "k1 int, k2 int, payload int")
+        if existing_keys
+        else None
+    )
+    out = anti_dup_append(inc, ex, ["k1", "k2"])
+    got = [(r["k1"], r["k2"]) for r in out.collect()]
+    assert len(got) == len(set(got))  # unique on NK
+    if existing_keys:
+        assert not (set(got) & set(existing_keys))  # nothing pre-existing
+    merged = out if ex is None else ex.unionByName(out)
+    again = anti_dup_append(inc, merged, ["k1", "k2"])
+    assert again.count() == 0  # idempotent
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6).map(lambda x: round(x, 2)),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_decimal_sum_matches_python_exact(spark, xs):
+    """The exact-decimal SUM strategy must equal Python's exact Fraction
+    arithmetic for any 2-decimal inputs, regardless of partitioning."""
+    from fractions import Fraction
+
+    df = spark.createDataFrame([(x,) for x in xs], "x double").repartition(7)
+    got = df.selectExpr(
+        "CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS s"
+    ).first()["s"]
+    want = float(sum(Fraction(str(round(x, 2))) for x in xs))
+    assert math.isclose(got, want, rel_tol=0, abs_tol=0) or got == want
