@@ -1,3 +1,3 @@
-from . import errors, features, registry, train
+from . import errors, features, predict, registry, train
 
-__all__ = ["errors", "features", "registry", "train"]
+__all__ = ["errors", "features", "predict", "registry", "train"]

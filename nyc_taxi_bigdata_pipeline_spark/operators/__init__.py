@@ -1,3 +1,3 @@
-from . import dedup, multimodal, similarity, text, topk, upsert
+from . import dedup, multimodal, similarity, skew, text, topk, upsert
 
-__all__ = ["dedup", "multimodal", "similarity", "text", "topk", "upsert"]
+__all__ = ["dedup", "multimodal", "similarity", "skew", "text", "topk", "upsert"]

@@ -79,6 +79,29 @@ def run_month(
     return res
 
 
+def backfill(
+    spark: SparkSession,
+    month_frames: list[tuple[int, int, DataFrame]],
+    zone_lookup: DataFrame,
+    silver_path: str,
+    gold_path: str,
+    min_rows: int = quality.MIN_ROWCOUNT,
+    stop_on_fail: bool = True,
+) -> list[MonthRunResult]:
+    """Q7 backfill contract: months processed strictly in order, one at a
+    time (max_active_runs=1 semantics), halting on a FAILed gate unless
+    told otherwise (full_pipeline_dag.py:82-94)."""
+    results: list[MonthRunResult] = []
+    for year, month, raw in sorted(month_frames, key=lambda t: (t[0], t[1])):
+        res = run_month(
+            spark, raw, zone_lookup, silver_path, gold_path, year, month, min_rows
+        )
+        results.append(res)
+        if stop_on_fail and not res.ok:
+            break
+    return results
+
+
 def run_ml_month(
     spark: SparkSession,
     silver_path: str,
