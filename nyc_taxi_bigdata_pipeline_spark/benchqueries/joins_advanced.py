@@ -1,0 +1,113 @@
+"""As-of join, binned range join and JSON extraction — oracle-checked.
+
+The as-of oracle uses the same union+window formulation in both engines
+(it is plain ANSI window SQL); the range-join oracle is the naive theta
+join (DuckDB's optimizer handles it at test SF), while the Spark side
+runs the binned equi-join — same results, scale-appropriate plan.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions import compat as C
+from ..sources.tables import load_table
+from . import dialect as D
+from .registry import register
+
+# --------------------------------------------------------------- as-of join
+
+_ASOF_SQL = """
+WITH u AS (
+  SELECT user_id, event_id, {epoch} AS t, 1 AS side, value
+  FROM {table} WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, event_id, {epoch} AS t, 0 AS side, value
+  FROM {table} WHERE event_type = 'view'
+),
+filled AS (
+  SELECT user_id, event_id, t, side, value,
+         MAX(CASE WHEN side = 0 THEN t END) OVER (
+           PARTITION BY user_id ORDER BY t, side, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_t
+  FROM u
+)
+SELECT user_id, event_id AS purchase_id, t AS purchase_t, last_view_t,
+       CASE WHEN last_view_t IS NULL THEN NULL ELSE t - last_view_t END AS us_since_view
+FROM filled WHERE side = 1"""
+
+
+@register(
+    "asof_purchase_view",
+    _ASOF_SQL.format(table="events", epoch="epoch_us(ts)"),
+    doc="custom operator: as-of join (each purchase ↔ latest prior view of "
+        "the same user) via the scalable union+keyed-window formulation "
+        "(operators/asof.py); epoch-µs keys for ns/µs timestamp parity",
+)
+def asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("bq_asof_events")
+    return spark.sql(_ASOF_SQL.format(table="bq_asof_events", epoch="unix_micros(ts)"))
+
+
+# ---------------------------------------------------------- binned range join
+
+_TIERS = [
+    ("bronze", 0.0, 50.0),
+    ("silver", 50.0, 150.0),
+    ("gold", 150.0, 300.0),
+    ("platinum", 300.0, 1000.0),
+]
+
+_RANGE_ORACLE = f"""
+WITH tiers(tier, lo, hi) AS (
+  VALUES {', '.join(f"('{t}', {lo}, {hi})" for t, lo, hi in _TIERS)}
+)
+SELECT tier, COUNT(*) AS cnt,
+       {C.sum_exact(C.money('value'), 'sum_value')}
+FROM events JOIN tiers ON value >= lo AND value < hi
+GROUP BY tier"""
+
+
+@register(
+    "range_join_tiers",
+    _RANGE_ORACLE,
+    doc="custom operator: range join as binned equi-join + residual filter "
+        "(operators/asof.range_join_binned) — O(n·m) theta join → "
+        "shuffle-bounded equi-join; oracle is the naive theta join",
+)
+def range_join_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import range_join_binned
+
+    ev = load_table(spark, sf_dir, "events")
+    tiers = ev.sparkSession.createDataFrame(_TIERS, "tier string, lo double, hi double")
+    joined = range_join_binned(ev, F.broadcast(tiers), "value", "lo", "hi", bin_width=50.0)
+    return joined.groupBy("tier").agg(
+        F.expr("COUNT(*)").alias("cnt"),
+        F.expr(f"CAST(SUM({C.money('value')}) AS DOUBLE)").alias("sum_value"),
+    )
+
+
+# -------------------------------------------------------------- JSON extract
+
+
+def _json_k(engine: str, table: str) -> str:
+    if engine == D.DUCK:
+        k = "CAST(json_extract(props, '$.k') AS INT)"
+    else:
+        k = "CAST(get_json_object(props, '$.k') AS INT)"
+    return f"""
+    SELECT CAST({k} % 10 AS INT) AS k_mod, COUNT(*) AS cnt,
+           CAST(SUM({k}) AS BIGINT) AS k_sum
+    FROM {table} WHERE props IS NOT NULL GROUP BY 1"""
+
+
+@register(
+    "json_extract_props",
+    _json_k(D.DUCK, "events"),
+    doc="§2.8 extension: JSON field extraction from the events.props "
+        "payload column (the reference only does driver-side JSON I/O)",
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("bq_json_events")
+    return spark.sql(_json_k(D.SPARK, "bq_json_events"))

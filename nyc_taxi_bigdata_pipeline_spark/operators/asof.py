@@ -1,0 +1,111 @@
+"""As-of join and binned range join — custom operators Spark lacks
+natively, composed from existing DataFrame ops (the preferred strategy
+when semantics allow; no Pandas UDF needed).
+
+As-of join (union + keyed window): union both sides tagged, one shuffle
+on the key, then a running last-value window ordered by event time.
+This IS the scalable formulation — equivalent to a per-key merge-sort,
+with state bounded by the window frame, no point-in-time subquery per
+row, no broadcast of the right side.
+
+Range join (binning): interval containment becomes an equi-join on
+overlapping bin ids plus a residual predicate — turning an O(n·m) theta
+join into a shuffle-bounded equi-join. This is the same strategy Spark
+AQE cannot derive automatically (it has no range-join rule without
+photon-style extensions).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_value_cols: list[str],
+    tolerance_seconds: int | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For each left row: the most recent right row with the same key at
+    or before the left row's time (inclusive). NULLs where no prior
+    right row exists (or it is older than ``tolerance_seconds``).
+
+    Deterministic: ties within a timestamp resolve right-before-left,
+    later right rows win (last-writer at equal timestamps).
+    """
+    lt, rt = F.col(left_time), F.col(right_time)
+    l_tag = left.withColumn("__side", F.lit(1)).withColumn("__t", lt)
+    r_cols = [F.col(on), F.col(right_time).alias("__t"), F.lit(0).alias("__side")] + [
+        F.col(c).alias(f"{c}{suffix}") for c in right_value_cols
+    ]
+    r_tag = right.select(*r_cols)
+    for c in left.columns:
+        if c != on and c not in r_tag.columns:
+            r_tag = r_tag.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    for c in right_value_cols:
+        l_tag = l_tag.withColumn(f"{c}{suffix}", F.lit(None).cast(dict(right.dtypes)[c]))
+    u = l_tag.unionByName(r_tag.select(*l_tag.columns))
+
+    # right rows (side 0) sort before left rows at equal times
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__t").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u
+    for c in right_value_cols:
+        filled = filled.withColumn(
+            f"{c}{suffix}", F.last(f"{c}{suffix}", ignorenulls=True).over(w)
+        )
+    filled = filled.withColumn(
+        "__rt", F.last(F.when(F.col("__side") == 0, F.col("__t")), ignorenulls=True).over(w)
+    )
+    out = filled.filter(F.col("__side") == 1)
+    if tolerance_seconds is not None:
+        stale = (
+            F.col("__rt").isNull()
+            | (F.unix_timestamp("__t") - F.unix_timestamp("__rt") > tolerance_seconds)
+        )
+        for c in right_value_cols:
+            out = out.withColumn(
+                f"{c}{suffix}", F.when(stale, F.lit(None)).otherwise(F.col(f"{c}{suffix}"))
+            )
+    return out.drop("__side", "__t", "__rt")
+
+
+def range_join_binned(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """points ⋈ intervals ON lo ≤ point < hi, via binning.
+
+    Each interval is exploded to the bins it overlaps (intervals are
+    assumed ≪ points and bounded in width — the explode factor is
+    ceil(width/bin_width)+1); points map to exactly one bin; the join is
+    an equi-join on the bin id with the exact containment as residual.
+    Pick ``bin_width`` ≈ median interval width.
+    """
+    binned_i = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / bin_width).cast("long"),
+                F.floor((F.col(hi_col) - 1e-12) / bin_width).cast("long"),
+            )
+        ),
+    )
+    binned_p = points.withColumn("__bin", F.floor(F.col(point_col) / bin_width).cast("long"))
+    joined = binned_p.join(binned_i, "__bin", how).filter(
+        (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col))
+    )
+    return joined.drop("__bin")

@@ -1,0 +1,78 @@
+"""As-of join + binned range join operator tests, including equivalence
+of the DataFrame operator against the window-SQL formulation."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+import pytest
+
+from nyc_taxi_bigdata_pipeline_spark.operators.asof import asof_join, range_join_binned
+
+
+def _t(minute):
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+@pytest.fixture(scope="module")
+def trades_quotes(spark):
+    trades = spark.createDataFrame(
+        [(1, _t(5), 100.0), (1, _t(10), 101.0), (2, _t(3), 50.0), (3, _t(7), 9.0)],
+        "sym int, ts timestamp, px double",
+    )
+    quotes = spark.createDataFrame(
+        [
+            (1, _t(4), 99.5),
+            (1, _t(5), 99.9),   # same-minute quote: inclusive as-of must pick it
+            (1, _t(9), 100.5),
+            (2, _t(1), 49.0),
+            # sym 3 has no quotes at all
+        ],
+        "sym int, ts timestamp, bid double",
+    )
+    return trades, quotes
+
+
+def test_asof_join_semantics(trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(trades, quotes, "sym", "ts", "ts", ["bid"]).collect()
+    got = {(r["sym"], r["px"]): r["bid_asof"] for r in out}
+    assert got[(1, 100.0)] == 99.9   # equal-timestamp quote wins (inclusive)
+    assert got[(1, 101.0)] == 100.5  # latest prior
+    assert got[(2, 50.0)] == 49.0
+    assert got[(3, 9.0)] is None     # no right rows for the key
+    assert len(out) == trades.count()  # left-preserving
+
+
+def test_asof_join_tolerance(trades_quotes):
+    trades, quotes = trades_quotes
+    out = asof_join(trades, quotes, "sym", "ts", "ts", ["bid"], tolerance_seconds=90)
+    got = {(r["sym"], r["px"]): r["bid_asof"] for r in out.collect()}
+    assert got[(1, 100.0)] == 99.9   # 0s old — kept
+    assert got[(1, 101.0)] == 100.5  # 60s old — kept
+    assert got[(2, 50.0)] is None    # 120s old — dropped by tolerance
+
+
+def test_range_join_binned_matches_naive(spark):
+    points = spark.range(0, 1000).selectExpr("id", "CAST(id % 97 AS DOUBLE) AS v")
+    intervals = spark.createDataFrame(
+        [("a", 0.0, 10.0), ("b", 5.0, 50.0), ("c", 90.0, 97.0), ("d", 200.0, 300.0)],
+        "tag string, lo double, hi double",
+    )
+    binned = range_join_binned(points, intervals, "v", "lo", "hi", bin_width=7.0)
+    naive = points.join(
+        intervals, (F.col("v") >= F.col("lo")) & (F.col("v") < F.col("hi"))
+    )
+    got = sorted((r["id"], r["tag"]) for r in binned.collect())
+    want = sorted((r["id"], r["tag"]) for r in naive.collect())
+    assert got == want and len(got) > 0
+    # empty-result interval is fine
+    assert not any(t == "d" for _, t in got)
+
+
+def test_range_join_left_how(spark):
+    points = spark.createDataFrame([(1, 5.0), (2, 500.0)], "id int, v double")
+    intervals = spark.createDataFrame([("a", 0.0, 10.0)], "tag string, lo double, hi double")
+    inner = range_join_binned(points, intervals, "v", "lo", "hi", bin_width=10.0)
+    assert [r["id"] for r in inner.collect()] == [1]
