@@ -44,7 +44,8 @@ def _knn(engine: str, table: str) -> str:
       FROM {table} q JOIN {table} c ON c.vec_id <> q.vec_id
       WHERE q.vec_id < {_N_QUERIES}
     )
-    SELECT query_id, neighbor_id, CAST(cos_sim AS DOUBLE) AS cos_sim, rn FROM (
+    SELECT query_id, neighbor_id, CAST(cos_sim AS DOUBLE) AS cos_sim,
+           CAST(rn AS INT) AS rn FROM (
       SELECT query_id, neighbor_id, cos_sim,
              ROW_NUMBER() OVER (PARTITION BY query_id
                                 ORDER BY cos_sim DESC, neighbor_id) AS rn

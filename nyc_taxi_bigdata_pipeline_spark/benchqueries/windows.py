@@ -17,7 +17,7 @@ from .registry import register, sx
 
 @register(
     "window_rank_topk",
-    """SELECT segment, c_custkey, c_acctbal, rn FROM (
+    """SELECT segment, c_custkey, c_acctbal, CAST(rn AS INT) AS rn FROM (
          SELECT c_mktsegment AS segment, c_custkey, c_acctbal,
                 ROW_NUMBER() OVER (PARTITION BY c_mktsegment
                                    ORDER BY c_acctbal DESC, c_custkey) AS rn
