@@ -101,21 +101,33 @@ _MINHASH_SEEDS = tuple(range(8))
 _BANDS = 4  # 4 bands × 2 rows
 
 
-def _minhash_sig(engine: str) -> list[str]:
-    """Per-seed minhash over char-5-gram shingles of column __txt, using
-    the seeded portable hash (no modular arithmetic → no overflow
-    divergence between engines)."""
+def _minhash_sig(engine: str) -> tuple[str, list[str], list[str]]:
+    """Minhash family over char-5-gram shingles of column __txt: each
+    md5 yields TWO independent 60-bit hashes (hex chars 1-15 and 17-31),
+    so 8 signature slots cost 4 md5 passes, each materialized once into
+    a staging array (no per-slot re-hashing). Portable: md5 + hex→int
+    agree bit-for-bit across engines; no modular arithmetic whose
+    overflow semantics could diverge."""
     seq = D.iseq("1", "greatest(length(__txt) - 4, 1)", engine)
     shingles = D.arr_distinct(D.transform(seq, "i -> substring(__txt, i, 5)", engine), engine)
+    n_md5 = len(_MINHASH_SEEDS) // 2
+    stages = [
+        D.transform("__sh", f"x -> MD5(CONCAT('{k}#', x))", engine) for k in range(n_md5)
+    ]
     sigs = []
-    for s in _MINHASH_SEEDS:
-        hashed = D.transform("__sh", f"x -> {D.seeded_h64('x', s, engine)}", engine)
-        sigs.append(D.arr_min(hashed, engine))
-    return shingles, sigs
+    for k in range(n_md5):
+        for lo in (1, 17):
+            hashed = D.transform(
+                f"__m{k}", f"h -> {D.hex15_to_int('substring(h, ' + str(lo) + ', 15)', engine)}",
+                engine,
+            )
+            sigs.append(D.arr_min(hashed, engine))
+    return shingles, stages, sigs
 
 
 def _minhash_bands(engine: str, table: str) -> str:
-    shingles, sigs = _minhash_sig(engine)
+    shingles, stages, sigs = _minhash_sig(engine)
+    stage_cols = ", ".join(f"{s} AS __m{k}" for k, s in enumerate(stages))
     sig_cols = ", ".join(f"{s} AS mh{i}" for i, s in enumerate(sigs))
     band_exprs = []
     rows = len(_MINHASH_SEEDS) // _BANDS
@@ -126,8 +138,11 @@ def _minhash_bands(engine: str, table: str) -> str:
     WITH sigs AS (
       SELECT doc_id, {sig_cols}
       FROM (
-        SELECT doc_id, {shingles} AS __sh
-        FROM (SELECT doc_id, lower(trim(text)) AS __txt FROM {table}) n
+        SELECT doc_id, {stage_cols}
+        FROM (
+          SELECT doc_id, {shingles} AS __sh
+          FROM (SELECT doc_id, lower(trim(text)) AS __txt FROM {table}) n
+        ) s0
       ) s
     ),
     banded AS (SELECT doc_id, {', '.join(band_exprs)} FROM sigs)
@@ -158,12 +173,16 @@ _SIMHASH_BITS = 16
 
 
 def _simhash(engine: str, table: str) -> str:
+    """Token hashes are materialized ONCE into an int array (__th);
+    the 16 per-bit majority votes then fold over that array — without
+    the staging subquery each bit term re-hashed every token (16× the
+    md5 work: 12 s → <1 s at sf0.1)."""
     toks = D.split_ws("lower(trim(text))", engine)
-    tok_hash = D.seeded_h64("x", 99, engine)
+    tok_hashes = D.transform("__t", f"x -> {D.seeded_h64('x', 99, engine)}", engine)
     bit_terms = []
     for b in range(_SIMHASH_BITS):
         pm1 = D.transform(
-            "__t", f"x -> CASE WHEN ({tok_hash} >> {b}) & 1 = 1 THEN 1 ELSE -1 END", engine
+            "__th", f"h -> CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END", engine
         )
         # integer list sum: DuckDB list_sum widens to HUGEINT → cast
         if engine == D.DUCK:
@@ -175,7 +194,10 @@ def _simhash(engine: str, table: str) -> str:
     return f"""
     WITH sh AS (
       SELECT doc_id, lang, CAST({simhash} AS BIGINT) AS simhash
-      FROM (SELECT doc_id, lang, {toks} AS __t FROM {table}) t
+      FROM (
+        SELECT doc_id, lang, {tok_hashes} AS __th
+        FROM (SELECT doc_id, lang, {toks} AS __t FROM {table}) t0
+      ) t
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(bit_count({D.bit_xor('a.simhash', 'b.simhash', engine)}) AS INT) AS hamming

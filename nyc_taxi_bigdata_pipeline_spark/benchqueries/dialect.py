@@ -84,6 +84,13 @@ def seeded_h64(expr: str, seed: int, engine: str) -> str:
     return h64(f"CONCAT('{seed}#', {expr})", engine)
 
 
+def hex15_to_int(expr: str, engine: str) -> str:
+    """15-hex-char string expression → int64 (both engines, exact)."""
+    if engine == DUCK:
+        return f"CAST(CONCAT('0x', {expr}) AS BIGINT)"
+    return f"CAST(CONV({expr}, 16, 10) AS BIGINT)"
+
+
 def bit_xor(a: str, b: str, engine: str) -> str:
     """Bitwise xor: DuckDB's ^ is exponentiation, use xor()."""
     return f"xor({a}, {b})" if engine == DUCK else f"({a} ^ {b})"

@@ -1,9 +1,10 @@
-from . import csv, http, reports
+from . import csv, fs, http, reports
 from .tables import TESTDATA_TABLES, load_table, load_tables, register_views
 
 __all__ = [
     "TESTDATA_TABLES",
     "csv",
+    "fs",
     "http",
     "load_table",
     "load_tables",

@@ -75,6 +75,21 @@ def test_fetch_if_absent_idempotent(tmp_path):
     assert not list(dest.parent.glob("*.part"))  # no partial left behind
 
 
+def test_hadoop_fs_probe(spark, tmp_path):
+    """S4: Hadoop FS existence probe + (existing, missing) split."""
+    from nyc_taxi_bigdata_pipeline_spark.sources import fs
+
+    spark.range(5).write.mode("overwrite").parquet(str(tmp_path / "yes"))
+    assert fs.hadoop_path_exists(spark, str(tmp_path / "yes"))
+    assert not fs.hadoop_path_exists(spark, str(tmp_path / "no"))
+    ex, miss = fs.split_existing(
+        spark, [str(tmp_path / "yes"), str(tmp_path / "no")]
+    )
+    assert [p.endswith("yes") for p in ex] == [True]
+    assert [p.endswith("no") for p in miss] == [True]
+    assert fs.month_partition_path("/s", 2023, 4) == "/s/year=2023/month=4"
+
+
 def test_sample_sink_deterministic(spark, tmp_path):
     """S9: seeded 10% sample write (spark_prepare.py:55-57).
 
