@@ -1,0 +1,67 @@
+"""CLI tests (in-process: getOrCreate reuses the test session)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from nyc_taxi_bigdata_pipeline_spark.__main__ import main
+
+from .taxi_fixtures import make_trips_month, make_zone_lookup
+
+
+@pytest.fixture(scope="module")
+def staged(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    make_trips_month(spark, 2023, 1, n=1500).write.mode("overwrite").parquet(
+        str(root / "raw")
+    )
+    make_zone_lookup(spark).coalesce(1).write.mode("overwrite").csv(
+        str(root / "zones"), header=True
+    )
+    return root
+
+
+def _run(capsys, argv) -> tuple[int, dict]:
+    code = main(argv)
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    return code, json.loads(out)
+
+
+def test_cli_run_month_then_analytics(staged, capsys):
+    code, res = _run(
+        capsys,
+        [
+            "run-month",
+            "--raw", str(staged / "raw"),
+            "--zones", str(staged / "zones"),
+            "--silver", str(staged / "silver"),
+            "--gold", str(staged / "gold"),
+            "--year", "2023", "--month", "1",
+        ],
+    )
+    assert code == 0 and res["ok"]
+    assert res["counts"]["fact_rows"] == res["counts"]["rows_out"]
+    assert all(c["status"] == "PASS" for c in res["checks"])
+
+    code, res = _run(
+        capsys,
+        ["analytics", "--gold", str(staged / "gold"), "--query", "kpis",
+         "--from", "2023-01-01", "--to", "2023-01-31"],
+    )
+    assert code == 0 and res["rows"][0]["total_trips"] > 0
+
+
+def test_cli_ingest_only(staged, capsys):
+    code, res = _run(
+        capsys,
+        ["ingest", "--raw", str(staged / "raw"), "--silver", str(staged / "s2"),
+         "--year", "2023", "--month", "1"],
+    )
+    assert code == 0 and res["rows_out"] <= res["rows_in"]
+
+
+def test_cli_rejects_unknown_query(staged):
+    with pytest.raises(SystemExit):
+        main(["analytics", "--gold", str(staged / "gold"), "--query", "nope"])
