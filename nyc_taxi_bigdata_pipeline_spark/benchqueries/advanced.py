@@ -32,6 +32,7 @@ GROUP BY ROLLUP(year(o_orderdate), o_orderpriority)"""
     _ROLLUP_SQL.format(table="orders"),
     doc="§2.4 extension: ROLLUP with GROUPING() indicators (absent from the "
         "reference; stock Spark capability exposed by the analytical layer)",
+    bench=True,
 )
 def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("bq_rollup_orders")
@@ -228,6 +229,7 @@ def _near_dup(engine: str, table: str, threshold: float = 0.99) -> str:
     doc="training-data ext: embedding-cosine near-dup scan over a bounded "
         "deterministic candidate band (id-distance ≤ 16); the unbounded "
         "scale path is operators/similarity.ann_topk_lsh",
+    bench=True,
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("bq_nd_emb")

@@ -209,6 +209,7 @@ def _simhash(engine: str, table: str) -> str:
     _simhash(D.DUCK, "documents"),
     doc=f"training-data ext: {_SIMHASH_BITS}-bit SimHash over token hashes; "
         "Hamming distance on a bounded deterministic pair set",
+    bench=True,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_rendered(spark, sf_dir, "documents", _simhash, "bq_simh_docs")

@@ -44,6 +44,7 @@ FROM filled WHERE side = 1"""
     doc="custom operator: as-of join (each purchase ↔ latest prior view of "
         "the same user) via the scalable union+keyed-window formulation "
         "(operators/asof.py); epoch-µs keys for ns/µs timestamp parity",
+    bench=True,
 )
 def asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("bq_asof_events")

@@ -50,6 +50,7 @@ def window_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders""",
     doc="§2.5 running aggregate per key; exact-decimal window SUM so the "
         "accumulation order can't produce float drift",
+    bench=True,
 )
 def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
