@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.functions import broadcast
 
 from ..functions import compat as C
-from ..sources.tables import load_table, load_tables
+from ..sources.tables import load_tables
 from .registry import register, sx
 
 _DISC = f"{C.money('l_extendedprice')} * (1 - {C.rate('l_discount')})"

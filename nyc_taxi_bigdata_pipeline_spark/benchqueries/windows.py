@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions import compat as C
 from ..sources.tables import load_table
-from .registry import register, sx
+from .registry import register
 
 
 @register(

@@ -15,7 +15,6 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 

@@ -8,7 +8,6 @@ engine-equivalent mapping below.
 
 from __future__ import annotations
 
-import duckdb
 import pytest
 
 from nyc_taxi_bigdata_pipeline_spark.benchqueries import REGISTRY

@@ -4,9 +4,6 @@ whole-stage codegen presence (SURVEY §4)."""
 
 from __future__ import annotations
 
-import pyspark.sql.functions as F
-import pytest
-
 from nyc_taxi_bigdata_pipeline_spark.benchqueries import REGISTRY
 from nyc_taxi_bigdata_pipeline_spark.plans import (
     assert_broadcast_join,

@@ -6,7 +6,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 import pytest
 
-from nyc_taxi_bigdata_pipeline_spark import ingest, pipeline, sql_interface, warehouse
+from nyc_taxi_bigdata_pipeline_spark import ingest, pipeline, sql_interface
 from nyc_taxi_bigdata_pipeline_spark.ml import features, predict, train
 from nyc_taxi_bigdata_pipeline_spark.operators import skew
 
