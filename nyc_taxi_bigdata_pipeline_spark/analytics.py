@@ -126,6 +126,25 @@ def top_zones(
     )
 
 
+def eda_profile(df: DataFrame, numeric_cols: list[str]) -> DataFrame:
+    """A14 pandas-describe parity (eda.py:41-47): count/mean/stddev/
+    min/max/quartiles per numeric column via Spark's summary() —
+    distributed, no pandas materialization."""
+    return df.select(*numeric_cols).summary(
+        "count", "mean", "stddev", "min", "25%", "50%", "75%", "max"
+    )
+
+
+def null_rate_profile(df: DataFrame) -> DataFrame:
+    """A14 isna().mean() parity: per-column null fraction."""
+    return df.agg(
+        *[
+            F.avg(F.col(c).isNull().cast("int")).alias(f"null_rate_{c}")
+            for c in df.columns
+        ]
+    )
+
+
 def null_profile(df: DataFrame) -> DataFrame:
     """A9 per-column null counts (EDA notebook cell 5)."""
     return df.agg(

@@ -58,6 +58,26 @@ def cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_CUBE_SQL.format(table="bq_cube_orders"))
 
 
+_GSETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_st,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_pri,
+       COUNT(*) AS cnt
+FROM {table}
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"""
+
+
+@register(
+    "grouping_sets_counts",
+    _GSETS_SQL.format(table="orders"),
+    doc="§2.4 extension: explicit GROUPING SETS (status totals, priority "
+        "totals, grand total in one pass)",
+)
+def grouping_sets_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("bq_gsets_orders")
+    return spark.sql(_GSETS_SQL.format(table="bq_gsets_orders"))
+
+
 # ------------------------------------------------ exact count-distinct
 
 

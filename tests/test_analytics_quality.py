@@ -71,6 +71,12 @@ def test_profiles(spark, star):
     assert np_["nulls_passenger_count"] >= 0
     neg = analytics.negative_profile(fact, ["trip_distance", "total_amount"]).first()
     assert neg["neg_trip_distance"] == 0  # cleaned data has none
+    prof = analytics.eda_profile(fact, ["total_amount", "trip_distance"]).collect()
+    assert [r["summary"] for r in prof] == [
+        "count", "mean", "stddev", "min", "25%", "50%", "75%", "max"
+    ]
+    rates = analytics.null_rate_profile(fact.select("passenger_count")).first()
+    assert 0.0 <= rates["null_rate_passenger_count"] <= 0.1
 
 
 def test_quality_gates():
