@@ -152,7 +152,11 @@ def _linreg(engine: str, table: str) -> str:
     """OLS l_extendedprice ~ l_quantity via exact decimal moments: the
     SQL-expressible core of the ML layer (the GBT pipeline itself is
     checked in pytest; this gives the driver an oracle-checkable ML
-    surface). All double arithmetic derives from exact decimal sums."""
+    surface). Double arithmetic derives from exact decimal sums; once a
+    scaled sum exceeds 2^53 the decimal→double CAST itself rounds
+    differently across engines (Java correctly-rounds, DuckDB divides),
+    so the derived statistics are rounded to absorb that last-ULP skew
+    at large scale factors."""
     x = C.money("l_quantity")
     y = C.money("l_extendedprice")
     sx = f"CAST(SUM({x}) AS DOUBLE)"
@@ -167,10 +171,10 @@ def _linreg(engine: str, table: str) -> str:
       FROM {table}
     )
     SELECT n,
-           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
-           (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS intercept,
-           ((n * sxy - sx * sy) * (n * sxy - sx * sy))
-             / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept,
+           round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 9) AS r2
     FROM m"""
 
 

@@ -20,6 +20,11 @@ never hash-match. The fixes, verified empirically on this container:
 - **Portable 64-bit hash**: first 15 hex digits of md5 → int64; Spark
   ``conv(...,16,10)`` ≡ DuckDB ``CAST('0x'||... AS BIGINT)`` (verified
   equal).
+- **2^53 caveat**: the final decimal→double CAST is exact only while the
+  *scaled* sum fits in a double's mantissa (|sum|·10^scale < 2^53 ≈ 9e15
+  — true for every testdata SF here). Beyond that, Java correctly-rounds
+  while DuckDB divides-then-rounds, so derived statistics built from
+  very large sums must ROUND their outputs (see ml_linreg_closed_form).
 
 Each helper returns ANSI-SQL *text* usable verbatim in a Spark
 ``F.expr``/``spark.sql`` and in the DuckDB oracle — one source of truth
