@@ -19,6 +19,7 @@ from . import similarity_ops  # noqa: E402,F401
 from . import advanced  # noqa: E402,F401
 from . import joins_advanced  # noqa: E402,F401
 from . import reshape  # noqa: E402,F401
+from . import scalar_funcs  # noqa: E402,F401
 from . import rows_only  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query", "register", "sx"]

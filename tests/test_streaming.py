@@ -43,6 +43,14 @@ def test_windowed_counts_streaming_with_watermark(spark, events_df, tmp_path):
     q.stop()
 
 
+def test_sliding_window_counts(spark, events_df):
+    out = ev.windowed_counts(events_df, "1 hour", slide="30 minutes").collect()
+    # every event lands in exactly 2 overlapping windows
+    assert sum(r["cnt"] for r in out) == 2 * events_df.count()
+    for r in out:
+        assert (r["window_end"] - r["window_start"]).total_seconds() == 3600
+
+
 def test_sessionize_batch_twin(spark, events_df):
     sessions = ev.sessionize_batch(events_df, gap="30 minutes")
     rows = sessions.collect()
