@@ -75,6 +75,31 @@ def test_fetch_if_absent_idempotent(tmp_path):
     assert not list(dest.parent.glob("*.part"))  # no partial left behind
 
 
+def test_distributed_trip_generator(spark):
+    """The JVM-side generator must honor the FIXTURES.md contract and be
+    deterministic under repartitioning (no rand())."""
+    from nyc_taxi_bigdata_pipeline_spark import ingest
+    from nyc_taxi_bigdata_pipeline_spark.quality import retention_check
+    from nyc_taxi_bigdata_pipeline_spark.sources.synthetic import (
+        make_trips_month_distributed,
+    )
+
+    raw = make_trips_month_distributed(spark, 2023, 3, 20000)
+    assert raw.columns == list(
+        __import__(
+            "nyc_taxi_bigdata_pipeline_spark.schema", fromlist=["TRIPS_RAW_COLUMNS"]
+        ).TRIPS_RAW_COLUMNS
+    )
+    cleaned = ingest.clean_month(raw, 2023, 3)
+    n_raw, n_clean = raw.count(), cleaned.count()
+    assert retention_check(n_raw, n_clean).status == "PASS"  # ≤10% dirty
+    assert n_clean < n_raw  # dirty rows exist and are filtered
+    # deterministic across partitioning
+    a = make_trips_month_distributed(spark, 2023, 3, 500, partitions=1).collect()
+    b = make_trips_month_distributed(spark, 2023, 3, 500, partitions=7).collect()
+    assert sorted(map(tuple, a), key=repr) == sorted(map(tuple, b), key=repr)
+
+
 def test_hadoop_fs_probe(spark, tmp_path):
     """S4: Hadoop FS existence probe + (existing, missing) split."""
     from nyc_taxi_bigdata_pipeline_spark.sources import fs
