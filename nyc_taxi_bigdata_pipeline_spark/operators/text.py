@@ -56,6 +56,77 @@ def fingerprint(col: str = "text") -> F.Column:
     return F.xxhash64(F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " "))
 
 
+def tfidf_vectors(
+    df: DataFrame,
+    col: str = "text",
+    num_features: int = 1 << 12,
+    min_doc_freq: int = 2,
+) -> tuple[DataFrame, object]:
+    """MLlib TF-IDF vectorization (SURVEY §7.2 step 8 stretch):
+    Tokenizer → HashingTF → IDF. Returns (df + 'tfidf' vector column,
+    fitted IDF model for scoring new corpora with the same weights).
+
+    HashingTF (fixed-width feature hashing) rather than CountVectorizer:
+    no vocabulary broadcast, no driver-side dictionary — the variant
+    that survives a 100 TB corpus.
+    """
+    from pyspark.ml.feature import IDF, HashingTF, Tokenizer
+
+    toks = Tokenizer(inputCol=col, outputCol="__tok").transform(df)
+    tf = HashingTF(
+        inputCol="__tok", outputCol="__tf", numFeatures=num_features
+    ).transform(toks)
+    idf_model = IDF(inputCol="__tf", outputCol="tfidf", minDocFreq=min_doc_freq).fit(tf)
+    return idf_model.transform(tf).drop("__tok", "__tf"), idf_model
+
+
+def tfidf_knn(
+    vectors: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 5,
+    n_queries: int = 5,
+) -> DataFrame:
+    """Top-k most similar docs per query doc by TF-IDF cosine — sparse
+    dot products via a JVM expression over the SparseVector internals
+    would be awkward; at corpus scale route through MinHashLSH or the
+    embedding ANN operators instead. Here: bounded query set, exact."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    q = vectors.limit(n_queries).select(id_col, "tfidf").collect()
+    q_ids = [r[0] for r in q]
+    dim = q[0][1].size
+    q_dense = [np.asarray(r[1].toArray()) for r in q]
+    q_norms = [float(np.linalg.norm(v)) or 1.0 for v in q_dense]
+
+    def _to_dense(v) -> np.ndarray:
+        # VectorUDT crosses Arrow as a struct dict: {type, size, indices, values}
+        if isinstance(v, dict):
+            if v.get("type") == 1:  # dense
+                return np.asarray(v["values"], dtype=np.float64)
+            out = np.zeros(v["size"] if v.get("size") else dim)
+            out[np.asarray(v["indices"], dtype=np.int64)] = v["values"]
+            return out
+        return np.asarray(v.toArray())
+
+    def score(pdf_iter):
+        for pdf in pdf_iter:
+            rows = []
+            for _, row in pdf.iterrows():
+                v = _to_dense(row["tfidf"])
+                nv = float(np.linalg.norm(v)) or 1.0
+                for qid, qv, nq in zip(q_ids, q_dense, q_norms):
+                    rows.append((qid, row[id_col], float(qv @ v) / (nq * nv)))
+            yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cos_sim"])
+
+    scored = vectors.select(id_col, "tfidf").mapInPandas(
+        score, "query_id long, neighbor_id long, cos_sim double"
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
 def with_text_features(df: DataFrame, col: str = "text") -> DataFrame:
     return (
         df.withColumn("n_tokens", token_count(col))

@@ -116,6 +116,24 @@ def test_ann_lsh_recall(emb):
     assert n == approx.select("query_id", "neighbor_id").distinct().count()
 
 
+def test_ivf_topk_recall_and_dial(emb):
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(emb, queries, k=10).collect()
+    }
+    # probing ALL cells must recover exact search (recall 1.0)
+    full = similarity.ivf_topk(emb, queries, k=10, n_cells=8, n_probe=8)
+    f = {(r["query_id"], r["neighbor_id"]) for r in full.collect()}
+    assert f == exact
+    # probing a fraction trades recall for scan cost, monotonically
+    part = similarity.ivf_topk(emb, queries, k=10, n_cells=8, n_probe=3)
+    p = {(r["query_id"], r["neighbor_id"]) for r in part.collect()}
+    recall = len(exact & p) / len(exact)
+    assert 0.2 <= recall <= 1.0
+    assert len(p) <= len(f)
+
+
 def test_text_features(docs):
     out = text.with_text_features(docs.limit(100))
     rows = out.select("n_tokens", "punct_ratio", "stopword_ratio", "quality_score",
@@ -129,6 +147,24 @@ def test_text_features(docs):
     f1 = out.select("fingerprint").collect()
     f2 = text.with_text_features(docs.limit(100)).select("fingerprint").collect()
     assert f1 == f2
+
+
+def test_tfidf_vectors_and_knn(docs):
+    vecs, idf_model = text.tfidf_vectors(docs.limit(100), num_features=1 << 10)
+    assert "tfidf" in vecs.columns
+    first = vecs.select("tfidf").first()[0]
+    assert first.size == 1 << 10 and first.numNonzeros() > 0
+    # IDF model reusable on new data with identical weights
+    again, _ = text.tfidf_vectors(docs.limit(100), num_features=1 << 10)
+    assert again.select("tfidf").first()[0].toArray().tolist() == first.toArray().tolist()
+    knn = text.tfidf_knn(vecs, k=3, n_queries=3).collect()
+    by_q = {}
+    for r in knn:
+        by_q.setdefault(r["query_id"], []).append(r["cos_sim"])
+    assert all(len(v) == 3 for v in by_q.values())
+    for sims in by_q.values():
+        assert sims == sorted(sims, reverse=True)
+        assert all(-1.001 <= s <= 1.001 for s in sims)
 
 
 def test_multimodal_plumbing(spark):
