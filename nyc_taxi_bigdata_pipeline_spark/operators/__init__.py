@@ -1,3 +1,3 @@
-from . import dedup, multimodal, similarity, skew, text, topk, upsert
+from . import asof, dedup, maintenance, multimodal, similarity, skew, text, topk, upsert
 
-__all__ = ["dedup", "multimodal", "similarity", "skew", "text", "topk", "upsert"]
+__all__ = ["asof", "dedup", "maintenance", "multimodal", "similarity", "skew", "text", "topk", "upsert"]

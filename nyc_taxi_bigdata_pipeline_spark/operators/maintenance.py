@@ -1,0 +1,92 @@
+"""Table maintenance operators (100 TB housekeeping).
+
+- small-file compaction: monthly partition-overwrite ingestion leaves
+  whatever file count the write parallelism produced; readers want
+  ~128 MB files. Compaction rewrites a partition to a computed file
+  count — same dynamic-partition-overwrite idempotency as ingest.
+- sorted writes: sortWithinPartitions before writing lays rows out so
+  parquet row-group min/max stats become selective (the poor man's
+  Z-order for a single dominant predicate column).
+- incremental rollup maintenance: a daily aggregate table appended
+  month-by-month — the materialized-view pattern that replaces
+  recomputing dashboards over the full fact table.
+"""
+
+from __future__ import annotations
+
+import math
+from pathlib import Path
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+TARGET_FILE_BYTES = 128 * 1024 * 1024
+
+
+def partition_size_bytes(path: str) -> int:
+    return sum(p.stat().st_size for p in Path(path).rglob("*.parquet"))
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = TARGET_FILE_BYTES,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Rewrite a parquet directory to ceil(size/target) files; returns
+    the new file count. Reads fully before overwriting (same-path
+    rewrite needs the shuffle barrier of repartition — Spark reads
+    lazily, so we materialize via a checkpoint-free persist+count)."""
+    df = spark.read.parquet(path)
+    n_files = max(1, math.ceil(partition_size_bytes(path) / target_file_bytes))
+    df = df.repartition(n_files)
+    if sort_cols:
+        df = df.sortWithinPartitions(*sort_cols)
+    df = df.persist()
+    try:
+        df.count()  # materialize before overwriting the source
+        df.write.mode("overwrite").parquet(path)
+    finally:
+        df.unpersist()
+    return n_files
+
+
+def write_sorted(
+    df: DataFrame, path: str, sort_cols: list[str], n_files: int | None = None
+) -> None:
+    """Write with rows clustered on ``sort_cols`` so parquet row-group
+    min/max statistics prune reads on those predicates. For multi-column
+    locality beyond one dominant column, range-partition on the leading
+    column first (repartitionByRange) — done here."""
+    out = df.repartitionByRange(n_files or 8, *[F.col(c) for c in sort_cols])
+    out.sortWithinPartitions(*sort_cols).write.mode("overwrite").parquet(path)
+
+
+def update_daily_rollup(
+    fact_month: DataFrame,
+    rollup_path: str,
+    date_col: str = "pickup_date",
+    amount_col: str = "total_amount",
+) -> None:
+    """Incremental maintenance of a daily rollup table: aggregate ONLY
+    the new month's fact rows and dynamically overwrite that month's
+    rollup partition — history is never recomputed, and re-running a
+    month REPLACES its slice instead of double-counting it."""
+    agg = (
+        fact_month.groupBy(date_col)
+        .agg(F.count("*").alias("trips"), F.sum(amount_col).alias("revenue"))
+        .withColumn("src_month", F.date_format(F.col(date_col), "yyyy-MM"))
+    )
+    (
+        agg.repartition("src_month")
+        .write.mode("overwrite")
+        .partitionBy("src_month")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(rollup_path)
+    )
+
+
+def read_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:
+    return spark.read.parquet(rollup_path).select(
+        F.col("pickup_date"), "trips", "revenue"
+    )
