@@ -1,4 +1,4 @@
-from . import csv, fs, http, reports
+from . import csv, fs, http, jdbc, reports
 from .tables import TESTDATA_TABLES, load_table, load_tables, register_views
 
 __all__ = [
@@ -6,6 +6,7 @@ __all__ = [
     "csv",
     "fs",
     "http",
+    "jdbc",
     "load_table",
     "load_tables",
     "register_views",
