@@ -80,6 +80,39 @@ def test_dim_builders(spark, raw_month):
     assert dim_loc.select("location_id").distinct().count() == dim_loc.count()
 
 
+def test_clean_month_empty_input(spark, raw_month):
+    empty = raw_month.limit(0)
+    out = ingest.clean_month(empty, 2023, 1)
+    assert out.count() == 0
+    assert len(out.columns) == 19  # schema survives empty input
+
+
+def test_clean_month_all_dirty(spark, raw_month):
+    poisoned = raw_month.withColumn("tpep_pickup_datetime", F.lit(None).cast("timestamp"))
+    out = ingest.clean_month(poisoned, 2023, 1)
+    assert out.count() == 0
+    assert retention_check(raw_month.count(), out.count()).status == "FAIL"
+
+
+def test_clean_month_wrong_month_window(spark, raw_month):
+    # a February window over January data keeps ONLY the deliberate
+    # out-of-month spill rows (~1% of the fixture land in early Feb)
+    spill = ingest.clean_month(raw_month, 2023, 2)
+    assert 0 < spill.count() < raw_month.count() * 0.03
+    # a window nowhere near the data drops everything
+    assert ingest.clean_month(raw_month, 2024, 6).count() == 0
+
+
+def test_fact_load_with_duplicated_raw(spark, raw_month):
+    """At-least-once upstream delivery: doubling the raw feed must not
+    double the fact table (NK dedup inside the batch)."""
+    clean = ingest.clean_month(raw_month, 2023, 1)
+    doubled = clean.unionByName(clean)
+    once = warehouse.load_fact_idempotent(warehouse.build_fact(clean), None).count()
+    doubled_load = warehouse.load_fact_idempotent(warehouse.build_fact(doubled), None).count()
+    assert doubled_load == once
+
+
 def test_fact_idempotent_load(spark, raw_month):
     clean = ingest.clean_month(raw_month, 2023, 1)
     fact = warehouse.build_fact(clean)
