@@ -65,6 +65,34 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "taxi_domain_pipeline",
+    None,
+    doc="ex01→ex03 parity (rows-only): deterministic distributed trip "
+        "generator → cast-normalize + month-window + quality filters → "
+        "star fact build with NK dedup → daily rollup. Self-contained "
+        "(synthesizes its input; the generator hash is Spark-private so "
+        "no SQL oracle), exercising the whole domain layer in one query",
+)
+def taxi_domain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import ingest, warehouse
+    from ..sources.synthetic import make_trips_month_distributed
+
+    raw = make_trips_month_distributed(spark, 2023, 1, 5000)
+    clean = ingest.clean_month(raw, 2023, 1)
+    fact = warehouse.load_fact_idempotent(warehouse.build_fact(clean), None)
+    return (
+        fact.groupBy("pickup_date")
+        .agg(
+            F.count("*").alias("trips"),
+            F.round(F.sum(F.col("total_amount").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("pickup_date")
+    )
+
+
+@register(
     "ml_gbt_quick",
     None,
     doc="§2.10 (rows-only): end-to-end MLlib pipeline fit+transform on "
