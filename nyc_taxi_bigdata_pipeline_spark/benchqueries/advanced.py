@@ -97,6 +97,36 @@ def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------- anomaly detection
+
+_ZSCORE_SQL = f"""
+WITH stats AS (
+  SELECT event_type,
+         {C.avg_exact(C.money('value'), 'value', 'mu')},
+         {C.stddev_exact('value', C.MONEY, 'sigma')}
+  FROM {{table}} GROUP BY event_type
+)
+SELECT e.event_type, COUNT(*) AS cnt,
+       CAST(SUM(CASE WHEN ABS(e.value - s.mu) > 3.0 * s.sigma THEN 1 ELSE 0 END)
+            AS BIGINT) AS outliers_3sigma,
+       CAST(SUM(CASE WHEN ABS(e.value - s.mu) > 2.0 * s.sigma THEN 1 ELSE 0 END)
+            AS BIGINT) AS outliers_2sigma
+FROM {{table}} e JOIN stats s ON e.event_type = s.event_type
+GROUP BY e.event_type"""
+
+
+@register(
+    "anomaly_zscore",
+    _ZSCORE_SQL.format(table="events"),
+    doc="analytics ext: per-group z-score outlier counts — group stats from "
+        "exact decimal moments joined back to the stream (two-pass pattern; "
+        "identical double comparisons in both engines)",
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("bq_z_events")
+    return spark.sql(_ZSCORE_SQL.format(table="bq_z_events"))
+
+
 # ------------------------------------------------------ sessionization
 
 
