@@ -20,7 +20,11 @@ def duck(sf_dir):
 @pytest.mark.parametrize("name", list(REGISTRY))
 def test_query_matches_oracle(name, spark, sf_dir, duck):
     q = REGISTRY[name]
-    sdf = q.spark_fn(spark, sf_dir).toPandas()
+    frame = q.spark_fn(spark, sf_dir)
+    # the driver sorts columns by name before hashing — duplicates would
+    # silently corrupt the compare
+    assert len(set(frame.columns)) == len(frame.columns), frame.columns
+    sdf = frame.toPandas()
     if q.oracle is None:
         assert len(sdf) >= 0  # rows-only contract: runs and yields a frame
         return
