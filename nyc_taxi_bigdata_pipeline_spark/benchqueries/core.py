@@ -412,6 +412,36 @@ def tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------- P11/O4: scatter sample
+
+
+@register(
+    "scatter_sample",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+       FROM lineitem
+       WHERE l_quantity > 0 AND l_quantity <= 30
+         AND l_extendedprice > 0 AND l_extendedprice <= 20000
+       ORDER BY l_orderkey, l_linenumber LIMIT 5000""",
+    doc="P11 scatter-domain filter + O4 LIMIT-as-sampler (EDA notebook "
+        "cell 30: distance-vs-amount scatter); ORDER BY the natural key "
+        "makes the sampled page deterministic, unlike the reference's "
+        "bare LIMIT",
+)
+def scatter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_quantity") > 0)
+            & (F.col("l_quantity") <= 30)
+            & (F.col("l_extendedprice") > 0)
+            & (F.col("l_extendedprice") <= 20000)
+        )
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(5000)
+    )
+
+
 # ------------------------------------------------------- O2/O3: top-N by |dev|
 
 
