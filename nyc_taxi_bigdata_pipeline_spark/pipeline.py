@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import ingest, quality, warehouse
 from .functions.datetime_parity import sliding_months
+from .sources.fs import hadoop_path_exists
 from .ml.features import build_feature_table
 from .ml.registry import ModelRegistry
 from .ml.train import TrainResult, train_and_evaluate
@@ -59,8 +60,10 @@ def run_month(
     fact_incoming = warehouse.build_fact(clean)
 
     fact_path = str(Path(gold_path) / "fact_trip")
+    # S4 Hadoop FS probe (not os.path): works on HDFS/S3A, not just the
+    # driver's local disk
     existing = None
-    if (Path(fact_path) / "_SUCCESS").exists() or any(Path(fact_path).glob("*.parquet")):
+    if hadoop_path_exists(spark, fact_path):
         existing = spark.read.parquet(fact_path)
     new_rows = warehouse.load_fact_idempotent(fact_incoming, existing)
     new_rows.write.mode("append").parquet(fact_path)

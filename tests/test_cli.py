@@ -62,6 +62,31 @@ def test_cli_ingest_only(staged, capsys):
     assert code == 0 and res["rows_out"] <= res["rows_in"]
 
 
+def test_cli_ml_subcommand(staged, capsys, tmp_path, monkeypatch):
+    from nyc_taxi_bigdata_pipeline_spark.ml import train as train_mod
+
+    monkeypatch.setattr(train_mod, "GBT_MAX_ITER", 3)
+    # stage 4 silver months so April is ML-eligible
+    silver = str(tmp_path / "ml_silver")
+    from nyc_taxi_bigdata_pipeline_spark import ingest
+    from .conftest import TEST_CPUS  # noqa: F401  (session fixture already built)
+    import nyc_taxi_bigdata_pipeline_spark.session as sess
+
+    spark = sess.get_spark()  # getOrCreate → the test session
+    for m in (1, 2, 3, 4):
+        ingest.ingest_month(
+            spark, make_trips_month(spark, 2023, m, n=500), silver, 2023, m
+        )
+    code, res = _run(
+        capsys,
+        ["ml", "--silver", silver, "--registry", str(tmp_path / "reg"),
+         "--year", "2023", "--month", "4"],
+    )
+    assert code == 0 and res["ok"]
+    assert res["decision"] == "promoted"
+    assert res["metrics"]["rmse"] < 15
+
+
 def test_cli_rejects_unknown_query(staged):
     with pytest.raises(SystemExit):
         main(["analytics", "--gold", str(staged / "gold"), "--query", "nope"])
