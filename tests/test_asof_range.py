@@ -54,6 +54,29 @@ def test_asof_join_tolerance(trades_quotes):
     assert got[(2, 50.0)] is None    # 120s old — dropped by tolerance
 
 
+def test_asof_operator_matches_sql_query(spark, sf_dir):
+    """The DataFrame as-of operator and the oracle-checked union+window
+    SQL query must agree on the events purchase↔view task."""
+    import pyspark.sql.functions as F
+    from nyc_taxi_bigdata_pipeline_spark.benchqueries import REGISTRY
+    from nyc_taxi_bigdata_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    out = asof_join(purchases, views, "user_id", "ts", "ts", ["ts"], suffix="_view")
+    got = {
+        (r["user_id"], r["event_id"]): r["ts_view"] for r in out.collect()
+    }
+    want_rows = REGISTRY["asof_purchase_view"].spark_fn(spark, sf_dir).collect()
+    assert len(got) == len(want_rows)
+    for r in want_rows:
+        opv = got[(r["user_id"], r["purchase_id"])]
+        want_us = r["last_view_t"]
+        got_us = None if opv is None else int(opv.timestamp() * 1_000_000)
+        assert got_us == want_us, (r, opv)
+
+
 def test_range_join_binned_matches_naive(spark):
     points = spark.range(0, 1000).selectExpr("id", "CAST(id % 97 AS DOUBLE) AS v")
     intervals = spark.createDataFrame(

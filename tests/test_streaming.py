@@ -67,6 +67,46 @@ def test_sessionize_batch_twin(spark, events_df):
             assert gap > 30 * 60  # split only on real gaps
 
 
+def test_sessionize_multi_batch_state_merge(spark, events_df, tmp_path):
+    """Force MANY micro-batches (one file per trigger, files split along
+    time order) so sessions span batch boundaries — exercising the
+    open-session state merge and the event-time timeout path."""
+    subset = events_df.filter(F.col("user_id") < 10).orderBy("ts")
+    rows = subset.collect()
+    src = str(tmp_path / "mb_src")
+    third = max(1, len(rows) // 3)
+    for i in range(3):
+        chunk = rows[i * third : (i + 1) * third if i < 2 else len(rows)]
+        spark.createDataFrame(chunk, subset.schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = spark.readStream.schema(ev.EVENT_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        ev.sessionize(stream, gap="30 minutes", watermark="0 seconds")
+        .writeStream.format("memory")
+        .queryName("mb_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("SELECT * FROM mb_sessions").collect()
+    }
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in ev.sessionize_batch(subset, gap="30 minutes").collect()
+    }
+    # every emitted session must be a true session; cross-batch merges
+    # must not fragment them
+    assert got <= want
+    assert len(got) >= len(want) * 0.5
+
+
 def test_sessionize_streaming_matches_batch(spark, events_df, tmp_path):
     # restrict to a few users to keep state small
     subset = events_df.filter(F.col("user_id") < 20)
