@@ -62,12 +62,21 @@ def get_spark(
 
     ``shuffle_partitions`` defaults to the local core count; on a real
     cluster pass ~2-3× total executor cores (AQE coalesces the excess).
+
+    Driver memory: in local mode the driver JVM IS every executor, and
+    Spark's 1g default chokes a 32-thread run (GCLocker stalls, codegen
+    compiler failures) long before data size is the problem. Sized from
+    SPARK_GRAFT_MEM_GB (default 32g, only applied when this process is
+    about to launch the JVM — existing sessions can't be resized).
     """
     cpus = default_parallelism()
+    mem_gb = os.environ.get("SPARK_GRAFT_MEM_GB", "32")
     builder = (
         SparkSession.builder.master(master or f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.driver.memory", f"{mem_gb}g")
+        .config("spark.driver.maxResultSize", "4g")
     )
     for k, v in {**BUILD_CONFS, **(extra_confs or {})}.items():
         builder = builder.config(k, v)

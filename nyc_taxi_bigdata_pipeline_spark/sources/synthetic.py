@@ -49,6 +49,11 @@ def make_trips_month_distributed(
     df = spark.range(n, numPartitions=partitions or spark.sparkContext.defaultParallelism)
     df = df.withColumn("id", F.xxhash64(F.col("id"), F.lit(f"{seed}-{year}-{month}")))
 
+    # dirty-class thresholds scale with dirty_fraction (classes keep the
+    # FIXTURES.md ratios: 1:1:0.5:1:1:1.5 across the six kinds)
+    k = dirty_fraction / 0.06
+    t = [round(x * k, 6) for x in (0.01, 0.02, 0.025, 0.035, 0.045, 0.06)]
+
     span_s = F.unix_timestamp(F.lit(end).cast("timestamp")) - F.unix_timestamp(F.lit(start).cast("timestamp"))
     pickup = F.timestamp_seconds(
         F.unix_timestamp(F.lit(start).cast("timestamp")) + (_u("pickup") * span_s).cast("long")
@@ -58,11 +63,11 @@ def make_trips_month_distributed(
 
     # dirty classes (FIXTURES.md §1), mutually exclusive slices of [0, 6%)
     pickup = F.when(
-        dirty < 0.01, F.timestamp_seconds(F.unix_timestamp(F.lit(end).cast("timestamp")) + 3600)
+        dirty < t[0], F.timestamp_seconds(F.unix_timestamp(F.lit(end).cast("timestamp")) + 3600)
     ).otherwise(pickup)  # out-of-month spill
     duration_min = (
-        F.when((dirty >= 0.01) & (dirty < 0.02), -duration_min)  # negative duration
-        .when((dirty >= 0.02) & (dirty < 0.025), F.lit(25.0 * 60))  # >24 h
+        F.when((dirty >= t[0]) & (dirty < t[1]), -duration_min)  # negative duration
+        .when((dirty >= t[1]) & (dirty < t[2]), F.lit(25.0 * 60))  # >24 h
         .otherwise(duration_min)
     )
     dropoff = F.timestamp_seconds(
@@ -74,9 +79,9 @@ def make_trips_month_distributed(
     tip = F.round(F.when(_u("tipq") < 0.7, fare * _u("tipr", 0.15, 0.25)).otherwise(0.0), 2)
     total = F.round(fare + tip + 1.5, 2)
 
-    null_crit = (dirty >= 0.025) & (dirty < 0.035)
-    neg_vals = (dirty >= 0.035) & (dirty < 0.045)
-    null_soft = (dirty >= 0.045) & (dirty < 0.06)
+    null_crit = (dirty >= t[2]) & (dirty < t[3])
+    neg_vals = (dirty >= t[3]) & (dirty < t[4])
+    null_soft = (dirty >= t[4]) & (dirty < t[5])
 
     out = df.select(
         _pick("vendor", [1, 1, 2, 2, 6, 7]).cast("int").alias("VendorID"),

@@ -98,6 +98,12 @@ def test_distributed_trip_generator(spark):
     a = make_trips_month_distributed(spark, 2023, 3, 500, partitions=1).collect()
     b = make_trips_month_distributed(spark, 2023, 3, 500, partitions=7).collect()
     assert sorted(map(tuple, a), key=repr) == sorted(map(tuple, b), key=repr)
+    # dirty_fraction dials the clean rate
+    pristine = make_trips_month_distributed(spark, 2023, 3, 5000, dirty_fraction=0.0)
+    assert ingest.clean_month(pristine, 2023, 3).count() == 5000
+    filthy = make_trips_month_distributed(spark, 2023, 3, 5000, dirty_fraction=0.5)
+    filthy_clean = ingest.clean_month(filthy, 2023, 3).count()
+    assert filthy_clean < 5000 * 0.75
 
 
 def test_hadoop_fs_probe(spark, tmp_path):
