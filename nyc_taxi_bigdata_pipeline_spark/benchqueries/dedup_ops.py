@@ -173,32 +173,32 @@ _SIMHASH_BITS = 16
 
 
 def _simhash(engine: str, table: str) -> str:
-    """Token hashes are materialized ONCE into an int array (__th);
-    the 16 per-bit majority votes then fold over that array — without
-    the staging subquery each bit term re-hashed every token (16× the
-    md5 work: 12 s → <1 s at sf0.1)."""
+    """Explode tokens → hash once per token row → 16 conditional-SUM
+    bit votes in ONE hash aggregate. Spark's higher-order array lambdas
+    are interpreted (never codegen'd); the exploded formulation keeps
+    the md5 and the bit votes inside whole-stage codegen with map-side
+    partial aggregation — measured 1.7 s → 1.4 s at sf0.1 over the
+    staged-array variant. (The same rewrite made minhash SLOWER — its
+    cost is the md5/conv itself, and the explode only added row
+    overhead — so minhash keeps the staged-array shape.)"""
     toks = D.split_ws("lower(trim(text))", engine)
-    tok_hashes = D.transform("__t", f"x -> {D.seeded_h64('x', 99, engine)}", engine)
-    bit_terms = []
-    for b in range(_SIMHASH_BITS):
-        pm1 = D.transform(
-            "__th", f"h -> CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END", engine
-        )
-        # integer list sum: DuckDB list_sum widens to HUGEINT → cast
-        if engine == D.DUCK:
-            ssum = f"CAST(list_sum({pm1}) AS BIGINT)"
-        else:
-            ssum = f"aggregate({pm1}, CAST(0 AS BIGINT), (acc, v) -> acc + v)"
-        bit_terms.append(f"(CASE WHEN {ssum} > 0 THEN {1 << b} ELSE 0 END)")
-    simhash = " + ".join(bit_terms)
-    return f"""
-    WITH sh AS (
-      SELECT doc_id, lang, CAST({simhash} AS BIGINT) AS simhash
-      FROM (
-        SELECT doc_id, lang, {tok_hashes} AS __th
-        FROM (SELECT doc_id, lang, {toks} AS __t FROM {table}) t0
-      ) t
+    if engine == D.DUCK:
+        exploded = f"SELECT doc_id, unnest({toks}) AS tok FROM {table}"
+    else:
+        exploded = f"SELECT doc_id, explode({toks}) AS tok FROM {table}"
+    th = D.seeded_h64("tok", 99, engine)
+    votes = ", ".join(
+        f"CAST(SUM(CASE WHEN (th >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v{b}"
+        for b in range(_SIMHASH_BITS)
     )
+    simhash = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(_SIMHASH_BITS)
+    )
+    return f"""
+    WITH tok AS ({exploded}),
+    hashed AS (SELECT doc_id, {th} AS th FROM tok),
+    bits AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id),
+    sh AS (SELECT doc_id, CAST({simhash} AS BIGINT) AS simhash FROM bits)
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(bit_count({D.bit_xor('a.simhash', 'b.simhash', engine)}) AS INT) AS hamming
     FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1"""
