@@ -72,6 +72,10 @@ def write_silver(df: DataFrame, path: str, year: int, month: int) -> None:
         .withColumn("month", F.lit(month))
         .repartition("year", "month")
         .write.mode("overwrite")
+        # Writer-level option so month-scoped overwrite stays dynamic even on
+        # a caller-provided session that lacks the BUILD_CONFS session conf
+        # (the driver hands entry() its own SparkSession).
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("year", "month")
         .parquet(path)
     )

@@ -104,8 +104,17 @@ def range_join_binned(
             )
         ),
     )
+    binned_i = binned_i.withColumnRenamed("__bin", "__bin_i")
     binned_p = points.withColumn("__bin", F.floor(F.col(point_col) / bin_width).cast("long"))
-    joined = binned_p.join(binned_i, "__bin", how).filter(
-        (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col))
+    # The exact containment predicate is part of the JOIN CONDITION, not a
+    # post-join filter: under an outer `how`, a post-filter would drop the
+    # null-extended rows and silently degrade to inner semantics.
+    cond = (
+        (F.col("__bin") == F.col("__bin_i"))
+        & (F.col(point_col) >= F.col(lo_col))
+        & (F.col(point_col) < F.col(hi_col))
     )
-    return joined.drop("__bin")
+    # Outer-safe: each point maps to exactly ONE bin, so a left join
+    # null-extends unmatched points exactly once (no bin-explode dups).
+    joined = binned_p.join(binned_i, cond, how)
+    return joined.drop("__bin", "__bin_i")

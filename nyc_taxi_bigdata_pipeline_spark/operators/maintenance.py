@@ -15,6 +15,7 @@
 from __future__ import annotations
 
 import math
+import shutil
 from pathlib import Path
 
 import pyspark.sql.functions as F
@@ -34,20 +35,28 @@ def compact_parquet(
     sort_cols: list[str] | None = None,
 ) -> int:
     """Rewrite a parquet directory to ceil(size/target) files; returns
-    the new file count. Reads fully before overwriting (same-path
-    rewrite needs the shuffle barrier of repartition — Spark reads
-    lazily, so we materialize via a checkpoint-free persist+count)."""
+    the new file count.
+
+    Writes to a temporary sibling directory first, then swaps — never
+    overwrite the directory being read: a persist()+count() barrier only
+    protects until a cached partition is evicted or an executor dies,
+    after which Spark recomputes from the half-deleted source. The swap
+    keeps the old data on disk until the new copy is fully written, so a
+    mid-write crash loses nothing. (On an object store / lakehouse the
+    equivalent is a table-format commit, e.g. Iceberg rewrite_data_files.)
+    """
     df = spark.read.parquet(path)
     n_files = max(1, math.ceil(partition_size_bytes(path) / target_file_bytes))
     df = df.repartition(n_files)
     if sort_cols:
         df = df.sortWithinPartitions(*sort_cols)
-    df = df.persist()
-    try:
-        df.count()  # materialize before overwriting the source
-        df.write.mode("overwrite").parquet(path)
-    finally:
-        df.unpersist()
+    tmp = path.rstrip("/") + "__compacting"
+    old = path.rstrip("/") + "__precompact"
+    df.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(old, ignore_errors=True)
+    Path(path).rename(old)
+    Path(tmp).rename(path)
+    shutil.rmtree(old)
     return n_files
 
 

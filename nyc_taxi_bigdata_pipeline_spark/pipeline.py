@@ -11,6 +11,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from pathlib import Path
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from . import ingest, quality, warehouse
@@ -72,10 +73,20 @@ def run_month(
     res.counts["fact_rows"] = fact.count()
     res.checks.append(quality.min_rowcount_check(res.counts["fact_rows"], "fact", min_rows))
 
-    # dims are cheap: rebuild from current state each month (idempotent)
+    # dims are cheap: rebuild from current state each month (idempotent).
+    # Observed keys come from the FULL fact table, not just this month's
+    # clean frame — rebuilding from one month would drop 'Unknown'
+    # location ids (and dates) discovered in earlier months, orphaning
+    # prior facts from inner-join analytics. Mirrors the insert-if-absent
+    # semantics of dw_load_incremental.sql.
+    observed = fact.select(
+        F.col("pickup_location_id").alias("PULocationID"),
+        F.col("dropoff_location_id").alias("DOLocationID"),
+        F.col("pickup_date").alias(ingest.PICKUP),
+    )
     dims = warehouse.seed_enum_dims(spark)
-    dims["dim_location"] = warehouse.build_dim_location(zone_lookup, clean)
-    dims["dim_date"] = warehouse.build_dim_date(clean)
+    dims["dim_location"] = warehouse.build_dim_location(zone_lookup, observed)
+    dims["dim_date"] = warehouse.build_dim_date(observed)
     dims["dim_time"] = warehouse.build_dim_time(spark)
     for name, df in dims.items():
         df.write.mode("overwrite").parquet(str(Path(gold_path) / name))

@@ -32,13 +32,15 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # month-scoped idempotent overwrite must hold on driver-provided
+    # sessions too, or re-running one month deletes every other month's
+    # partitions (write_silver also sets it per-writer as a second guard)
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
 }
 
 # Builder-time defaults for sessions we create ourselves.
 BUILD_CONFS: dict[str, str] = {
     **RUNTIME_CONFS,
-    # month-scoped idempotent overwrite (SURVEY §1.4) without nuking the table
-    "spark.sql.sources.partitionOverwriteMode": "dynamic",
     # dims up to ~64 MB are broadcast: zone lookup, nation/region/enums
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.execution.arrow.pyspark.enabled": "true",

@@ -61,6 +61,25 @@ def test_silver_roundtrip_and_partition_overwrite(spark, raw_month, tmp_path):
     assert pruned.count() < both.count()
 
 
+def test_silver_overwrite_dynamic_without_session_conf(spark, raw_month, tmp_path):
+    """The driver hands entry() a session we didn't build; if that session
+    has static partitionOverwriteMode, re-running one month must still not
+    delete other months (writer-level option is the guard)."""
+    silver = str(tmp_path / "silver_static")
+    ingest.ingest_month(spark, raw_month, silver, 2023, 1)
+    feb = make_trips_month(spark, 2023, 2, n=500)
+    ingest.ingest_month(spark, feb, silver, 2023, 2)
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "static")
+    try:
+        ingest.ingest_month(spark, feb, silver, 2023, 2)  # re-run Feb only
+    finally:
+        spark.conf.set(key, prev)
+    months = {r[0] for r in ingest.read_silver(spark, silver).select("month").distinct().collect()}
+    assert months == {1, 2}
+
+
 def test_dim_builders(spark, raw_month):
     clean = ingest.clean_month(raw_month, 2023, 1)
     zones = make_zone_lookup(spark)

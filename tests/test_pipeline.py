@@ -45,6 +45,29 @@ def test_run_month_and_backfill(spark, tmp_path):
     assert res2.ok
 
 
+def test_dims_keep_prior_month_keys(spark, tmp_path):
+    """Rebuilding dims on month N must not drop 'Unknown' location ids
+    (or dates) that only month N-1 observed — otherwise prior facts
+    vanish from inner-join analytics."""
+    import pyspark.sql.functions as F
+
+    silver = str(tmp_path / "silver")
+    gold = str(tmp_path / "gold")
+    zones = make_zone_lookup(spark)
+    jan = make_trips_month(spark, 2023, 1, n=800).withColumn(
+        "PULocationID", F.lit(9999)  # id absent from the zone CSV
+    )
+    pipeline.run_month(spark, jan, zones, silver, gold, 2023, 1, min_rows=100)
+    pipeline.run_month(
+        spark, make_trips_month(spark, 2023, 2, n=800), zones, silver, gold, 2023, 2,
+        min_rows=100,
+    )
+    dim_loc = spark.read.parquet(str(tmp_path / "gold" / "dim_location"))
+    assert dim_loc.filter(F.col("location_id") == 9999).count() == 1
+    dim_date = spark.read.parquet(str(tmp_path / "gold" / "dim_date"))
+    assert dim_date.filter(F.month("date_id") == 1).count() > 0
+
+
 @pytest.mark.slow
 def test_ml_month_gating_and_run(spark, tmp_path, monkeypatch):
     from nyc_taxi_bigdata_pipeline_spark.ml import train as train_mod
