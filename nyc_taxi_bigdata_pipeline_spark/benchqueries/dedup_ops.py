@@ -23,8 +23,26 @@ from . import dialect as D
 from .registry import register
 
 
-def _run_rendered(spark: SparkSession, sf_dir: str, table: str, render, view: str) -> DataFrame:
-    load_table(spark, sf_dir, table).createOrReplaceTempView(view)
+def _run_rendered(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    render,
+    view: str,
+    parallelize_on: str | None = None,
+) -> DataFrame:
+    """``parallelize_on``: hash-repartition the scan on that column before
+    the query. CPU-heavy per-row work (md5 signature passes) otherwise runs
+    on however many input splits the file has — a single small parquet file
+    is ONE split, serializing the whole map stage. At 100 TB the scan has
+    thousands of splits and this is a no-op cost-wise; on the single-file
+    test SFs it's the difference between 1 and 32 busy cores (measured
+    2.5 s → 0.7 s on dedup_minhash_bands at sf0.1). Result-invariant:
+    partitioning never changes aggregated output."""
+    df = load_table(spark, sf_dir, table)
+    if parallelize_on is not None:
+        df = df.repartition(spark.sparkContext.defaultParallelism, parallelize_on)
+    df.createOrReplaceTempView(view)
     return spark.sql(render(D.SPARK, view))
 
 
@@ -53,19 +71,27 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------- n-gram Jaccard similarity
 
 
-def _ngram_expr(engine: str, n: int = 3) -> tuple[str, str]:
-    """(distinct word-n-gram array over column __t, tokenizer expr).
-
-    Assumes docs have ≥ n tokens, which the testdata guarantees
-    (min n_chars ≈ 150); the GREATEST clamp keeps Spark's sequence()
-    ascending on degenerate inputs.
-    """
-    toks = D.split_ws("trim(text)", engine)
+def _word_shingles(engine: str, n: int = 3) -> str:
+    """Distinct word-n-gram shingle array over a staged token array
+    ``__t``. The index sequence is clamped ascending (GREATEST — Spark's
+    sequence() flips descending when start > stop) AND filtered to
+    in-range starts, so docs with < n tokens yield an EMPTY shingle set
+    instead of tripping Spark's ANSI ARRAY_INDEX_OUT_OF_BOUNDS
+    (element_at raises under ANSI mode; DuckDB would return NULL —
+    divergence either way)."""
+    alen = D.alen("__t", engine)
+    seq = D.iseq("1", f"greatest({alen} - {n - 1}, 1)", engine)
+    valid = D.arr_filter(seq, f"i -> i + {n - 1} <= {alen}", engine)
     idx = [D.at("__t", f"i + {j}", engine) for j in range(n)]
     sep = ", ' ', "
     lam = f"i -> concat({sep.join(idx)})"
-    seq = D.iseq("1", f"greatest({D.alen('__t', engine)} - {n - 1}, 1)", engine)
-    return D.arr_distinct(D.transform(seq, lam, engine), engine), toks
+    return D.arr_distinct(D.transform(valid, lam, engine), engine)
+
+
+def _ngram_expr(engine: str, n: int = 3) -> tuple[str, str]:
+    """(distinct word-n-gram array over column __t, tokenizer expr)."""
+    toks = D.split_ws("trim(text)", engine)
+    return _word_shingles(engine, n), toks
 
 
 def _ngram_jaccard(engine: str, table: str) -> str:
@@ -79,7 +105,7 @@ def _ngram_jaccard(engine: str, table: str) -> str:
       FROM (SELECT doc_id, {toks} AS __t FROM {table}) tt
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST({inter} AS DOUBLE) / ({size_a} + {size_b} - {inter}) AS jaccard
+           CAST({inter} AS DOUBLE) / NULLIF({size_a} + {size_b} - {inter}, 0) AS jaccard
     FROM g a JOIN g b ON b.doc_id = a.doc_id + 1"""
 
 
@@ -102,14 +128,20 @@ _BANDS = 4  # 4 bands × 2 rows
 
 
 def _minhash_sig(engine: str) -> tuple[str, list[str], list[str]]:
-    """Minhash family over char-5-gram shingles of column __txt: each
-    md5 yields TWO independent 60-bit hashes (hex chars 1-15 and 17-31),
-    so 8 signature slots cost 4 md5 passes, each materialized once into
-    a staging array (no per-slot re-hashing). Portable: md5 + hex→int
-    agree bit-for-bit across engines; no modular arithmetic whose
-    overflow semantics could diverge."""
-    seq = D.iseq("1", "greatest(length(__txt) - 4, 1)", engine)
-    shingles = D.arr_distinct(D.transform(seq, "i -> substring(__txt, i, 5)", engine), engine)
+    """Minhash family over WORD-3-gram shingles of the staged token array
+    __t: each md5 yields TWO independent 60-bit hashes (hex chars 1-15
+    and 17-31), so 8 signature slots cost 4 md5 passes, each materialized
+    once into a staging array (no per-slot re-hashing). Portable: md5 +
+    hex→int agree bit-for-bit across engines; no modular arithmetic whose
+    overflow semantics could diverge.
+
+    Word shingles (not char-5-grams) because the md5 passes run through
+    interpreted transform() lambdas on the Spark side: ~54 tokens/doc →
+    ~52 shingles vs ~293 char-grams, a 5.6× cut in md5 evaluations
+    (measured 9.2 s → under 2 s at sf0.1). Word 3-shingles are also the
+    standard granularity for document near-dup (vs char grams, which
+    suit short/noisy strings)."""
+    shingles = _word_shingles(engine, 3)
     n_md5 = len(_MINHASH_SEEDS) // 2
     stages = [
         D.transform("__sh", f"x -> MD5(CONCAT('{k}#', x))", engine) for k in range(n_md5)
@@ -132,8 +164,13 @@ def _minhash_bands(engine: str, table: str) -> str:
     band_exprs = []
     rows = len(_MINHASH_SEEDS) // _BANDS
     for b in range(_BANDS):
-        cols = ", '#', ".join(f"CAST(mh{b * rows + r} AS STRING)" for r in range(rows))
-        band_exprs.append(f"{D.h64(f'concat({cols})', engine)} AS band{b}")
+        # concat_ws (NULL-skipping in BOTH engines) keeps band hashes
+        # cross-engine identical even for empty-shingle docs where the
+        # minhash slots are NULL; plain concat diverges (Spark → NULL,
+        # DuckDB skips).
+        cols = ", ".join(f"CAST(mh{b * rows + r} AS STRING)" for r in range(rows))
+        banded = "concat_ws('#', " + cols + ")"
+        band_exprs.append(f"{D.h64(banded, engine)} AS band{b}")
     return f"""
     WITH sigs AS (
       SELECT doc_id, {sig_cols}
@@ -141,7 +178,7 @@ def _minhash_bands(engine: str, table: str) -> str:
         SELECT doc_id, {stage_cols}
         FROM (
           SELECT doc_id, {shingles} AS __sh
-          FROM (SELECT doc_id, lower(trim(text)) AS __txt FROM {table}) n
+          FROM (SELECT doc_id, {D.split_ws('lower(trim(text))', engine)} AS __t FROM {table}) n
         ) s0
       ) s
     ),
@@ -158,12 +195,15 @@ def _minhash_bands(engine: str, table: str) -> str:
     "dedup_minhash_bands",
     _minhash_bands(D.DUCK, "documents"),
     doc="training-data ext: MinHash signatures (8 seeded portable hashes over "
-        "char-5-gram shingles) banded 4×2 for LSH bucketing; bucket-cardinality "
+        "word-3-gram shingles) banded 4×2 for LSH bucketing; bucket-cardinality "
         "summary is the oracle-checked surface, pair generation lives in "
         "operators/dedup.py",
+    bench=True,
 )
 def dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _run_rendered(spark, sf_dir, "documents", _minhash_bands, "bq_mh_docs")
+    return _run_rendered(
+        spark, sf_dir, "documents", _minhash_bands, "bq_mh_docs", parallelize_on="doc_id"
+    )
 
 
 # ---------------------------------------------------------------- SimHash

@@ -35,8 +35,17 @@ def re_replace_all(expr: str, pattern: str, rep: str, engine: str) -> str:
 
 
 def at(arr: str, idx: str, engine: str) -> str:
-    """1-based array indexing (out-of-bounds → NULL in both)."""
+    """1-based array indexing. Out-of-bounds → NULL in DuckDB, but Spark
+    runs ANSI mode by default where element_at RAISES — callers must
+    guarantee the index is in range (clamp/filter the index sequence)
+    or use try_at."""
     return f"{arr}[{idx}]" if engine == DUCK else f"element_at({arr}, {idx})"
+
+
+def try_at(arr: str, idx: str, engine: str) -> str:
+    """1-based array indexing, out-of-bounds → NULL in BOTH engines
+    (Spark try_element_at sidesteps ANSI ARRAY_INDEX_OUT_OF_BOUNDS)."""
+    return f"{arr}[{idx}]" if engine == DUCK else f"try_element_at({arr}, {idx})"
 
 
 def iseq(start: str, stop: str, engine: str) -> str:

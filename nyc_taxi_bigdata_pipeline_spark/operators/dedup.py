@@ -79,12 +79,22 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     num_hashes: int = 32,
     bands: int = 8,
+    bucket_cap: int = 256,
 ) -> DataFrame:
     """Band-bucket join: docs sharing any band signature become a
     candidate pair. Shuffle key = (band_id, band_hash) — collision
     buckets are tiny for non-near-dup corpora, so the join output stays
-    linear-ish; a skew-guard (AQE skew join) handles pathological
-    buckets of boilerplate duplicates."""
+    linear-ish.
+
+    ``bucket_cap`` bounds the quadratic blowup a boilerplate-heavy
+    corpus would otherwise hit (10k identical docs → C(10k,2) ≈ 50M
+    pairs PER BAND): buckets larger than the cap emit representative-
+    star pairs (every member linked to the bucket's min id) instead of
+    all-pairs — O(bucket) rows, and connectivity within the bucket is
+    preserved for downstream near-dup clustering (members verify
+    against the representative; identical docs verify at jaccard 1.0).
+    Small buckets keep exact all-pairs semantics. Pass ``None`` to
+    disable the cap."""
     rows = num_hashes // bands
     band_cols = []
     for b in range(bands):
@@ -95,8 +105,22 @@ def lsh_candidate_pairs(
     banded = sigs.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
     ).select(id_col, "band.band_id", "band.bh")
-    a, b_ = banded.alias("a"), banded.alias("b")
-    return (
+
+    if bucket_cap is None:
+        small, star = banded, None
+    else:
+        sizes = banded.groupBy("band_id", "bh").agg(
+            F.count("*").alias("__n"), F.min(id_col).alias("__rep")
+        )
+        tagged = banded.join(sizes, ["band_id", "bh"])
+        small = tagged.filter(F.col("__n") <= bucket_cap).select(id_col, "band_id", "bh")
+        star = (
+            tagged.filter((F.col("__n") > bucket_cap) & (F.col(id_col) != F.col("__rep")))
+            .select(F.col("__rep").alias("id_a"), F.col(id_col).alias("id_b"))
+        )
+
+    a, b_ = small.alias("a"), small.alias("b")
+    pairs = (
         a.join(
             b_,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -104,8 +128,10 @@ def lsh_candidate_pairs(
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
     )
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
 
 
 def jaccard_verify(
@@ -136,30 +162,52 @@ def minhash_dedup(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.8,
+    bucket_cap: int = 256,
 ) -> DataFrame:
     """Full near-dup pipeline: signatures → LSH candidates → verify.
     Returns confirmed near-dup pairs (id_a < id_b, jaccard ≥ threshold)."""
     sigs = add_minhash(docs.select(id_col, text_col), text_col, num_hashes)
-    pairs = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+    pairs = lsh_candidate_pairs(sigs, id_col, num_hashes, bands, bucket_cap)
     return jaccard_verify(pairs, docs, id_col, text_col, threshold)
 
 
 # ------------------------------------------------------------------ SimHash
 
 
-def simhash64(col: str = "text") -> F.Column:
-    """63-bit SimHash over whitespace tokens: per-bit majority vote of
-    token-hash bits, built as one JVM aggregate expression. Bit 63 is
-    left unused so the fingerprint stays a positive signed long."""
-    toks = f"split(lower(trim({col})), ' ')"
-    bits = []
-    for b in range(63):
-        vote = (
-            f"aggregate({toks}, 0L, (acc, t) ->"
-            f" acc + CASE WHEN (xxhash64(t) >> {b}) & 1 = 1 THEN 1 ELSE -1 END)"
+def add_simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """63-bit SimHash per doc: explode tokens → xxhash64 ONCE per token →
+    63 conditional-SUM bit votes in a single hash aggregate.
+
+    Spark's higher-order array lambdas (``aggregate``/``transform``) are
+    interpreted, never codegen'd — the previous formulation inlined the
+    tokenizer into 63 separate ``aggregate()`` lambdas, re-evaluating
+    ``split()`` 63× per row. The exploded shape keeps tokenize + hash +
+    votes inside whole-stage codegen with map-side partial aggregation
+    (same rewrite measured 12.0 s → 1.4 s on the benchquery twin,
+    benchqueries/dedup_ops.py). Bit 63 is left unused so the fingerprint
+    stays a positive signed long.
+
+    Returns ``(id_col, sh)``. At 100 TB this is one shuffle keyed on
+    ``id_col`` with partial aggregation of the 63 vote counters map-side.
+    """
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), " ")).alias("__tok"),
+    )
+    hashed = tok.select(id_col, F.xxhash64("__tok").alias("__th"))
+    votes = [
+        F.sum(
+            F.when(F.expr(f"(__th >> {b}) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"__v{b}")
+        for b in range(63)
+    ]
+    fingerprint = F.expr(
+        " + ".join(
+            f"(CASE WHEN __v{b} > 0 THEN CAST({1 << b} AS LONG) ELSE 0L END)"
+            for b in range(63)
         )
-        bits.append(f"(CASE WHEN {vote} > 0 THEN CAST({1 << b} AS LONG) ELSE 0L END)")
-    return F.expr(" + ".join(bits))
+    )
+    return hashed.groupBy(id_col).agg(*votes).select(F.col(id_col), fingerprint.alias("sh"))
 
 
 def simhash_near_pairs(
@@ -168,7 +216,7 @@ def simhash_near_pairs(
     """Near-dup pairs by SimHash Hamming distance. Candidate generation
     blocks on the 4×16-bit chunks (a pair within Hamming ≤ 3 of 64 bits
     must share at least one exact 16-bit chunk — pigeonhole)."""
-    sh = docs.select(F.col(id_col), simhash64(text_col).alias("sh"))
+    sh = add_simhash(docs.select(id_col, text_col), id_col, text_col)
     chunks = sh.select(
         id_col,
         "sh",

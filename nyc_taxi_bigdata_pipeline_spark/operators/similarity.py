@@ -148,6 +148,18 @@ def ivf_topk(
     )
 
 
+def _seq_dot(a, b) -> F.Column:
+    """Strictly left-to-right dot product of two array columns via
+    zip_with + aggregate — the fold order matches a hand-unrolled
+    ``a1*b1 + a2*b2 + …`` chain, so float results are bit-identical to
+    the per-dimension SQL it replaced (numpy's pairwise summation would
+    NOT be). Expression size is O(1) in the vector dimension, so real
+    embedding dims (768/1536/3072) never approach codegen's 64 KB
+    method limit the unrolled form hit at dim ≳ 500."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
 def random_hyperplane_buckets(
     df: DataFrame,
     dim: int,
@@ -158,17 +170,21 @@ def random_hyperplane_buckets(
     """LSH bucketing: sign pattern against ``num_planes`` fixed random
     hyperplanes → integer bucket id. Near vectors collide with high
     probability; ANN search then joins query buckets to corpus buckets
-    (with optional multi-probe) instead of scanning everything."""
+    (with optional multi-probe) instead of scanning everything.
+
+    Each hyperplane is an array LITERAL (constant-folded by Catalyst to
+    a single Literal — not rebuilt per row) dotted against the vector
+    with :func:`_seq_dot`."""
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((num_planes, dim))
-    terms = []
+    bucket = F.lit(0).cast("long")
     for p in range(num_planes):
-        dot = " + ".join(
-            f"CAST(element_at({vec_col}, {i + 1}) AS DOUBLE) * ({planes[p, i]!r})"
-            for i in range(dim)
+        plane = F.array(*[F.lit(float(v)) for v in planes[p]])
+        dot = _seq_dot(F.col(vec_col), plane)
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-        terms.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << p} ELSE 0 END)")
-    return df.withColumn("lsh_bucket", F.expr(" + ".join(terms)).cast("long"))
+    return df.withColumn("lsh_bucket", bucket.cast("long"))
 
 
 def ann_topk_lsh(
@@ -203,17 +219,6 @@ def ann_topk_lsh(
             "lsh_bucket",
             F.explode(F.array_distinct(F.array(F.col("lsh_bucket"), *flips))),
         )
-    dot = " + ".join(
-        f"CAST(element_at(q_vec, {i + 1}) AS DOUBLE) * CAST(element_at(c_vec, {i + 1}) AS DOUBLE)"
-        for i in range(dim)
-    )
-
-    def _norm(col: str) -> str:
-        return " + ".join(
-            f"CAST(element_at({col}, {i + 1}) AS DOUBLE) * CAST(element_at({col}, {i + 1}) AS DOUBLE)"
-            for i in range(dim)
-        )
-
     joined = (
         qb.select(
             F.col(id_col).alias("query_id"),
@@ -231,7 +236,11 @@ def ann_topk_lsh(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cos_sim",
-            F.expr(f"({dot}) / (sqrt({_norm('q_vec')}) * sqrt({_norm('c_vec')}))"),
+            _seq_dot(F.col("q_vec"), F.col("c_vec"))
+            / (
+                F.sqrt(_seq_dot(F.col("q_vec"), F.col("q_vec")))
+                * F.sqrt(_seq_dot(F.col("c_vec"), F.col("c_vec")))
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))

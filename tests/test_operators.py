@@ -58,6 +58,39 @@ def test_minhash_lsh_finds_near_dups(docs_with_dups):
         assert 0.0 <= r["jaccard"] <= 1.0
 
 
+def test_lsh_bucket_cap_bounds_pathological_duplication(spark, docs):
+    """10k identical docs land in ONE bucket per band; without the cap
+    that is C(10k,2) ≈ 50M candidate pairs per band. The representative-
+    star fallback must keep the pair count linear and the run fast."""
+    import time
+
+    boiler = (
+        spark.range(10_000)
+        .select(
+            (F.col("id") + 500_000).alias("doc_id"),
+            F.lit("exactly the same boilerplate text repeated in every document").alias("text"),
+        )
+    )
+    corpus = docs.limit(200).select("doc_id", "text").unionByName(boiler)
+    t0 = time.monotonic()
+    sigs = dedup.add_minhash(corpus, num_hashes=16)
+    pairs = dedup.lsh_candidate_pairs(sigs, num_hashes=16, bands=8, bucket_cap=64)
+    n_pairs = pairs.count()
+    elapsed = time.monotonic() - t0
+    # star pairs: 9,999 for the boilerplate bucket (+ any organic pairs
+    # among the 200 real docs, bounded by C(200,2))
+    assert n_pairs < 10_000 + 200 * 199 // 2
+    assert elapsed < 120
+    # connectivity preserved: every boilerplate doc links to the rep
+    rep_pairs = pairs.filter(F.col("id_b") >= 500_000).count()
+    assert rep_pairs == 9_999
+    # verified pairs confirm at jaccard 1.0 through the full pipeline
+    verified = dedup.jaccard_verify(
+        pairs.filter(F.col("id_b") >= 500_001).limit(50), corpus
+    )
+    assert verified.filter(F.col("jaccard") < 1.0).count() == 0
+
+
 def test_simhash_near_pairs(docs_with_dups):
     pairs = dedup.simhash_near_pairs(docs_with_dups, max_hamming=3).collect()
     found = {(r["id_a"], r["id_b"]) for r in pairs}
@@ -116,6 +149,50 @@ def test_ann_lsh_recall(emb):
     assert n == approx.select("query_id", "neighbor_id").distinct().count()
 
 
+def test_hyperplane_buckets_match_unrolled_sql(emb):
+    """The O(1)-size zip_with dot product must reproduce the unrolled
+    per-dimension SQL chain bit-for-bit (same left-to-right float adds)."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((8, 64))
+    terms = []
+    for p in range(8):
+        dot = " + ".join(
+            f"CAST(element_at(embedding, {i + 1}) AS DOUBLE) * ({float(planes[p, i])!r})"
+            for i in range(64)
+        )
+        terms.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << p} ELSE 0 END)")
+    legacy = emb.limit(200).withColumn(
+        "legacy_bucket", F.expr(" + ".join(terms)).cast("long")
+    )
+    got = similarity.random_hyperplane_buckets(legacy, dim=64).collect()
+    assert len(got) == 200
+    assert all(r["lsh_bucket"] == r["legacy_bucket"] for r in got)
+
+
+def test_ann_lsh_dim_768(spark):
+    """Real embedding dims must not hit codegen/expression-size limits —
+    the unrolled form broke past dim ≈ 500; the zip_with form is O(1)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    mat = rng.standard_normal((300, 768)).astype(float)
+    rows = [(i, mat[i].tolist()) for i in range(300)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    b = similarity.random_hyperplane_buckets(corpus, dim=768, num_planes=8)
+    buckets = [r["lsh_bucket"] for r in b.select("lsh_bucket").collect()]
+    assert all(0 <= x < 256 for x in buckets)
+    assert len(set(buckets)) > 1  # actually spreads
+    queries = corpus.filter(F.col("vec_id") < 3)
+    out = similarity.ann_topk_lsh(
+        corpus, queries, dim=768, k=5, num_planes=8, probe_radius=1
+    ).collect()
+    assert len(out) > 0
+    assert all(-1.001 <= r["cos_sim"] <= 1.001 for r in out)
+    assert all(r["rn"] <= 5 for r in out)
+
+
 def test_ivf_topk_recall_and_dial(emb):
     queries = emb.filter(F.col("vec_id") < 5)
     exact = {
@@ -132,6 +209,41 @@ def test_ivf_topk_recall_and_dial(emb):
     recall = len(exact & p) / len(exact)
     assert 0.2 <= recall <= 1.0
     assert len(p) <= len(f)
+
+
+def test_ann_recall_curve(emb):
+    """Pins the recall-vs-scan-fraction dial (RESULTS.md table) so index
+    changes can't silently regress it. Measured at sf0.01: LSH radius
+    0/1/2 → 0.16/0.42/0.79; IVF n_probe 1/4/8 → 0.34/0.78/1.00."""
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(emb, queries, k=10).collect()
+    }
+
+    def lsh_recall(radius):
+        a = {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity.ann_topk_lsh(
+                emb, queries, dim=64, k=10, num_planes=4, probe_radius=radius
+            ).collect()
+        }
+        return len(exact & a) / len(exact)
+
+    def ivf_recall(probe):
+        p = {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity.ivf_topk(emb, queries, k=10, n_cells=8, n_probe=probe).collect()
+        }
+        return len(exact & p) / len(exact)
+
+    r0, r1, r2 = lsh_recall(0), lsh_recall(1), lsh_recall(2)
+    assert r0 <= r1 <= r2  # more probes never hurt
+    assert r2 >= 0.6  # measured 0.79; wide margin against plan changes
+    i1, i4, i8 = ivf_recall(1), ivf_recall(4), ivf_recall(8)
+    assert i1 <= i4 <= i8
+    assert i4 >= 0.6  # measured 0.78
+    assert i8 == 1.0  # probing every cell IS exact search
 
 
 def test_text_features(docs):
