@@ -8,9 +8,10 @@ RDBMS; they reproduce the reference's exact write semantics
 (``Ex02DataIngestion.scala:154-164``: overwrite + truncate) plus the
 scale knobs the reference leaves at defaults.
 
-No database ships in this container, so this module is exercised only
-for option construction; the call surface is the stock Spark JDBC
-connector, which is battle-tested upstream.
+Exercised end-to-end against the Derby embedded driver on Spark's own
+classpath (tests/test_sources.py::test_jdbc_roundtrip_embedded_derby):
+truncate+overwrite write, then a predicate-partitioned read sharded
+into range queries — no external database required.
 """
 
 from __future__ import annotations

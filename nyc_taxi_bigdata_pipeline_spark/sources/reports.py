@@ -42,15 +42,33 @@ def df_to_report(df: DataFrame, max_rows: int = 1000) -> list[dict[str, Any]]:
     return [r.asDict(recursive=True) for r in rows]
 
 
+# Per-stage wall-clock budgets mirroring the reference DAG's task SLAs
+# (full_pipeline_dag.py:308,363,501,574 — ingestion/DW-load/training/
+# inference execution_timeout budgets, scaled to seconds).
+DEFAULT_SLAS: dict[str, float] = {
+    "ingest": 30 * 60,
+    "warehouse": 20 * 60,
+    "ml_train": 60 * 60,
+    "ml_predict": 15 * 60,
+}
+
+
 class StageLogger:
     """Q6: stage timing + rowcount log (logging_config.py:84-180),
-    accumulated into a summary dict suitable for write_json_report."""
+    accumulated into a summary dict suitable for write_json_report.
 
-    def __init__(self) -> None:
+    A stage may carry an SLA budget (``sla_seconds=...`` or a
+    ``DEFAULT_SLAS`` entry keyed by stage name); exceeding it emits a
+    WARNING and tags the entry — budget *enforcement* (kill/retry) stays
+    with the scheduler, surfacing is the engine's job."""
+
+    def __init__(self, slas: dict[str, float] | None = None) -> None:
         self.stages: list[dict[str, Any]] = []
+        self.slas = {**DEFAULT_SLAS, **(slas or {})}
 
     @contextmanager
-    def stage(self, name: str, **meta: Any):
+    def stage(self, name: str, sla_seconds: float | None = None, **meta: Any):
+        budget = sla_seconds if sla_seconds is not None else self.slas.get(name)
         t0 = time.perf_counter()
         log.info("stage_start %s %s", name, meta)
         entry: dict[str, Any] = {"stage": name, **meta}
@@ -62,7 +80,16 @@ class StageLogger:
             entry["error"] = str(e)
             raise
         finally:
-            entry["seconds"] = round(time.perf_counter() - t0, 3)
+            elapsed = time.perf_counter() - t0
+            entry["seconds"] = round(elapsed, 3)
+            if budget is not None:
+                entry["sla_seconds"] = budget
+                if elapsed > budget:
+                    entry["sla_exceeded"] = True
+                    log.warning(
+                        "stage_sla_exceeded %s %.3fs > budget %.3fs",
+                        name, entry["seconds"], budget,
+                    )
             self.stages.append(entry)
             log.info("stage_end %s %.3fs %s", name, entry["seconds"], entry["status"])
 
@@ -70,5 +97,6 @@ class StageLogger:
         return {
             "stages": self.stages,
             "total_seconds": round(sum(s["seconds"] for s in self.stages), 3),
+            "sla_breaches": [s["stage"] for s in self.stages if s.get("sla_exceeded")],
             "ok": all(s["status"] == "ok" for s in self.stages),
         }

@@ -8,6 +8,8 @@ error_summary.json, predict_report.json) into reports/ for comparison
 against BASELINE.md.
 
 Usage: python scripts/ml_baseline_run.py [--rows-per-month N] [--max-iter N]
+       [--distributed]  (JVM-side generator — required for multi-million-row
+                         runs; the driver-side fixture is for small parity runs)
 """
 
 from __future__ import annotations
@@ -32,16 +34,25 @@ def main() -> None:
     ap.add_argument("--rows-per-month", type=int, default=30000)
     ap.add_argument("--max-iter", type=int, default=train.GBT_MAX_ITER)
     ap.add_argument("--out-dir", default="reports")
+    ap.add_argument("--distributed", action="store_true",
+                    help="generate fixture months JVM-side (sources/synthetic.py)")
     args = ap.parse_args()
 
     spark = get_spark("ml-baseline")
+    if args.distributed:
+        from nyc_taxi_bigdata_pipeline_spark.sources.synthetic import (
+            make_trips_month_distributed,
+        )
+
+        def gen(m):
+            return make_trips_month_distributed(spark, 2023, m, args.rows_per_month)
+    else:
+        def gen(m):
+            return make_trips_month(spark, 2023, m, n=args.rows_per_month)
+
     t_gen = time.perf_counter()
     months = {
-        m: features.build_feature_table(
-            ingest.clean_month(
-                make_trips_month(spark, 2023, m, n=args.rows_per_month), 2023, m
-            )
-        )
+        m: features.build_feature_table(ingest.clean_month(gen(m), 2023, m))
         for m in (1, 2, 3, 4)
     }
     train_df = months[1].unionByName(months[2]).unionByName(months[3])

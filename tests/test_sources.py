@@ -54,6 +54,26 @@ def test_stage_logger():
     assert [x["stage"] for x in summary["stages"]] == ["ingest", "boom"]
     assert summary["ok"] is False
     assert summary["stages"][0]["rows"] == 123
+    # default SLAs (30-min ingest budget) are nowhere near breached
+    assert summary["sla_breaches"] == []
+
+
+def test_stage_logger_sla_warning(caplog):
+    import logging as _logging
+
+    sl = reports.StageLogger()
+    with caplog.at_level(_logging.WARNING, logger="nyc_taxi_bigdata_pipeline_spark"):
+        with sl.stage("slow_scan", sla_seconds=0.0):
+            pass  # any elapsed > 0 budget
+    assert any("stage_sla_exceeded" in r.getMessage() for r in caplog.records)
+    summary = sl.summary()
+    assert summary["sla_breaches"] == ["slow_scan"]
+    assert summary["stages"][0]["sla_exceeded"] is True
+    # per-instance override of a default budget
+    sl2 = reports.StageLogger(slas={"ingest": 0.0})
+    with sl2.stage("ingest"):
+        pass
+    assert sl2.summary()["sla_breaches"] == ["ingest"]
 
 
 def test_monthly_url_and_probe_unavailable():
@@ -138,3 +158,27 @@ def test_sample_sink_deterministic(spark, tmp_path):
     assert sorted(r["id"] for r in s1.collect()) == sorted(
         r["id"] for r in df.sample(fraction=0.1, seed=42).collect()
     )
+
+
+def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
+    """S6/S7 execution evidence via the Derby embedded driver that ships
+    on Spark's classpath (no external DB needed): truncate+overwrite
+    write (Ex02DataIngestion.scala:154-164 parity) then a predicate-
+    partitioned read sharded into range queries."""
+    from nyc_taxi_bigdata_pipeline_spark.sources import jdbc
+
+    url = f"jdbc:derby:{tmp_path}/jdb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    df = spark.range(100).selectExpr("id", "id * 2 AS v")
+
+    jdbc.write_jdbc_overwrite(df, url, "t1", properties=props, truncate=False)
+    # second overwrite is idempotent (no duplicate rows)
+    jdbc.write_jdbc_overwrite(df, url, "t1", properties=props, truncate=True)
+
+    back = jdbc.read_jdbc_partitioned(
+        spark, url, "t1", partition_column="id",
+        lower_bound=0, upper_bound=100, num_partitions=4, properties=props,
+    )
+    assert back.rdd.getNumPartitions() == 4  # sharded into range queries
+    assert back.count() == 100
+    assert back.agg({"v": "sum"}).first()[0] == sum(2 * i for i in range(100))
