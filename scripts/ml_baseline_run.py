@@ -78,7 +78,12 @@ def main() -> None:
             "train_seconds": round(result.train_seconds, 2),
             "train_rows_per_sec": round(result.train_rows / result.train_seconds, 1),
             "fixture_gen_seconds": round(gen_s, 2),
-            "note": "deterministic synthetic months (tests/taxi_fixtures.py, seed 42)",
+            "note": (
+                "deterministic synthetic months ("
+                + ("sources/synthetic.py JVM generator" if args.distributed
+                   else "tests/taxi_fixtures.py")
+                + ", seed 42)"
+            ),
         },
         f"{args.out_dir}/train_metrics.json",
     )
