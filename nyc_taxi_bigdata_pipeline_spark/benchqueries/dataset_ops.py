@@ -1,0 +1,92 @@
+"""Dataset-preparation operators over the documents table (training-data
+pipeline extensions): deterministic hash-based train/val/test splits and
+document-length stratification.
+
+A training corpus is split by CONTENT-STABLE hashing, never by rand():
+the assignment must be reproducible across runs, engines, and
+repartitioning, and must follow a document if the corpus is re-sharded.
+The portable md5→int64 hash (functions/compat, dialect.h64) is positive
+(60-bit), so plain ``% 100`` agrees across engines — no pmod/%%
+negative-operand divergence to paper over.
+
+The scale path (`operators/sampling.py`) uses xxhash64 for the same
+shapes; these oracle flavors pin the arithmetic via the portable hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.tables import load_table
+from . import dialect as D
+from .registry import register
+
+
+def _run_rendered(spark: SparkSession, sf_dir: str, table: str, render, view: str) -> DataFrame:
+    load_table(spark, sf_dir, table).createOrReplaceTempView(view)
+    return spark.sql(render(D.SPARK, view))
+
+
+# 80/10/10 split on a seeded hash of the doc id.
+_SPLIT_SEED = 7
+
+
+def _split_assign(engine: str, table: str) -> str:
+    h = D.seeded_h64("CAST(doc_id AS STRING)", _SPLIT_SEED, engine)
+    tok = D.alen(D.split_ws("trim(text)", engine), engine)
+    return f"""
+    SELECT split, COUNT(*) AS docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens
+    FROM (
+      SELECT CASE WHEN ({h}) % 100 < 80 THEN 'train'
+                  WHEN ({h}) % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split,
+             {tok} AS n_tokens
+      FROM {table}
+    ) assigned
+    GROUP BY split"""
+
+
+@register(
+    "dataset_split_assign",
+    _split_assign(D.DUCK, "documents"),
+    doc="training-data ext: deterministic 80/10/10 train/val/test split by "
+        "seeded content-stable hash (reproducible across runs/engines/"
+        "re-sharding — never rand()); per-split doc and token budgets",
+)
+def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_rendered(spark, sf_dir, "documents", _split_assign, "bq_split_docs")
+
+
+def _length_strata(engine: str, table: str) -> str:
+    """Token-length stratification: the doc-length histogram a curriculum
+    / packing stage reads, plus a deterministic 10% per-stratum sample
+    count (hash-gated, so both engines agree row-for-row)."""
+    tok = D.alen(D.split_ws("trim(text)", engine), engine)
+    h = D.seeded_h64("CAST(doc_id AS STRING)", 11, engine)
+    return f"""
+    SELECT stratum, COUNT(*) AS docs,
+           CAST(MIN(n_tokens) AS INT) AS min_tokens,
+           CAST(MAX(n_tokens) AS INT) AS max_tokens,
+           CAST(SUM(CASE WHEN ({h}) % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS sampled_docs
+    FROM (
+      SELECT doc_id,
+             {tok} AS n_tokens,
+             CASE WHEN {tok} < 32 THEN 'xs'
+                  WHEN {tok} < 64 THEN 's'
+                  WHEN {tok} < 128 THEN 'm'
+                  ELSE 'l' END AS stratum
+      FROM {table}
+    ) strat
+    GROUP BY stratum"""
+
+
+@register(
+    "dataset_length_strata",
+    _length_strata(D.DUCK, "documents"),
+    doc="training-data ext: token-length stratification histogram + "
+        "deterministic hash-gated 10% per-stratum sample counts",
+)
+def dataset_length_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_rendered(spark, sf_dir, "documents", _length_strata, "bq_strata_docs")

@@ -34,6 +34,16 @@ def re_replace_all(expr: str, pattern: str, rep: str, engine: str) -> str:
     return f"regexp_replace({expr}, '{pat}', '{rep}')"
 
 
+def re_extract_all(expr: str, pattern: str, engine: str) -> str:
+    """All non-overlapping matches as an array (explicit group 0 — Spark
+    defaults idx to 1 and raises without a capture group). Same backslash
+    rule as re_replace_all: pass single-backslash patterns."""
+    if engine == DUCK:
+        return f"regexp_extract_all({expr}, '{pattern}', 0)"
+    pat = pattern.replace("\\", "\\\\")
+    return f"regexp_extract_all({expr}, '{pat}', 0)"
+
+
 def at(arr: str, idx: str, engine: str) -> str:
     """1-based array indexing. Out-of-bounds → NULL in DuckDB, but Spark
     runs ANSI mode by default where element_at RAISES — callers must

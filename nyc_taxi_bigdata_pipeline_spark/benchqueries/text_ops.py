@@ -46,6 +46,35 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_rendered(spark, sf_dir, "documents", _token_counts, "bq_tokcnt_docs")
 
 
+# BPE-ish subword segmentation: letter runs, digit runs, and single
+# punctuation marks become separate tokens (the pre-tokenization pass a
+# byte-pair encoder applies before merges). ASCII classes + literal
+# space only, so Java regex (Spark) and RE2 (DuckDB) agree exactly.
+_BPE_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def _token_counts_bpe(engine: str, table: str) -> str:
+    ws = D.alen(D.split_ws("trim(text)", engine), engine)
+    bpe = D.alen(D.re_extract_all("text", _BPE_PATTERN, engine), engine)
+    return f"""
+    SELECT lang, COUNT(*) AS docs,
+           CAST(SUM({ws}) AS BIGINT) AS ws_tokens,
+           CAST(SUM({bpe}) AS BIGINT) AS bpe_tokens,
+           CAST(SUM({bpe}) AS DOUBLE) / SUM({ws}) AS tokens_per_word
+    FROM {table} GROUP BY lang"""
+
+
+@register(
+    "text_token_counts_bpe",
+    _token_counts_bpe(D.DUCK, "documents"),
+    doc="training-data ext: BPE-style regex pre-tokenization (letter/digit "
+        "runs + punctuation marks) vs whitespace token counts per language — "
+        "the tokens-per-word ratio LLM data budgets are priced in",
+)
+def text_token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_rendered(spark, sf_dir, "documents", _token_counts_bpe, "bq_tokbpe_docs")
+
+
 # ----------------------------------------------------------- language ID
 
 

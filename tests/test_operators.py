@@ -10,6 +10,7 @@ import pytest
 from nyc_taxi_bigdata_pipeline_spark.operators import (
     dedup,
     multimodal,
+    sampling,
     similarity,
     text,
     topk,
@@ -299,6 +300,36 @@ def test_multimodal_plumbing(spark):
         multimodal.real_decoder_unavailable(b"x")
     frames = multimodal.frame_sample_plan(media, every_ms=1000).collect()
     assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000, 3000]
+
+
+def test_deterministic_splits_and_samples(spark, docs):
+    d = docs.limit(400).select("doc_id", "text")
+    s1 = sampling.with_split(d)
+    # stable across runs AND repartitioning
+    s2 = sampling.with_split(d.repartition(13))
+    m1 = {r["doc_id"]: r["split"] for r in s1.collect()}
+    m2 = {r["doc_id"]: r["split"] for r in s2.collect()}
+    assert m1 == m2
+    counts = {r["split"]: r["count"] for r in s1.groupBy("split").count().collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] + counts["test"]  # ~80/10/10
+    # disjoint + exhaustive
+    assert sum(counts.values()) == 400
+
+    samp = sampling.deterministic_sample(d, 0.1)
+    again = sampling.deterministic_sample(d.repartition(5), 0.1)
+    ids = sorted(r["doc_id"] for r in samp.collect())
+    assert ids == sorted(r["doc_id"] for r in again.collect())
+    assert 10 <= len(ids) <= 90  # ~40 expected of 400
+
+    strat = sampling.with_split(d).withColumnRenamed("split", "stratum")
+    sub = sampling.stratified_deterministic_sample(
+        strat, "stratum", {"train": 0.1, "test": 1.0}
+    )
+    got = {r["stratum"] for r in sub.select("stratum").distinct().collect()}
+    assert got == {"train", "test"}  # 'val' dropped (absent from fractions)
+    n_test_before = strat.filter(F.col("stratum") == "test").count()
+    assert sub.filter(F.col("stratum") == "test").count() == n_test_before
 
 
 def test_topk_helpers(spark, emb):
