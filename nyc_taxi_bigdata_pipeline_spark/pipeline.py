@@ -73,24 +73,41 @@ def run_month(
     res.counts["fact_rows"] = fact.count()
     res.checks.append(quality.min_rowcount_check(res.counts["fact_rows"], "fact", min_rows))
 
-    # dims are cheap: rebuild from current state each month (idempotent).
-    # Observed keys come from the FULL fact table, not just this month's
-    # clean frame — rebuilding from one month would drop 'Unknown'
-    # location ids (and dates) discovered in earlier months, orphaning
-    # prior facts from inner-join analytics. Mirrors the insert-if-absent
-    # semantics of dw_load_incremental.sql.
-    observed = fact.select(
-        F.col("pickup_location_id").alias("PULocationID"),
-        F.col("dropoff_location_id").alias("DOLocationID"),
-        F.col("pickup_date").alias(ingest.PICKUP),
-    )
+    # dims are rebuilt from THIS month's clean data, then merged
+    # insert-if-absent with the existing gold dim — keys observed only in
+    # earlier months ('Unknown' location ids, prior dates) must survive
+    # the rebuild or prior facts vanish from inner-join analytics.
+    # Mirrors dw_load_incremental.sql's insert-if-absent and stays
+    # O(month + dim), never a scan of the full fact history.
     dims = warehouse.seed_enum_dims(spark)
-    dims["dim_location"] = warehouse.build_dim_location(zone_lookup, observed)
-    dims["dim_date"] = warehouse.build_dim_date(observed)
+    dims["dim_location"] = _merge_existing_dim(
+        spark, warehouse.build_dim_location(zone_lookup, clean),
+        str(Path(gold_path) / "dim_location"), "location_id",
+    )
+    dims["dim_date"] = _merge_existing_dim(
+        spark, warehouse.build_dim_date(clean),
+        str(Path(gold_path) / "dim_date"), "date_id",
+    )
     dims["dim_time"] = warehouse.build_dim_time(spark)
     for name, df in dims.items():
         df.write.mode("overwrite").parquet(str(Path(gold_path) / name))
     return res
+
+
+def _merge_existing_dim(
+    spark: SparkSession, new_dim: DataFrame, path: str, key: str
+) -> DataFrame:
+    """Insert-if-absent dim merge: carry forward existing dim rows whose
+    key the new build didn't observe. The carried rows are collected
+    (dims are bounded by design — zone count / calendar days), which
+    also breaks the read-from-path → overwrite-same-path cycle."""
+    if not hadoop_path_exists(spark, path):
+        return new_dim
+    old = spark.read.parquet(path)
+    carried = old.join(new_dim.select(key), [key], "left_anti").collect()
+    if not carried:
+        return new_dim
+    return new_dim.unionByName(spark.createDataFrame(carried, old.schema))
 
 
 def backfill(
