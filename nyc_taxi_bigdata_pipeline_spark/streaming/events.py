@@ -71,6 +71,27 @@ def windowed_counts(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("event_id",),
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` holds each key only until the
+    event-time watermark passes it, so state size tracks the watermark
+    horizon instead of growing with the whole stream — the property that
+    makes at-least-once ingestion dedup viable on an unbounded feed
+    (plain ``dropDuplicates`` on a stream accumulates state forever).
+
+    Batch/stream unification: on a static frame this is exactly
+    ``dropDuplicates(key_cols)``, which is the oracle-checkable twin
+    (same shape as operators/dedup.exact_dedup)."""
+    cols = list(key_cols)
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(cols)
+    return events.dropDuplicates(cols)
+
+
 SESSION_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),

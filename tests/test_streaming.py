@@ -135,3 +135,32 @@ def test_sessionize_streaming_matches_batch(spark, events_df, tmp_path):
     # run: compare on the sessions the stream did emit, require substance
     assert got <= want
     assert len(got) >= len(want) * 0.5
+
+
+def test_stream_dedup_with_watermark(spark, events_df, tmp_path):
+    """At-least-once delivery: the same events fed twice through a
+    stream must come out once. Long watermark so no row is late-dropped
+    in this finite replay; on a live feed the watermark bounds state."""
+    src = str(tmp_path / "dup_src")
+    base = events_df
+    n = base.count()
+    base.write.mode("overwrite").parquet(src)
+    base.write.mode("append").parquet(src)  # duplicate the whole feed
+    stream = spark.readStream.schema(ev.EVENT_SCHEMA).option(
+        "maxFilesPerTrigger", 3
+    ).parquet(src)
+    dd = ev.dedup_stream(stream, watermark="8760 hours")
+    q = (
+        dd.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) FROM dedup_out").first()[0]
+    assert got == n
+    assert spark.sql("SELECT count(DISTINCT event_id) FROM dedup_out").first()[0] == n
+    q.stop()
+    # batch twin: static frame takes the plain dropDuplicates path
+    assert ev.dedup_stream(spark.read.parquet(src)).count() == n
