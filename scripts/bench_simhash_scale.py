@@ -48,6 +48,9 @@ def main() -> None:
             (F.col("doc_id") * REPLICAS + F.col("rep")).alias("doc_id"),
             F.concat_ws(" ", "text", F.concat(F.lit("salt"), F.col("rep"))).alias("text"),
         )
+        # the crossJoin inherits the single-file scan's ONE partition —
+        # spread the corpus so the comparison runs on all cores
+        .repartition(32, "doc_id")
         .persist()
     )
     n = corpus.count()
