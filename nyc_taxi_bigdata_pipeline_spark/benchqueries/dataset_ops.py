@@ -82,6 +82,57 @@ def _length_strata(engine: str, table: str) -> str:
     GROUP BY stratum"""
 
 
+_PACK_CTX = 512  # context length in whitespace tokens (small testdata docs)
+_PACK_SHARDS = 8
+
+
+def _pack_chunks(engine: str, table: str) -> str:
+    """Concat-and-chunk sequence packing (operators/packing.py twin):
+    per-shard running token offset → chunk id; per-shard fill summary.
+    FLOOR before CAST (DuckDB rounds double→int casts, Spark truncates)."""
+    tok = D.alen(D.split_ws("trim(text)", engine), engine)
+    h = D.seeded_h64("CAST(doc_id AS STRING)", 13, engine)
+    return f"""
+    WITH base AS (
+      SELECT doc_id, ({h}) % {_PACK_SHARDS} AS shard, {tok} AS n_tokens
+      FROM {table}
+    ),
+    offs AS (
+      SELECT shard, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS start_offset
+      FROM base
+    ),
+    chunked AS (
+      SELECT shard, n_tokens,
+             CAST(FLOOR(start_offset / {_PACK_CTX}.0) AS BIGINT) AS chunk
+      FROM offs
+    ),
+    per_chunk AS (
+      SELECT shard, chunk, COUNT(*) AS docs_in_chunk, SUM(n_tokens) AS chunk_tokens
+      FROM chunked GROUP BY shard, chunk
+    )
+    SELECT shard,
+           CAST(SUM(docs_in_chunk) AS BIGINT) AS docs,
+           CAST(SUM(chunk_tokens) AS BIGINT) AS total_tokens,
+           COUNT(*) AS chunks_started,
+           CAST(MAX(docs_in_chunk) AS BIGINT) AS max_docs_per_chunk
+    FROM per_chunk
+    GROUP BY shard"""
+
+
+@register(
+    "dataset_pack_chunks",
+    _pack_chunks(D.DUCK, "documents"),
+    doc="training-data ext: concat-and-chunk sequence packing — per-shard "
+        "running token offsets assign each doc a context-window chunk; "
+        "per-shard fill summary (shard-local windows, never a global sort)",
+)
+def dataset_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_rendered(spark, sf_dir, "documents", _pack_chunks, "bq_pack_docs")
+
+
 @register(
     "dataset_length_strata",
     _length_strata(D.DUCK, "documents"),

@@ -10,6 +10,7 @@ import pytest
 from nyc_taxi_bigdata_pipeline_spark.operators import (
     dedup,
     multimodal,
+    packing,
     sampling,
     similarity,
     text,
@@ -330,6 +331,38 @@ def test_deterministic_splits_and_samples(spark, docs):
     assert got == {"train", "test"}  # 'val' dropped (absent from fractions)
     n_test_before = strat.filter(F.col("stratum") == "test").count()
     assert sub.filter(F.col("stratum") == "test").count() == n_test_before
+
+
+def test_sequence_packing(spark, docs):
+    d = docs.limit(300).select(
+        "doc_id", F.size(F.split(F.trim("text"), " ")).alias("n_tokens")
+    )
+    packed = packing.with_pack_chunks(d, "n_tokens", context_len=256, n_shards=4)
+    rows = packed.collect()
+    assert len(rows) == 300
+    by_shard: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r["shard"], r["doc_id"])):
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard_rows in by_shard.values():
+        # offsets are the running sum of preceding docs' tokens
+        expect = 0
+        for r in shard_rows:
+            assert r["start_offset"] == expect
+            assert r["chunk"] == expect // 256
+            expect += r["n_tokens"]
+    # stable under repartitioning (content-hash shard, id order)
+    again = packing.with_pack_chunks(d.repartition(11), "n_tokens", context_len=256, n_shards=4)
+    assert {(r["doc_id"], r["chunk"]) for r in again.collect()} == {
+        (r["doc_id"], r["chunk"]) for r in rows
+    }
+    stats = packing.pack_stats(d, "n_tokens", context_len=256, n_shards=4).collect()
+    assert sum(r["docs"] for r in stats) == 300
+    total_tokens = d.agg(F.sum("n_tokens")).first()[0]
+    assert sum(r["total_tokens"] for r in stats) == total_tokens
+    for r in stats:
+        # a 256-token context over ~54-token docs packs several docs/chunk
+        assert r["max_docs_per_chunk"] >= 2
+        assert r["chunks_started"] >= r["total_tokens"] // 256
 
 
 def test_topk_helpers(spark, emb):
