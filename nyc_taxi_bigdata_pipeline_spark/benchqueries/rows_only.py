@@ -91,6 +91,39 @@ def dedup_minhash_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_cluster_canonical",
+    None,
+    doc="training-data ext (rows-only): near-dup removal end-to-end — "
+        "MinHash→LSH pairs → connected components (iterative min-label "
+        "propagation, the genuinely non-SQL step) → collapse each cluster "
+        "to its canonical doc; returns the corpus size before/after",
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import keep_canonical, minhash_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") < 50)
+    # plant a dup family: exact copy + one-token edit of the same docs,
+    # so clusters of size 3 exist and chaining matters
+    corpus = (
+        docs.unionByName(base.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+        .unionByName(
+            base.withColumn("doc_id", F.col("doc_id") + 2_000_000)
+            .withColumn("text", F.concat(F.col("text"), F.lit(" zzextra")))
+        )
+    )
+    pairs = minhash_dedup(corpus, num_hashes=16, bands=8, threshold=0.5)
+    kept = keep_canonical(corpus, pairs)
+    return corpus.agg(F.count("*").alias("docs_in")).crossJoin(
+        kept.agg(F.count("*").alias("docs_kept"))
+    ).select(
+        "docs_in",
+        "docs_kept",
+        (F.col("docs_in") - F.col("docs_kept")).alias("docs_removed"),
+    )
+
+
+@register(
     "taxi_domain_pipeline",
     None,
     doc="ex01→ex03 parity (rows-only): deterministic distributed trip "

@@ -202,6 +202,85 @@ def minhash_dedup(
     return jaccard_verify(pairs, docs, id_col, text_col, threshold)
 
 
+# ------------------------------------------------- near-dup clustering
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Connected components over near-dup pairs by iterative min-label
+    propagation: every doc's cluster label converges to the smallest doc
+    id reachable through the pair graph. Returns ``(id_col, cluster)``.
+
+    Near-dup graphs have tiny diameters (a dup family is a dense blob,
+    and the star pairs from the LSH bucket cap are depth 1), so the loop
+    converges in a handful of rounds; each round is one join + one
+    min-aggregate, with the frontier persisted and the previous round
+    unpersisted — the standard Spark shape for iterative graph steps
+    (what GraphFrames does under the hood, without the dependency).
+    Raises if ``max_iter`` rounds don't reach a fixpoint rather than
+    returning silently-partial clusters."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .persist()
+    )
+    try:
+        for _ in range(max_iter):
+            neighbor_min = (
+                edges.join(labels, edges.dst == labels.id)
+                .groupBy("src")
+                .agg(F.min("label").alias("nbr_label"))
+            )
+            new_labels = (
+                labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                    ).alias("label"),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster"))
+        raise RuntimeError(f"dedup_clusters did not converge in {max_iter} iterations")
+    finally:
+        edges.unpersist()
+
+
+def keep_canonical(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus dedup, final step: collapse each near-dup cluster to its
+    canonical (min-id) member. Docs in no pair pass through untouched —
+    the left join against the (small) cluster map costs one shuffle of
+    the cluster assignments, not the corpus."""
+    clusters = dedup_clusters(pairs, id_col)
+    drop = clusters.filter(F.col(id_col) != F.col("cluster")).select(id_col)
+    return docs.join(drop, id_col, "left_anti")
+
+
 # ------------------------------------------------------------------ SimHash
 
 

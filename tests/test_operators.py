@@ -93,6 +93,29 @@ def test_lsh_bucket_cap_bounds_pathological_duplication(spark, docs):
     assert verified.filter(F.col("jaccard") < 1.0).count() == 0
 
 
+def test_dedup_clusters_and_canonical(spark, docs_with_dups):
+    """Pairs → connected components → canonical-doc corpus: the full
+    near-dup removal chain. Chained pairs (a-b, b-c) must land in ONE
+    cluster even though (a, c) was never a candidate pair."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a long, id_b long",
+    )
+    clusters = {r["doc_id"]: r["cluster"] for r in dedup.dedup_clusters(pairs).collect()}
+    assert clusters[1] == clusters[2] == clusters[3] == 1
+    assert clusters[10] == clusters[11] == 10
+    assert clusters[20] == clusters[21] == clusters[22] == clusters[23] == 20
+    # end-to-end with real LSH pairs: exact dups collapse to one survivor
+    found = dedup.minhash_dedup(docs_with_dups, num_hashes=16, bands=8, threshold=0.99)
+    kept = dedup.keep_canonical(docs_with_dups, found)
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert len(kept_ids) < docs_with_dups.count()  # something was removed
+    base_ids = [r["doc_id"] for r in docs_with_dups.orderBy("doc_id").limit(5).collect()]
+    for doc in base_ids:
+        assert doc in kept_ids  # canonical (min id) survives
+        assert doc + 100000 not in kept_ids  # its exact copy does not
+
+
 def test_simhash_near_pairs(docs_with_dups):
     pairs = dedup.simhash_near_pairs(docs_with_dups, max_hamming=3).collect()
     found = {(r["id_a"], r["id_b"]) for r in pairs}
