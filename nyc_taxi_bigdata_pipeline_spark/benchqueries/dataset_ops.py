@@ -34,16 +34,18 @@ _SPLIT_SEED = 7
 def _split_assign(engine: str, table: str) -> str:
     h = D.seeded_h64("CAST(doc_id AS STRING)", _SPLIT_SEED, engine)
     tok = D.alen(D.split_ws("trim(text)", engine), engine)
+    # hash staged once in a subquery — the CASE references it twice, and
+    # an md5 per reference is real cost if an engine's CSE misses it
     return f"""
     SELECT split, COUNT(*) AS docs,
            CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens
     FROM (
-      SELECT CASE WHEN ({h}) % 100 < 80 THEN 'train'
-                  WHEN ({h}) % 100 < 90 THEN 'val'
+      SELECT CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'val'
                   ELSE 'test' END AS split,
-             {tok} AS n_tokens
-      FROM {table}
+             n_tokens
+      FROM (SELECT ({h}) % 100 AS bucket, {tok} AS n_tokens FROM {table}) hashed
     ) assigned
     GROUP BY split"""
 
@@ -65,19 +67,20 @@ def _length_strata(engine: str, table: str) -> str:
     count (hash-gated, so both engines agree row-for-row)."""
     tok = D.alen(D.split_ws("trim(text)", engine), engine)
     h = D.seeded_h64("CAST(doc_id AS STRING)", 11, engine)
+    # tokenizer staged once — the stratum CASE references it three times
     return f"""
     SELECT stratum, COUNT(*) AS docs,
            CAST(MIN(n_tokens) AS INT) AS min_tokens,
            CAST(MAX(n_tokens) AS INT) AS max_tokens,
-           CAST(SUM(CASE WHEN ({h}) % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS sampled_docs
+           CAST(SUM(CASE WHEN bucket = 0 THEN 1 ELSE 0 END) AS BIGINT) AS sampled_docs
     FROM (
-      SELECT doc_id,
-             {tok} AS n_tokens,
-             CASE WHEN {tok} < 32 THEN 'xs'
-                  WHEN {tok} < 64 THEN 's'
-                  WHEN {tok} < 128 THEN 'm'
-                  ELSE 'l' END AS stratum
-      FROM {table}
+      SELECT n_tokens,
+             CASE WHEN n_tokens < 32 THEN 'xs'
+                  WHEN n_tokens < 64 THEN 's'
+                  WHEN n_tokens < 128 THEN 'm'
+                  ELSE 'l' END AS stratum,
+             bucket
+      FROM (SELECT {tok} AS n_tokens, ({h}) % 10 AS bucket FROM {table}) m
     ) strat
     GROUP BY stratum"""
 
