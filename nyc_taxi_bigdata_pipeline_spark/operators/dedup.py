@@ -165,6 +165,24 @@ def lsh_candidate_pairs(
     return pairs.distinct()
 
 
+def hashed_shingles(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 5
+) -> DataFrame:
+    """Distinct xxhash64'd char-n-gram shingles, one row per (doc,
+    shingle-hash) — the fully-codegen twin of :func:`char_shingles`
+    (positions exploded, no interpreted array lambdas)."""
+    pos = docs.select(
+        F.col(id_col),
+        F.col(text_col).alias("__t"),
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length(text_col) - (n - 1), F.lit(1)))
+        ).alias("__i"),
+    )
+    return pos.select(
+        id_col, F.xxhash64(F.col("__t").substr(F.col("__i"), F.lit(n))).alias("__h")
+    ).distinct()
+
+
 def jaccard_verify(
     pairs: DataFrame,
     docs: DataFrame,
@@ -172,15 +190,37 @@ def jaccard_verify(
     text_col: str = "text",
     threshold: float = 0.8,
 ) -> DataFrame:
-    """Exact shingle-Jaccard on candidates only."""
-    sh = docs.select(F.col(id_col), char_shingles(text_col).alias("sh"))
+    """Exact shingle-Jaccard on candidates only, computed RELATIONALLY:
+    shingle sets stay exploded as (doc, hash) rows, |A∩B| is a pair ×
+    shingle equi-join count, |A| a per-doc count — whole-stage codegen
+    end to end, no interpreted array_intersect walking string arrays.
+    Shingle identity is the 64-bit hash (collision odds negligible next
+    to the minhash banding error). Pairs sharing zero shingles drop out
+    of the inner join — correct for any threshold > 0."""
+    ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    # sh is referenced three times (sizes + both join sides); shingling is
+    # cheap codegen over the semi-joined candidate docs, and Spark's
+    # exchange reuse dedups the shuffles — no persist, stays fully lazy
+    sh = hashed_shingles(docs.join(ids, id_col, "left_semi"), id_col, text_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("__sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "__h")
+    b = sh.select(F.col(id_col).alias("id_b"), "__h")
+    inter = (
+        pairs.join(a, "id_a")
+        .join(b, ["id_b", "__h"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("__inter"))
+    )
     j = (
-        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("__sz", "__sz_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("__sz", "__sz_b"), "id_b")
         .withColumn(
             "jaccard",
-            F.col("inter") / (F.size("sh_a") + F.size("sh_b") - F.col("inter")),
+            F.col("__inter") / (F.col("__sz_a") + F.col("__sz_b") - F.col("__inter")),
         )
     )
     return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
