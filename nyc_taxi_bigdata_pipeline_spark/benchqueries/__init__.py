@@ -16,6 +16,7 @@ from . import windows  # noqa: E402,F401
 from . import text_ops  # noqa: E402,F401
 from . import dedup_ops  # noqa: E402,F401
 from . import dataset_ops  # noqa: E402,F401
+from . import curation_ops  # noqa: E402,F401
 from . import similarity_ops  # noqa: E402,F401
 from . import advanced  # noqa: E402,F401
 from . import joins_advanced  # noqa: E402,F401

@@ -1,0 +1,240 @@
+"""Corpus-curation queries (training-data pipeline extensions):
+benchmark decontamination, repetition filtering, PII scrubbing, and
+domain-mixture sampling — the passes between dedup and packing.
+
+Oracle-checked flavors of ``operators/curation.py``: each renders the
+same template for Spark and DuckDB (dialect.py), with the portable md5
+hash where the scale path uses xxhash64. Determinism rules follow
+functions/compat.py: counts stay integral, doubles are compared or
+divided per-row (never accumulated), hash sampling uses the portable
+h64.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import curation
+from ..sources.tables import load_table
+from . import dialect as D
+from .registry import register
+
+
+def _run_rendered(spark: SparkSession, sf_dir: str, table: str, render, view: str) -> DataFrame:
+    load_table(spark, sf_dir, table).createOrReplaceTempView(view)
+    return spark.sql(render(D.SPARK, view))
+
+
+def _word_ngrams(engine: str, n: int, arr: str = "__t") -> str:
+    """Word-n-gram array over token-array column ``arr`` (occurrences,
+    NOT distinct — callers dedupe relationally where it matters). The
+    position sequence is filtered to in-range starts so docs with < n
+    tokens degrade to an empty set instead of tripping Spark's ANSI
+    ARRAY_INDEX_OUT_OF_BOUNDS."""
+    alen = D.alen(arr, engine)
+    seq = D.iseq("1", f"greatest({alen} - {n - 1}, 1)", engine)
+    valid = D.arr_filter(seq, f"i -> i + {n - 1} <= {alen}", engine)
+    idx = [D.at(arr, f"i + {j}", engine) for j in range(n)]
+    sep = ", ' ', "
+    return D.transform(valid, f"i -> concat({sep.join(idx)})", engine)
+
+
+# ------------------------------------------------------- decontamination
+
+
+def _decontaminate(engine: str, table: str) -> str:
+    toks = D.split_ws("trim(text)", engine)
+    grams = _word_ngrams(engine, 3)
+    gram_rows = D.unnest_col("gs", engine)
+    return f"""
+    WITH t AS (SELECT doc_id, source, {toks} AS __t FROM {table}),
+    g AS (SELECT doc_id, source, {grams} AS gs FROM t),
+    bg AS (SELECT DISTINCT gram FROM
+             (SELECT {gram_rows} AS gram FROM g WHERE doc_id % 50 = 0) b),
+    cg AS (SELECT doc_id, {gram_rows} AS gram FROM g WHERE doc_id % 50 <> 0),
+    hit AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg ON cg.gram = bg.gram),
+    corpus AS (SELECT doc_id, source FROM g WHERE doc_id % 50 <> 0)
+    SELECT c.source,
+           CAST(COUNT(*) AS BIGINT) AS corpus_docs,
+           CAST(SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS contaminated_docs,
+           CAST(SUM(CASE WHEN h.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS clean_docs
+    FROM corpus c LEFT JOIN hit h ON c.doc_id = h.doc_id
+    GROUP BY c.source"""
+
+
+@register(
+    "curation_decontaminate",
+    _decontaminate(D.DUCK, "documents"),
+    doc="training-data ext: eval-set decontamination — docs sharing any "
+        "word-3-gram with the (deterministic doc_id%50) benchmark slice, "
+        "per-source contamination counts; scale path broadcasts the hashed "
+        "benchmark gram set (operators/curation.py)",
+    bench=True,
+)
+def curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Native Spark side (oracle above renders the same semantics for
+    # DuckDB): exploded positions + element_at keep gram building in
+    # whole-stage codegen — the rendered transform() lambda formulation
+    # is interpreted and ran 4.7 s at sf0.1 vs ~1 s for this shape. The
+    # join stays on exact gram STRINGS (matching the oracle bit-for-bit;
+    # the hashed-gram production path is operators/curation.decontaminate).
+    docs = load_table(spark, sf_dir, "documents")
+    # small-file scans arrive as ONE split; spread the gram map stage
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    grams = curation.word_ngram_rows(
+        docs.select("doc_id", "text"), n=3, lower=False
+    )
+    bench_g = grams.filter(F.col("doc_id") % 50 == 0).select("__gram").distinct()
+    hits = (
+        grams.filter(F.col("doc_id") % 50 != 0)
+        .join(F.broadcast(bench_g), "__gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    corpus = docs.filter(F.col("doc_id") % 50 != 0).select("doc_id", "source")
+    return (
+        corpus.join(hits, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("corpus_docs"),
+            F.sum(F.when(F.col("__hit").isNotNull(), 1).otherwise(0)).alias(
+                "contaminated_docs"
+            ),
+            F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0)).alias("clean_docs"),
+        )
+    )
+
+
+# --------------------------------------------------- repetition filtering
+
+
+def _repetition(engine: str, table: str) -> str:
+    toks = D.split_ws("lower(trim(text))", engine)
+    bigrams = _word_ngrams(engine, 2)
+    gram_rows = D.unnest_col("gs", engine)
+    return f"""
+    WITH t AS (SELECT doc_id, lang, {toks} AS __t FROM {table}),
+    m AS (SELECT doc_id, lang, {D.alen('__t', engine)} AS n_tokens,
+                 {D.alen(D.arr_distinct('__t', engine), engine)} AS distinct_tokens,
+                 {bigrams} AS gs
+          FROM t),
+    bgc AS (SELECT doc_id, gram, COUNT(*) AS c FROM
+              (SELECT doc_id, {gram_rows} AS gram FROM m) x
+            GROUP BY doc_id, gram),
+    tb AS (SELECT doc_id, MAX(c) AS top_bigram_n FROM bgc GROUP BY doc_id)
+    SELECT m.doc_id, m.lang,
+           CAST(n_tokens AS INT) AS n_tokens,
+           CAST(distinct_tokens AS INT) AS distinct_tokens,
+           CAST(top_bigram_n AS INT) AS top_bigram_n,
+           1.0 - CAST(distinct_tokens AS DOUBLE) / n_tokens AS dup_word_frac,
+           2.0 * CAST(top_bigram_n AS DOUBLE) / n_tokens AS top_bigram_frac,
+           CAST(CASE WHEN 1.0 - CAST(distinct_tokens AS DOUBLE) / n_tokens > 0.65
+                       OR 2.0 * CAST(top_bigram_n AS DOUBLE) / n_tokens > 0.15
+                     THEN 1 ELSE 0 END AS INT) AS repetitive
+    FROM m JOIN tb ON m.doc_id = tb.doc_id"""
+
+
+@register(
+    "curation_repetition",
+    _repetition(D.DUCK, "documents"),
+    doc="training-data ext: Gopher-style repetition profile per doc — "
+        "duplicate-word fraction + most-frequent-bigram mass with flag "
+        "thresholds (0.65 / 0.15, ~p90 of the corpus); identical per-row "
+        "double arithmetic in both engines",
+)
+def curation_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_rendered(spark, sf_dir, "documents", _repetition, "bq_rep_docs")
+
+
+# --------------------------------------------------------- PII scrubbing
+
+
+_EMAIL_PAT = "[a-z0-9._]+@[a-z0-9.]+"
+_PHONE_PAT = "555-[0-9]{4}"
+
+
+def _pii_scrub(engine: str, table: str) -> str:
+    # Deterministic PII injection (the synthetic corpus carries none):
+    # every 7th doc gains an email, every 11th a phone — so the scrubber
+    # has real work and exact expected counts.
+    email = "concat(text, ' contact user', doc_id, '@example.com')"
+    aug = (
+        f"CASE WHEN doc_id % 7 = 0 THEN {email} ELSE text END"
+    )
+    aug = (
+        f"CASE WHEN doc_id % 11 = 0 THEN concat({aug}, ' call 555-', "
+        f"lpad(concat('', doc_id % 10000), 4, '0')) ELSE {aug} END"
+    )
+    scrubbed = D.re_replace_all(
+        D.re_replace_all("aug_text", _EMAIL_PAT, "<EMAIL>", engine),
+        _PHONE_PAT, "<PHONE>", engine,
+    )
+    n_email = D.alen(D.re_extract_all("aug_text", _EMAIL_PAT, engine), engine)
+    n_phone = D.alen(D.re_extract_all("aug_text", _PHONE_PAT, engine), engine)
+    return f"""
+    WITH a AS (SELECT doc_id, source, {aug} AS aug_text FROM {table}),
+    s AS (SELECT doc_id, source, aug_text,
+                 {scrubbed} AS clean_text,
+                 {n_email} AS n_email, {n_phone} AS n_phone
+          FROM a)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS docs,
+           CAST(SUM(CASE WHEN n_email + n_phone > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+           CAST(SUM(n_email) AS BIGINT) AS emails_redacted,
+           CAST(SUM(n_phone) AS BIGINT) AS phones_redacted,
+           CAST(SUM(length(aug_text) - length(clean_text)) AS BIGINT) AS chars_removed
+    FROM s GROUP BY source"""
+
+
+@register(
+    "curation_pii_scrub",
+    _pii_scrub(D.DUCK, "documents"),
+    doc="training-data ext: PII redaction pass — regex scrub of "
+        "deterministically injected emails/phones with per-source match and "
+        "removed-char accounting; scale path is the same codegen "
+        "regexp_replace chain (operators/curation.scrub_pii)",
+)
+def curation_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_rendered(spark, sf_dir, "documents", _pii_scrub, "bq_pii_docs")
+
+
+# --------------------------------------------- domain-mixture sampling
+
+
+def _domain_mixture(engine: str, table: str) -> str:
+    # Target weight per domain: proportional to the numeric source
+    # suffix + 1 (src0 lightest … src19 heaviest, summing to 1 over the
+    # 20 sources) — a deterministic stand-in for a configured mixture.
+    # CAST the divisor: a bare 210.0 literal is DECIMAL in Spark (decimal
+    # division truncates scale) but double-ish in DuckDB's division
+    w_s = "(CAST(substring(source, 4) AS INT) + 1) / CAST(210 AS DOUBLE)"
+    keep = D.h64("concat('mix#', doc_id)", engine)
+    return f"""
+    WITH n AS (SELECT source, COUNT(*) AS n_s FROM {table} GROUP BY source),
+    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM {table}),
+    th AS (SELECT source, n_s, {w_s} AS w_s,
+                  CAST(FLOOR(LEAST(1.0, {w_s} * t / n_s) * 1000000) AS BIGINT) AS thr
+           FROM n CROSS JOIN tot),
+    k AS (SELECT d.source, COUNT(*) AS kept
+          FROM {table} d JOIN th ON d.source = th.source
+          WHERE {keep} % 1000000 < th.thr
+          GROUP BY d.source)
+    SELECT th.source,
+           CAST(th.n_s AS BIGINT) AS available,
+           CAST(COALESCE(k.kept, 0) AS BIGINT) AS kept,
+           th.w_s AS target_weight
+    FROM th LEFT JOIN k ON th.source = k.source"""
+
+
+@register(
+    "curation_domain_mixture",
+    _domain_mixture(D.DUCK, "documents"),
+    doc="training-data ext: deterministic domain-mixture downsample — "
+        "per-source keep-fraction min(1, w·T/n) applied as a portable-hash "
+        "bucket on doc_id (reproducible, append-stable); scale path "
+        "broadcasts the fractions table (operators/curation.domain_mixture_sample)",
+)
+def curation_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_rendered(spark, sf_dir, "documents", _domain_mixture, "bq_mix_docs")

@@ -64,6 +64,11 @@ def iseq(start: str, stop: str, engine: str) -> str:
     return f"generate_series({start}, {stop})" if engine == DUCK else f"sequence({start}, {stop})"
 
 
+def unnest_col(arr: str, engine: str) -> str:
+    """Array → rows in a select list (one generator per SELECT)."""
+    return f"unnest({arr})" if engine == DUCK else f"explode({arr})"
+
+
 def transform(arr: str, lam: str, engine: str) -> str:
     return f"list_transform({arr}, {lam})" if engine == DUCK else f"transform({arr}, {lam})"
 

@@ -1,0 +1,253 @@
+"""Corpus-curation operators (training-data pipeline): benchmark
+decontamination, repetition (Gopher-style) filtering, PII scrubbing, and
+domain-mixture sampling.
+
+Beyond the reference surface — these are the curation passes a
+large-scale LLM training-data pipeline runs between dedup and packing.
+The oracle-checked flavors live in ``benchqueries/curation_ops.py``
+(portable md5 hashing so DuckDB can verify); these are the production
+variants built for 100 TB:
+
+- decontamination: benchmark n-gram set is tiny next to the corpus →
+  hash the grams (xxhash64) and BROADCAST them; the corpus side is one
+  narrow map (explode positions, codegen) + a broadcast semi-join. No
+  shuffle of corpus text, ever.
+- repetition stats: one explode of token positions feeds both the
+  token-level aggregate and the bigram top-count — two map-side-combined
+  hash aggregates keyed on doc_id, joined doc-to-doc.
+- PII scrub: pure ``regexp_replace``/``regexp_extract_all`` column
+  expressions (whole-stage codegen; no Python).
+- mixture sampling: per-domain keep-fractions derived from a weights
+  table joined against per-domain counts (both tiny → broadcast);
+  membership is a deterministic hash bucket per row, so the sample is
+  reproducible and re-runnable without a seed-state shuffle.
+
+All JVM expressions; no ``collect()`` — the scalar corpus total rides a
+broadcast single-row cross join.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+# (name, java-regex, replacement token). ASCII-only classes so behavior
+# is predictable across regex engines; extend per-deployment.
+DEFAULT_PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{3}[-.]\d{3,4}[-.]?\d{0,4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def word_ngram_rows(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    lower: bool = True,
+) -> DataFrame:
+    """``(id_col, __gram)`` — one row per word-n-gram occurrence, gram as
+    a string. Codegen end to end: positions are exploded (Generate
+    supports whole-stage codegen), the token array is built once per
+    doc, and ``element_at`` indexing + concat are plain expressions — no
+    interpreted array lambdas (the HOF footgun)."""
+    base = F.trim(F.col(text_col))
+    toks = F.split(F.lower(base) if lower else base, " ")
+    pos = docs.select(
+        F.col(id_col),
+        toks.alias("__t"),
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+        ).alias("__i"),
+    ).filter(F.col("__i") + (n - 1) <= F.size("__t"))
+    gram = F.concat_ws(
+        " ", *[F.element_at(F.col("__t"), F.col("__i") + j) for j in range(n)]
+    )
+    return pos.select(id_col, gram.alias("__gram"))
+
+
+def word_ngram_hashes(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """``(id_col, __g)`` — word-n-gram occurrences with gram identity as
+    xxhash64, the shuffle-friendly form (8 bytes per gram instead of the
+    string)."""
+    return word_ngram_rows(docs, id_col, text_col, n).select(
+        id_col, F.xxhash64("__gram").alias("__g")
+    )
+
+
+def benchmark_ngrams(
+    benchmark: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct gram-hash set of a benchmark/eval suite (single ``__g``
+    column). Benchmark suites are MBs against a 100-TB corpus — the
+    caller broadcasts this."""
+    return word_ngram_hashes(benchmark, id_col, text_col, n).select("__g").distinct()
+
+
+def contaminated_ids(
+    corpus: DataFrame,
+    bench_grams: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Docs sharing ≥1 word-n-gram with the benchmark set. The corpus
+    side never shuffles: explode → broadcast-semi-join → distinct ids
+    (the only shuffle is on the matched ids, a tiny fraction)."""
+    grams = word_ngram_hashes(corpus, id_col, text_col, n)
+    return (
+        grams.join(F.broadcast(bench_grams), "__g", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Remove corpus docs that leak benchmark n-grams (the standard
+    eval-decontamination pass). ``n`` is deployment-tuned (8–13 word
+    grams in practice; the synthetic corpus's tiny vocabulary reaches
+    the same collision regime at n=3)."""
+    bad = contaminated_ids(corpus, benchmark_ngrams(benchmark, id_col, text_col, n),
+                           id_col, text_col, n)
+    return corpus.join(bad, id_col, "left_anti")
+
+
+def repetition_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dup_word_frac: float = 0.65,
+    max_top_bigram_frac: float = 0.15,
+) -> DataFrame:
+    """Per-doc repetition profile (Gopher-rule style): duplicate-word
+    fraction and most-frequent-bigram mass, plus a ``repetitive`` flag.
+    One narrow explode feeds two doc-keyed hash aggregates (map-side
+    combined); nothing quadratic, no arrays retained past the map."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), " ")
+    pos = docs.select(
+        F.col(id_col),
+        toks.alias("__t"),
+        F.explode(F.sequence(F.lit(1), F.size(toks))).alias("__i"),
+    )
+    occ = pos.select(
+        id_col,
+        F.xxhash64(F.element_at("__t", F.col("__i"))).alias("__w"),
+        F.when(
+            F.col("__i") < F.size("__t"),
+            F.xxhash64(
+                F.concat_ws(
+                    " ",
+                    F.element_at("__t", F.col("__i")),
+                    F.element_at("__t", F.col("__i") + 1),
+                )
+            ),
+        ).alias("__bg"),
+    )
+    words = occ.groupBy(id_col).agg(
+        F.count("__w").alias("n_tokens"),
+        F.countDistinct("__w").alias("distinct_tokens"),
+    )
+    top_bg = (
+        occ.filter(F.col("__bg").isNotNull())
+        .groupBy(id_col, "__bg")
+        .agg(F.count("*").alias("__c"))
+        .groupBy(id_col)
+        .agg(F.max("__c").alias("top_bigram_n"))
+    )
+    prof = words.join(top_bg, id_col).select(
+        id_col,
+        "n_tokens",
+        "distinct_tokens",
+        "top_bigram_n",
+        (1.0 - F.col("distinct_tokens") / F.col("n_tokens")).alias("dup_word_frac"),
+        (2.0 * F.col("top_bigram_n") / F.col("n_tokens")).alias("top_bigram_frac"),
+    )
+    return prof.withColumn(
+        "repetitive",
+        (F.col("dup_word_frac") > max_dup_word_frac)
+        | (F.col("top_bigram_frac") > max_top_bigram_frac),
+    )
+
+
+def drop_repetitive(docs: DataFrame, id_col: str = "doc_id", **thresholds) -> DataFrame:
+    flagged = (
+        repetition_stats(docs, id_col=id_col, **thresholds)
+        .filter(F.col("repetitive"))
+        .select(id_col)
+    )
+    return docs.join(flagged, id_col, "left_anti")
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: tuple[tuple[str, str, str], ...] = DEFAULT_PII_PATTERNS,
+) -> DataFrame:
+    """Redact PII-shaped spans in place and count matches per pattern
+    (``<name>_redacted`` int columns). Sequential regexp_replace chain —
+    entirely JVM expressions, so the pass costs one codegen'd map over
+    the corpus with zero shuffle."""
+    out = df
+    scrubbed = F.col(text_col)
+    for name, pat, token in patterns:
+        out = out.withColumn(
+            f"{name}_redacted", F.size(F.regexp_extract_all(text_col, F.lit(pat), F.lit(0)))
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    return out.withColumn(text_col, scrubbed)
+
+
+def domain_mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    target_total: int | None = None,
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic downsample toward a target domain mixture.
+
+    Per-domain keep-fraction ``min(1, w_d · T / n_d)`` where ``T`` is the
+    target corpus size (default: current total) and ``n_d`` the domain's
+    available rows — i.e. sample each domain toward its share of the
+    target mixture, never upsampling. Membership is a fixed hash bucket
+    of the row id (``xxhash64 % 1e6``), so re-runs and incremental
+    appends keep/drop the same rows — no RNG state, no seed shuffle.
+
+    Domains-with-weights is a driver-side dict by construction (it's a
+    config), so the fractions table is built locally and BROADCAST onto
+    the corpus: the corpus itself never shuffles — the whole sample is
+    one codegen'd filter."""
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(k, float(v)) for k, v in weights.items()], [domain_col, "__w"]
+    )
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("__n"))
+    tot = (
+        df.agg(F.count("*").alias("__tot"))
+        if target_total is None
+        else spark.createDataFrame([(target_total,)], ["__tot"])
+    )
+    fracs = (
+        counts.join(wdf, domain_col)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            domain_col,
+            F.least(F.lit(1.0), F.col("__w") * F.col("__tot") / F.col("__n")).alias("__f"),
+        )
+    )
+    bucket = F.pmod(F.xxhash64(F.concat_ws("#", F.lit(salt), F.col(id_col))), F.lit(1_000_000))
+    return (
+        df.join(F.broadcast(fracs), domain_col)
+        .filter(bucket < F.floor(F.col("__f") * 1_000_000))
+        .drop("__f")
+    )

@@ -1,0 +1,103 @@
+"""Scale-path curation operator tests: decontamination, repetition
+filtering, PII scrubbing, domain-mixture sampling
+(operators/curation.py; oracle-checked twins in
+benchqueries/curation_ops.py)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from nyc_taxi_bigdata_pipeline_spark.operators import curation
+from nyc_taxi_bigdata_pipeline_spark.plans.explain import assert_no_python_udf
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+def test_decontaminate_removes_leaked_docs(spark, docs):
+    # benchmark = 3 corpus docs verbatim → they (at least) must go
+    bench = docs.limit(3).select("doc_id", "text")
+    clean = curation.decontaminate(docs, bench, n=3)
+    n_before, n_after = docs.count(), clean.count()
+    assert n_after <= n_before - 3
+    # docs sharing no 3-gram with the benchmark survive
+    novel = spark.createDataFrame(
+        [(999999, "qq ww ee rr tt yy uu ii oo pp")], ["doc_id", "text"]
+    )
+    assert curation.decontaminate(novel, bench, n=3).count() == 1
+
+
+def test_decontaminate_broadcasts_benchmark(docs):
+    bench = docs.limit(3).select("doc_id", "text")
+    bad = curation.contaminated_ids(
+        docs, curation.benchmark_ngrams(bench, n=3), n=3
+    )
+    plan = bad._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert_no_python_udf(bad)
+
+
+def test_repetition_stats_flags_planted_doc(spark, docs):
+    planted = spark.createDataFrame(
+        [
+            (900001, ("spam ham " * 40).strip()),   # dup_frac ≈ 0.975
+            (900002, " ".join(f"w{i}" for i in range(80))),  # all distinct
+        ],
+        ["doc_id", "text"],
+    )
+    prof = {r["doc_id"]: r for r in curation.repetition_stats(planted).collect()}
+    rep, uniq = prof[900001], prof[900002]
+    assert rep["repetitive"] and rep["dup_word_frac"] > 0.9
+    assert rep["top_bigram_n"] == 40  # "spam ham" ×40
+    assert not uniq["repetitive"] and uniq["dup_word_frac"] == 0.0
+    kept = curation.drop_repetitive(planted)
+    assert [r["doc_id"] for r in kept.collect()] == [900002]
+
+
+def test_scrub_pii_counts_and_redacts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at bob.smith@example.com or 555-123-4567 ok"),
+            (2, "server at 10.0.0.1 replied"),
+            (3, "nothing sensitive here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in curation.scrub_pii(df).collect()}
+    assert out[1]["email_redacted"] == 1 and out[1]["phone_redacted"] == 1
+    assert "<EMAIL>" in out[1]["text"] and "<PHONE>" in out[1]["text"]
+    assert "bob.smith" not in out[1]["text"]
+    assert out[2]["ipv4_redacted"] == 1 and "<IP>" in out[2]["text"]
+    assert out[3]["text"] == "nothing sensitive here"
+    assert_no_python_udf(curation.scrub_pii(df))
+
+
+def test_domain_mixture_sample_hits_targets(docs):
+    # skew the 20 uniform sources toward src0/src1; heavier domains keep
+    # more rows, fraction is capped at available
+    weights = {f"src{i}": (0.3 if i < 2 else 0.4 / 18) for i in range(20)}
+    total = docs.count()
+    sampled = curation.domain_mixture_sample(docs, weights, target_total=total // 2)
+    by_src = {
+        r["source"]: r["n"]
+        for r in sampled.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    per_src_avail = total // 20
+    # capped domains keep everything available
+    assert by_src["src0"] == per_src_avail and by_src["src1"] == per_src_avail
+    light = [by_src.get(f"src{i}", 0) for i in range(2, 20)]
+    # light domains are downsampled well below the heavy ones
+    assert max(light) < per_src_avail / 2
+    # deterministic: same inputs → same rows
+    again = curation.domain_mixture_sample(docs, weights, target_total=total // 2)
+    assert sorted(r["doc_id"] for r in sampled.select("doc_id").collect()) == sorted(
+        r["doc_id"] for r in again.select("doc_id").collect()
+    )
+
+
+def test_domain_mixture_never_upsamples(docs):
+    sampled = curation.domain_mixture_sample(docs, {"src0": 5.0})
+    assert sampled.count() == docs.filter(F.col("source") == "src0").count()
