@@ -1,0 +1,169 @@
+"""Event-behavior analytics over the events stream table: funnel
+conversion, weekly retention cohorts, gaps-and-islands activity streaks,
+and a time-bounded interval join.
+
+Beyond the reference surface (its only event-shaped analysis is the
+hourly series, app.py:330-344) — these are the standard product-analytics
+queries a clickstream warehouse serves, expressed as one-pass
+conditional aggregation and keyed window functions so they scale the
+same way the §2.5 window queries do. All event-time math runs on exact
+epoch-µs integers (dialect.epoch_us) so the two engines never disagree
+on timestamp precision; day/week bucketing is integer division on
+non-negative epoch days.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions import compat as C
+from ..sources.tables import load_table
+from . import dialect as D
+from .registry import register
+
+_US_PER_DAY = 86_400_000_000
+
+# funnel stage order mirrors the synthetic product flow: account
+# creation -> browse -> interact -> buy (events.event_type domain)
+_STAGES = ("signup", "view", "click", "purchase")
+
+
+def _funnel(engine: str, table: str) -> str:
+    t = D.epoch_us("ts", engine)
+    mins = ",\n             ".join(
+        f"MIN(CASE WHEN event_type = '{s}' THEN {t} END) AS t_{s}" for s in _STAGES
+    )
+    # stage N counts users whose first stage-N event happened at/after
+    # their first stage-(N-1) event — the classic ordered-funnel rule
+    reached = ["t_signup IS NOT NULL"]
+    for prev, cur in zip(_STAGES, _STAGES[1:]):
+        reached.append(f"{reached[-1]} AND t_{cur} >= t_{prev}")
+    stage_cols = ",\n           ".join(
+        f"CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) AS n_{s}"
+        for s, cond in zip(_STAGES, reached)
+    )
+    return f"""
+    WITH stage AS (
+      SELECT user_id,
+             {mins}
+      FROM {table} GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           {stage_cols},
+           CAST(SUM(CASE WHEN {reached[-1]} THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS full_funnel_rate
+    FROM stage"""
+
+
+@register(
+    "funnel_conversion",
+    _funnel(D.DUCK, "events"),
+    doc="analytics ext: ordered funnel (signup→view→click→purchase) via "
+        "one-pass conditional MIN aggregation per user — no self-joins, one "
+        "shuffle on user_id; epoch-µs stage times keep both engines exact",
+    bench=True,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("bq_funnel_events")
+    return spark.sql(_funnel(D.SPARK, "bq_funnel_events"))
+
+
+def _retention(engine: str, table: str) -> str:
+    day = f"CAST({D.idiv(D.epoch_us('ts', engine), str(_US_PER_DAY), engine)} AS BIGINT)"
+    week = D.idiv("day", "7", engine)
+    return f"""
+    WITH weeks AS (
+      SELECT DISTINCT user_id, {week} AS week
+      FROM (SELECT user_id, {day} AS day FROM {table}) d
+    ),
+    cohort AS (
+      SELECT user_id, MIN(week) AS cohort_week FROM weeks GROUP BY user_id
+    )
+    SELECT CAST(c.cohort_week AS BIGINT) AS cohort_week,
+           CAST(w.week - c.cohort_week AS BIGINT) AS offset_weeks,
+           COUNT(*) AS users
+    FROM weeks w JOIN cohort c ON w.user_id = c.user_id
+    GROUP BY 1, 2"""
+
+
+@register(
+    "retention_cohorts",
+    _retention(D.DUCK, "events"),
+    doc="analytics ext: weekly retention cohorts — cohort = first active "
+        "epoch-week per user, counts per (cohort, offset); the cohort min "
+        "re-joins the per-user week set (two shuffles on user_id, both "
+        "map-side combined; at scale the cohort table is the broadcast side)",
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("bq_ret_events")
+    return spark.sql(_retention(D.SPARK, "bq_ret_events"))
+
+
+def _streaks(engine: str, table: str) -> str:
+    day = f"CAST({D.idiv(D.epoch_us('ts', engine), str(_US_PER_DAY), engine)} AS BIGINT)"
+    return f"""
+    WITH days AS (
+      SELECT DISTINCT user_id, {day} AS day FROM {table}
+    ),
+    runs AS (
+      SELECT user_id, day,
+             day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      FROM days
+    ),
+    islands AS (
+      SELECT user_id, grp, COUNT(*) AS streak_len
+      FROM runs GROUP BY user_id, grp
+    )
+    SELECT user_id, COUNT(*) AS n_streaks,
+           CAST(MAX(streak_len) AS INT) AS longest_streak,
+           CAST(SUM(streak_len) AS BIGINT) AS active_days
+    FROM islands GROUP BY user_id"""
+
+
+@register(
+    "activity_streaks",
+    _streaks(D.DUCK, "events"),
+    doc="analytics ext: gaps-and-islands — consecutive-active-day streaks "
+        "per user via the day − row_number() grouping trick; everything "
+        "partitions by user_id so the window never needs a global sort",
+)
+def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("bq_streak_events")
+    return spark.sql(_streaks(D.SPARK, "bq_streak_events"))
+
+
+def _interval_join(engine: str, table: str, window_minutes: int = 30) -> str:
+    t = D.epoch_us("ts", engine)
+    win_us = window_minutes * 60 * 1_000_000
+    return f"""
+    WITH p AS (
+      SELECT user_id, event_id, {t} AS t, COALESCE(value, 0.0) AS v
+      FROM {table} WHERE event_type = 'purchase'
+    ),
+    v AS (
+      SELECT user_id, {t} AS t FROM {table} WHERE event_type = 'view'
+    )
+    SELECT p.user_id, COUNT(*) AS pairs,
+           COUNT(DISTINCT p.event_id) AS purchases_with_view,
+           CAST(SUM(p.t - v.t) AS BIGINT) AS total_lag_us,
+           {C.sum_exact(C.money('p.v'), 'paired_value')}
+    FROM p JOIN v
+      ON p.user_id = v.user_id
+     AND v.t >= p.t - {win_us} AND v.t <= p.t
+    GROUP BY p.user_id"""
+
+
+@register(
+    "interval_join_views",
+    _interval_join(D.DUCK, "events"),
+    doc="analytics ext + §2.9: interval join — purchases matched to same-"
+        "user views within the preceding 30 min. Batch twin of the "
+        "watermarked stream-stream join (streaming/events.py); planned as a "
+        "user_id equi-join with the time band as a residual predicate, so "
+        "it shuffles once on the join key and never nested-loops",
+    bench=True,
+)
+def interval_join_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("bq_ij_events")
+    return spark.sql(_interval_join(D.SPARK, "bq_ij_events"))

@@ -118,3 +118,17 @@ def hex15_to_int(expr: str, engine: str) -> str:
 def bit_xor(a: str, b: str, engine: str) -> str:
     """Bitwise xor: DuckDB's ^ is exponentiation, use xor()."""
     return f"xor({a}, {b})" if engine == DUCK else f"({a} ^ {b})"
+
+
+def idiv(a: str, b: str, engine: str) -> str:
+    """Integer division (truncating). Spark spells it DIV, DuckDB //;
+    both truncate toward zero, so keep operands non-negative when the
+    downstream math assumes floor semantics."""
+    return f"({a} // {b})" if engine == DUCK else f"({a} DIV {b})"
+
+
+def epoch_us(ts: str, engine: str) -> str:
+    """Timestamp → exact epoch microseconds (the portable event-time key;
+    sidesteps the ns/µs parquet precision skew documented in
+    sources/tables.load_table)."""
+    return f"epoch_us({ts})" if engine == DUCK else f"unix_micros({ts})"

@@ -90,3 +90,44 @@ def _norm_buckets(engine: str, table: str) -> str:
 def similarity_norm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("bq_nb_emb")
     return spark.sql(_norm_buckets(D.SPARK, "bq_nb_emb"))
+
+
+# ------------------------------------------------------------ centroids
+
+
+def _centroids(engine: str, table: str) -> str:
+    """Per-label per-dimension centroid. Float sums are accumulation-order-
+    dependent, so the mean is computed over fixed-point scaled ints:
+    float→double cast is exact, ×1e6 and FLOOR are identical IEEE ops in
+    both engines, and the BIGINT sum is associative — deterministic under
+    any partitioning (same rule as functions/compat.py's decimal sums)."""
+    if engine == D.DUCK:
+        src = (
+            f"SELECT e.label, p.pos AS pos, CAST(e.embedding[p.pos] AS DOUBLE) AS val "
+            f"FROM {table} e CROSS JOIN generate_series(1, {_DIM}) p(pos)"
+        )
+    else:
+        src = (
+            "SELECT label, pos + 1 AS pos, CAST(val AS DOUBLE) AS val "
+            f"FROM (SELECT label, posexplode(embedding) AS (pos, val) FROM {table})"
+        )
+    fp = "CAST(FLOOR(val * 1e6) AS BIGINT)"
+    return f"""
+    SELECT CAST(label AS INT) AS label, CAST(pos AS INT) AS pos,
+           COUNT(*) AS cnt,
+           CAST(SUM({fp}) AS BIGINT) AS sum_fp6,
+           CAST(SUM({fp}) AS DOUBLE) / (1e6 * COUNT(*)) AS mean_fp6
+    FROM ({src}) x GROUP BY label, pos"""
+
+
+@register(
+    "embedding_centroids",
+    _centroids(D.DUCK, "embeddings"),
+    doc="training-data ext: per-label embedding centroids (the KMeans "
+        "update step / class prototypes) via posexplode + fixed-point "
+        "BIGINT sums — order-independent exact aggregation over floats, "
+        "one shuffle on (label, pos) with map-side combine",
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("bq_cent_emb")
+    return spark.sql(_centroids(D.SPARK, "bq_cent_emb"))

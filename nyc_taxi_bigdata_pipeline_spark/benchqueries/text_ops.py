@@ -11,6 +11,7 @@ query renders the same template for Spark and DuckDB (dialect.py).
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..sources.tables import load_table
@@ -183,3 +184,44 @@ def _fingerprint(engine: str, table: str) -> str:
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_rendered(spark, sf_dir, "documents", _fingerprint, "bq_fp_docs")
+
+
+# --------------------------------------------------------- vocab mining
+
+
+def _top_bigrams(engine: str, table: str, k: int = 20) -> str:
+    """Corpus-level top-k word bigrams (vocabulary/collocation mining —
+    the frequency pass behind BPE merge selection and stopword lists)."""
+    from .curation_ops import _word_ngrams
+
+    toks = D.split_ws("lower(trim(text))", engine)
+    grams = _word_ngrams(engine, 2)
+    gram_rows = D.unnest_col("gs", engine)
+    return f"""
+    WITH t AS (SELECT {toks} AS __t FROM {table}),
+    g AS (SELECT {gram_rows} AS bigram FROM (SELECT {grams} AS gs FROM t) x)
+    SELECT bigram, COUNT(*) AS cnt
+    FROM g GROUP BY bigram
+    ORDER BY cnt DESC, bigram LIMIT {k}"""
+
+
+@register(
+    "text_top_bigrams",
+    _top_bigrams(D.DUCK, "documents"),
+    doc="training-data ext: corpus top-20 bigram mining (the counting pass "
+        "behind BPE merges / collocation lists) — exploded-position gram "
+        "rows in codegen feed ONE map-side-combined count + "
+        "TakeOrderedAndProject; deterministic lexicographic tiebreak",
+)
+def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import curation
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    grams = curation.word_ngram_rows(docs, n=2, lower=True)
+    return (
+        grams.groupBy(F.col("__gram").alias("bigram"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("bigram"))
+        .limit(20)
+    )
