@@ -215,3 +215,42 @@ def sessionize_batch(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
         F.count("*").alias("n_events"),
         F.sum(F.coalesce("value", F.lit(0.0))).alias("total_value"),
     ).drop("session_id")
+
+
+def purchase_view_join(
+    events: DataFrame,
+    lookback: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to the same
+    user's views within the preceding ``lookback`` window.
+
+    On streaming input both sides get event-time watermarks and the join
+    condition carries the time band, so Spark can bound join state to
+    the watermark + lookback horizon (an unbanded stream-stream join
+    would buffer both streams forever). On static input the same plan is
+    a shuffle equi-join on user_id with the band as a residual
+    predicate — the oracle-checked batch twin is the benchquery
+    ``interval_join_views`` (benchqueries/behavior.py).
+    """
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    if events.isStreaming:
+        purchases = purchases.withWatermark("p_ts", watermark)
+        views = views.withWatermark("v_ts", watermark)
+    cond = (
+        (purchases.user_id == views.v_user_id)
+        & (views.v_ts >= purchases.p_ts - F.expr(f"INTERVAL {lookback}"))
+        & (views.v_ts <= purchases.p_ts)
+    )
+    return purchases.join(views, cond, "inner").select(
+        "user_id", "purchase_id", "p_ts", "v_ts", "purchase_value"
+    )

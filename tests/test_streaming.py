@@ -164,3 +164,44 @@ def test_stream_dedup_with_watermark(spark, events_df, tmp_path):
     q.stop()
     # batch twin: static frame takes the plain dropDuplicates path
     assert ev.dedup_stream(spark.read.parquet(src)).count() == n
+
+
+def test_purchase_view_join_stream_matches_batch(spark, events_df, tmp_path):
+    batch = ev.purchase_view_join(events_df).collect()
+    assert batch, "sf0.001 events should yield at least one purchase-view pair"
+    # every pair respects the 30-minute lookback band
+    for r in batch:
+        lag = (r["p_ts"] - r["v_ts"]).total_seconds()
+        assert 0 <= lag <= 1800
+
+    expected = {(r["purchase_id"], r["v_ts"]) for r in batch}
+    src = str(tmp_path / "ppv_src")
+    events_df.repartition(4).write.mode("overwrite").parquet(src)
+
+    def run_stream(name: str, **reader_opts) -> set:
+        reader = spark.readStream.schema(ev.EVENT_SCHEMA)
+        for k, v in reader_opts.items():
+            reader = reader.option(k, v)
+        q = (
+            ev.purchase_view_join(reader.parquet(src))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql(f"SELECT * FROM {name}").collect()
+        q.stop()
+        return {(r["purchase_id"], r["v_ts"]) for r in rows}
+
+    # all files in one micro-batch: no event precedes the watermark, so
+    # the stream-stream join reproduces the batch twin exactly
+    assert run_stream("ppv_join_one") == expected
+
+    # one unordered file per micro-batch: the watermark races ahead of
+    # out-of-order arrivals, so cross-batch matches whose view fell
+    # behind it are DROPPED — the result must be a subset of the batch
+    # twin (this is the bounded-state late-data contract, not a bug)
+    multi = run_stream("ppv_join_multi", maxFilesPerTrigger=1)
+    assert multi <= expected
