@@ -191,3 +191,21 @@ def ml_gbt_quick(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_extendedprice",
         F.round("prediction", 2).alias("prediction"),
     ).orderBy("l_orderkey", "l_linenumber").limit(100)
+
+
+@register(
+    "ann_pq_topk",
+    None,
+    doc="training-data ext (rows-only): product-quantization ANN — seeded "
+        "per-subvector codebooks, ADC code-word scan, exact rerank of the "
+        "shortlist (operators/similarity.pq_*); recall vs the exact "
+        "baseline is pinned in tests/test_operators.py",
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import pq_encode, pq_topk_rerank, pq_train_codebooks
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    cb = pq_train_codebooks(emb, dim=64, n_subvectors=16, n_codes=32, sample_rows=512)
+    codes = pq_encode(emb, cb)
+    return pq_topk_rerank(emb, codes, queries, cb, k=10, shortlist_factor=8)

@@ -249,3 +249,197 @@ def ann_topk_lsh(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rn")
     )
+
+
+# ------------------------------------------------------------------ PQ
+
+
+def _np_kmeans(X: np.ndarray, k: int, seed: int, iters: int = 20) -> np.ndarray:
+    """Seeded Lloyd's iterations on a driver-side sample — deterministic,
+    dependency-free codebook training (the sample is bounded, so this is
+    O(sample × k × iters) on the driver, never on the cluster)."""
+    rng = np.random.default_rng(seed)
+    centers = X[rng.choice(len(X), size=min(k, len(X)), replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        labels = d2.argmin(axis=1)
+        for j in range(len(centers)):
+            members = X[labels == j]
+            if len(members):
+                centers[j] = members.mean(axis=0)
+    return centers
+
+
+def pq_train_codebooks(
+    corpus: DataFrame,
+    dim: int,
+    n_subvectors: int = 8,
+    n_codes: int = 32,
+    sample_rows: int = 4096,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> np.ndarray:
+    """Product-quantization codebooks: split the (L2-normalized) vector
+    into ``n_subvectors`` chunks and train one small KMeans codebook per
+    chunk on a bounded, deterministic corpus sample.
+
+    Scale shape: the sample is a hash-ordered LIMIT (content-stable, no
+    full sort), training happens once on the driver, and the resulting
+    (m, n_codes, dim/m) float array is tiny — it ships to executors as a
+    closure constant, the same broadcast pattern as the query matrix in
+    :func:`cosine_topk`. Returns array of shape (m, n_codes, dim//m).
+    """
+    assert dim % n_subvectors == 0, "dim must divide evenly into subvectors"
+    sub = dim // n_subvectors
+    rows = (
+        corpus.select(vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(sample_rows)
+        .collect()
+    )
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(X, axis=1)
+    norms[norms == 0] = 1.0
+    X = X / norms[:, None]
+    return np.stack(
+        [
+            _np_kmeans(X[:, m * sub : (m + 1) * sub], n_codes, seed + m)
+            for m in range(n_subvectors)
+        ]
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every corpus vector its PQ code word (one small int per
+    subvector). Vectorized per Arrow batch; output is ``dim/m × log2(k)``
+    bits per vector instead of ``dim × 32`` — the compressed index a
+    100-TB corpus actually stores and scans."""
+    m, n_codes, sub = codebooks.shape
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(X, axis=1)
+            norms[norms == 0] = 1.0
+            X = X / norms[:, None]
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for j in range(m):
+                chunk = X[:, j * sub : (j + 1) * sub]
+                # ||x - c||² argmin ≡ argmax(c·x - ||c||²/2): one matmul
+                scores = chunk @ codebooks[j].T - 0.5 * (codebooks[j] ** 2).sum(axis=1)
+                codes[:, j] = scores.argmax(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf[id_col].to_numpy(), "codes": list(codes)}
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        encode, "vec_id long, codes array<int>"
+    )
+
+
+def pq_topk_adc(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k by asymmetric distance computation (ADC):
+    each query precomputes a (m × n_codes) lookup table of subvector dot
+    products against the codebooks; a corpus vector's approximate
+    similarity is then m table lookups summed — no float vectors are read
+    at scan time, only the code words.
+
+    Same distributed shape as :func:`cosine_topk`: tables broadcast in
+    the closure, one vectorized pass per Arrow batch with per-batch
+    partial top-k, final window rank over the tiny survivor set.
+    """
+    m, n_codes, sub = codebooks.shape
+    q_ids, q_mat = _collect_queries(queries, id_col, vec_col)
+    # (n_queries, m, n_codes) lookup tables
+    luts = np.stack(
+        [q_mat[:, j * sub : (j + 1) * sub] @ codebooks[j].T for j in range(m)],
+        axis=1,
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)  # (b, m)
+            # sims[b, q] = Σ_j luts[q, j, codes[b, j]]
+            sims = luts[:, np.arange(m)[None, :], codes[:, :]].sum(axis=2).T
+            n_local = min(k + 1, sims.shape[0])
+            idx = np.argpartition(-sims, n_local - 1, axis=0)[:n_local]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids, n_local),
+                    "neighbor_id": pdf["vec_id"].to_numpy()[idx].T.ravel(),
+                    "approx_sim": np.take_along_axis(sims, idx, axis=0).T.ravel(),
+                }
+            )
+
+    scored = corpus_codes.mapInPandas(
+        score, "query_id long, neighbor_id long, approx_sim double"
+    )
+    scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("approx_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+def pq_topk_rerank(
+    corpus: DataFrame,
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 10,
+    shortlist_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-ADC shortlist → exact rerank: the standard two-stage ANN serving
+    shape. The cheap code-word scan nominates ``k × shortlist_factor``
+    candidates per query; only those rows' float vectors are fetched
+    (an equi-join on id — at scale this is the point: the full-precision
+    read is proportional to the shortlist, not the corpus) and reranked
+    with exact cosine."""
+    shortlist = pq_topk_adc(
+        corpus_codes, queries, codebooks, k=k * shortlist_factor,
+        id_col=id_col, vec_col=vec_col,
+    ).select("query_id", "neighbor_id")
+    q_ids, q_mat = _collect_queries(queries, id_col, vec_col)
+    q_lookup = {int(q): q_mat[i] for i, q in enumerate(q_ids)}
+    vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    cand = shortlist.join(vecs, "neighbor_id")
+
+    def rerank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(pdf["c_vec"].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            mat = mat / norms[:, None]
+            qm = np.array([q_lookup[int(q)] for q in pdf["query_id"]])
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                    "cos_sim": (mat * qm).sum(axis=1),
+                }
+            )
+
+    scored = cand.mapInPandas(rerank, "query_id long, neighbor_id long, cos_sim double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
