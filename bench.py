@@ -22,7 +22,10 @@ from nyc_taxi_bigdata_pipeline_spark.session import get_spark
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
-    ap.add_argument("--repeat", type=int, default=1)
+    # best-of-2 by default: single-run timings on this container carry
+    # multi-second GC/scheduler noise (observed 0.85 s ↔ 4.8 s swings on
+    # the same query); the min of two runs is a far stabler steady-state
+    ap.add_argument("--repeat", type=int, default=2)
     ap.add_argument("--all", action="store_true", help="bench every registry query")
     ap.add_argument(
         "--warmup-dir",
@@ -41,17 +44,23 @@ def main() -> None:
         for name in names:
             REGISTRY[name].spark_fn(spark, args.warmup_dir).collect()
 
+    # settle: let the JIT compile queue drain after the warmup burst —
+    # a CPU-bound query timed while C2 is still busy compiling runs its
+    # codegen class interpreted/C1 and reads 3-5× slower than steady state
+    time.sleep(5)
+
+    # round-robin passes (all queries per pass, min across passes) rather
+    # than back-to-back repeats: consecutive runs of the same query share
+    # whatever transient (GC cycle, compile backlog) made the first slow
     timings: dict[str, float] = {}
-    for name in names:
-        q = REGISTRY[name]
-        best = float("inf")
-        for _ in range(args.repeat):
+    for _ in range(args.repeat):
+        for name in names:
+            q = REGISTRY[name]
             t0 = time.perf_counter()
             rows = q.spark_fn(spark, args.sf_dir).collect()
             dt = time.perf_counter() - t0
-            best = min(best, dt)
             assert rows is not None
-        timings[name] = round(best, 4)
+            timings[name] = round(min(timings.get(name, float("inf")), dt), 4)
 
     sf = None
     tail = os.path.basename(args.sf_dir.rstrip("/"))
