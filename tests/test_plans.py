@@ -68,3 +68,45 @@ def test_no_python_udf_across_jvm_registry(spark, sf_dir):
     for name, q in REGISTRY.items():
         df = q.spark_fn(spark, sf_dir)
         assert_no_python_udf(df)
+
+
+def _plan_nodes(plan: str) -> list[str]:
+    """Operator names from a formatted plan's tree section, one per node
+    (substring counting would double-count the per-node detail section)."""
+    import re
+
+    return [
+        m.group(1)
+        for line in plan.splitlines()
+        if (m := re.search(r"\(\d+\)\s+([A-Za-z]+)", line))
+    ]
+
+
+def test_funnel_single_shuffle(spark, sf_dir):
+    """Ordered funnel must be one conditional-MIN aggregation pass: a
+    single Exchange (on user_id), no joins at all."""
+    plan = physical_plan(REGISTRY["funnel_conversion"].spark_fn(spark, sf_dir))
+    assert "Join" not in plan
+    nodes = _plan_nodes(plan)
+    # partial agg → one shuffle → final agg (+ the single-row final fold)
+    assert nodes.count("Exchange") <= 2, nodes
+
+
+def test_interval_join_is_equi_join(spark, sf_dir):
+    """The 30-min band must ride an equi-join on user_id as a residual
+    predicate — never a nested-loop/cartesian theta join."""
+    plan = physical_plan(REGISTRY["interval_join_views"].spark_fn(spark, sf_dir))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_unpivot_plans_single_expand(spark, sf_dir):
+    """Native unpivot = ONE Expand over the wide row (not N self-unions)."""
+    plan = physical_plan(REGISTRY["unpivot_nation_metrics"].spark_fn(spark, sf_dir))
+    assert _plan_nodes(plan).count("Expand") == 1
+    assert "Union" not in plan
+
+
+def test_set_ops_no_cartesian(spark, sf_dir):
+    plan = physical_plan(REGISTRY["set_ops_customer_years"].spark_fn(spark, sf_dir))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
