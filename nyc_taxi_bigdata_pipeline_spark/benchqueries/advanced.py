@@ -288,3 +288,43 @@ def _near_dup(engine: str, table: str, threshold: float = 0.99) -> str:
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("bq_nd_emb")
     return spark.sql(_near_dup(D.SPARK, "bq_nd_emb"))
+
+
+# --------------------------------------------- correlation / covariance
+
+
+def _corr(engine: str, table: str) -> str:
+    """Pearson r and sample covariance per group from exact decimal
+    moments (same determinism rule as _linreg; corr/covar_samp built-ins
+    accumulate doubles partition-order-dependently, so the oracle flavor
+    derives them from associative decimal sums instead)."""
+    x = C.money("l_quantity")
+    y = C.money("l_extendedprice")
+    return f"""
+    WITH m AS (
+      SELECT l_returnflag, COUNT(*) AS n,
+             CAST(SUM({x}) AS DOUBLE) AS sx,
+             CAST(SUM({y}) AS DOUBLE) AS sy,
+             CAST(SUM({x} * {x}) AS DOUBLE) AS sxx,
+             CAST(SUM({x} * {y}) AS DOUBLE) AS sxy,
+             CAST(SUM({y} * {y}) AS DOUBLE) AS syy
+      FROM {table} GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9) AS pearson_r,
+           round((sxy - sx * sy / n) / (n - 1), 4) AS covar_samp
+    FROM m"""
+
+
+@register(
+    "corr_by_returnflag",
+    _corr(D.DUCK, "lineitem"),
+    doc="A11 extension: grouped Pearson correlation + sample covariance "
+        "(quantity ↔ extendedprice per returnflag) from exact decimal "
+        "moments — one hash aggregate with map-side combine, derived "
+        "doubles identical in both engines",
+)
+def corr_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("bq_corr_li")
+    return spark.sql(_corr(D.SPARK, "bq_corr_li"))

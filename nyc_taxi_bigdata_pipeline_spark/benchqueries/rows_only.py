@@ -209,3 +209,33 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = pq_train_codebooks(emb, dim=64, n_subvectors=16, n_codes=32, sample_rows=512)
     codes = pq_encode(emb, cb)
     return pq_topk_rerank(emb, codes, queries, cb, k=10, shortlist_factor=8)
+
+
+@register(
+    "approx_aggregates",
+    None,
+    doc="§2.4 (rows-only): sketch-based approximate aggregates — "
+        "approx_count_distinct (HyperLogLog++) and percentile_approx "
+        "(KLL-style) beside their exact counterparts with relative-error "
+        "columns; sketches are engine-private so no SQL oracle, error "
+        "bounds pinned in tests/test_analytics_quality.py",
+)
+def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.agg(
+        # rsd is a ~1σ relative error dial (more precision = bigger
+        # sketch); 2% keeps the estimate inside ±6% with 3σ headroom
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custs"),
+        F.countDistinct("o_custkey").alias("exact_custs"),
+        F.expr("percentile_approx(o_totalprice, 0.5)").alias("approx_median"),
+        F.expr(
+            "percentile(o_totalprice, 0.5)"
+        ).alias("exact_median"),
+    )
+    return agg.select(
+        "*",
+        (F.abs(F.col("approx_custs") - F.col("exact_custs"))
+         / F.col("exact_custs")).alias("cust_rel_err"),
+        (F.abs(F.col("approx_median") - F.col("exact_median"))
+         / F.col("exact_median")).alias("median_rel_err"),
+    )

@@ -84,3 +84,44 @@ def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         (F.col("o_totalprice") - F.lag("o_totalprice").over(w)).cast("double").alias("delta_prev"),
     )
+
+
+# Grouped exact percentiles (A12 extension): same rank-interpolation as
+# the global `percentiles` query, partitioned per group. Ties among equal
+# values leave the value-at-rank unchanged (sorted multiset), so no
+# unique tiebreak is needed for determinism.
+_GROUPED_PCT_SQL = """
+WITH o AS (
+  SELECT event_type, value AS v,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM {table} WHERE value IS NOT NULL
+),
+g AS (SELECT DISTINCT event_type, n FROM o),
+p AS (SELECT CAST(p AS DOUBLE) AS p
+      FROM (VALUES (0.25),(0.50),(0.75),(0.95)) AS t(p)),
+k AS (
+  SELECT g.event_type, p.p AS p,
+         1.0 + (g.n - 1) * p.p AS r,
+         CAST(FLOOR(1.0 + (g.n - 1) * p.p) AS BIGINT) AS lo,
+         CAST(CEILING(1.0 + (g.n - 1) * p.p) AS BIGINT) AS hi
+  FROM g CROSS JOIN p
+)
+SELECT k.event_type, k.p AS pct,
+       CAST(lov.v + (hiv.v - lov.v) * (k.r - k.lo) AS DOUBLE) AS pct_value
+FROM k
+JOIN o lov ON lov.event_type = k.event_type AND lov.rn = k.lo
+JOIN o hiv ON hiv.event_type = k.event_type AND hiv.rn = k.hi"""
+
+
+@register(
+    "grouped_percentiles",
+    _GROUPED_PCT_SQL.format(table="events"),
+    doc="A12 extension: per-group exact interpolated percentiles — the "
+        "rank window partitions by group so each group sorts independently "
+        "(no global sort); the tiny (group × percentile) grid joins back "
+        "on (group, rank)",
+)
+def grouped_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("bq_gpct_events")
+    return spark.sql(_GROUPED_PCT_SQL.format(table="bq_gpct_events"))

@@ -102,3 +102,17 @@ def test_schema_check(spark):
     assert quality.schema_check(feats, "train").ok
     assert not quality.schema_check(feats.drop("total_amount"), "train").ok
     assert quality.schema_check(feats.drop("total_amount"), "infer").ok
+
+
+def test_approx_aggregates_error_bounds(spark):
+    """HLL++ count-distinct and KLL-ish percentile sketches must land
+    within their documented error envelopes on real data (rows-only
+    query — sketches are engine-private, so the gate lives here)."""
+    from nyc_taxi_bigdata_pipeline_spark.benchqueries import REGISTRY
+
+    row = REGISTRY["approx_aggregates"].spark_fn(
+        spark, "/root/testdata/sf0.01"
+    ).first()
+    assert row["exact_custs"] > 0
+    assert row["cust_rel_err"] <= 0.06   # rsd=0.02 in the query → 3σ
+    assert row["median_rel_err"] <= 0.05
