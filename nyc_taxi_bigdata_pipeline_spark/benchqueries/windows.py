@@ -125,3 +125,38 @@ JOIN o hiv ON hiv.event_type = k.event_type AND hiv.rn = k.hi"""
 def grouped_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("bq_gpct_events")
     return spark.sql(_GROUPED_PCT_SQL.format(table="bq_gpct_events"))
+
+
+def _range_frame(engine: str, table: str) -> str:
+    """Value-based (RANGE) window frame: per customer, revenue in the
+    trailing 30-day band of each order — the frame a rows-based window
+    can't express when order density varies. Day keys are exact ints and
+    the windowed SUM is exact decimal, so peers-at-a-tie and accumulation
+    order can't skew either engine."""
+    # o_orderdate arrives as midnight TIMESTAMP in Spark's parquet read
+    # and DATE in DuckDB's — normalize through an explicit DATE cast
+    day = (
+        "unix_date(CAST(o_orderdate AS DATE))"
+        if engine != "duck"
+        else "datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))"
+    )
+    return f"""
+    SELECT o_custkey, o_orderkey, CAST(day AS INT) AS order_day,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+                PARTITION BY o_custkey ORDER BY day
+                RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS trailing_30d_revenue
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice, {day} AS day
+          FROM {table}) t"""
+
+
+@register(
+    "window_range_frame",
+    _range_frame("duck", "orders"),
+    doc="§2.5 extension: RANGE (value-based) window frame — trailing "
+        "30-day revenue per customer on integer day keys; partitioned by "
+        "customer so no global sort, exact-decimal accumulation",
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("bq_rangef_orders")
+    return spark.sql(_range_frame("spark", "bq_rangef_orders"))
