@@ -77,23 +77,25 @@ def _retention(engine: str, table: str) -> str:
       SELECT DISTINCT user_id, {week} AS week
       FROM (SELECT user_id, {day} AS day FROM {table}) d
     ),
-    cohort AS (
-      SELECT user_id, MIN(week) AS cohort_week FROM weeks GROUP BY user_id
+    w2 AS (
+      SELECT user_id, week,
+             MIN(week) OVER (PARTITION BY user_id) AS cohort_week
+      FROM weeks
     )
-    SELECT CAST(c.cohort_week AS BIGINT) AS cohort_week,
-           CAST(w.week - c.cohort_week AS BIGINT) AS offset_weeks,
+    SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+           CAST(week - cohort_week AS BIGINT) AS offset_weeks,
            COUNT(*) AS users
-    FROM weeks w JOIN cohort c ON w.user_id = c.user_id
-    GROUP BY 1, 2"""
+    FROM w2 GROUP BY 1, 2"""
 
 
 @register(
     "retention_cohorts",
     _retention(D.DUCK, "events"),
     doc="analytics ext: weekly retention cohorts — cohort = first active "
-        "epoch-week per user, counts per (cohort, offset); the cohort min "
-        "re-joins the per-user week set (two shuffles on user_id, both "
-        "map-side combined; at scale the cohort table is the broadcast side)",
+        "epoch-week per user via an unordered MIN window over the distinct "
+        "per-user week set (no aggregate+self-join: measured 3.1 s → 0.8 s "
+        "at 12.5M events, scripts/bench_behavior_scale.py); weeks are "
+        "already distinct per user so COUNT(*) is the user count",
 )
 def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("bq_ret_events")
