@@ -182,3 +182,37 @@ def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
     assert back.rdd.getNumPartitions() == 4  # sharded into range queries
     assert back.count() == 100
     assert back.agg({"v": "sum"}).first()[0] == sum(2 * i for i in range(100))
+
+
+def test_jsonl_roundtrip_and_malformed_capture(spark, tmp_path):
+    """JSONL source/sink: shard-controlled write, schema-required read,
+    and PERMISSIVE malformed-row capture (the 100-TB contract: no
+    inference pass, corrupt rows quarantined not fatal)."""
+    from pyspark.sql.types import StringType, StructField
+
+    from nyc_taxi_bigdata_pipeline_spark.sources import jsonl
+    from nyc_taxi_bigdata_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = str(tmp_path / "docs_jsonl")
+    jsonl.write_jsonl(docs, out, partitions=4)
+
+    back = jsonl.read_jsonl(spark, out, jsonl.documents_jsonl_roundtrip_schema())
+    assert back.count() == docs.count()
+    a = {tuple(r) for r in docs.collect()}
+    b = {tuple(r) for r in back.select(*docs.columns).collect()}
+    assert a == b
+    import glob
+
+    assert len(glob.glob(f"{out}/part-*")) == 4  # shard sizing honored
+
+    # malformed line lands in _corrupt_record, valid lines still parse
+    bad = tmp_path / "bad.jsonl"
+    bad.write_text('{"doc_id": 1, "text": "ok"}\n{not json at all\n')
+    schema = jsonl.documents_jsonl_roundtrip_schema().add(
+        StructField("_corrupt_record", StringType())
+    )
+    parsed = jsonl.read_jsonl(spark, str(bad), schema).cache()
+    assert parsed.count() == 2
+    assert parsed.filter("_corrupt_record IS NOT NULL").count() == 1
+    assert parsed.filter("doc_id = 1 AND _corrupt_record IS NULL").count() == 1
