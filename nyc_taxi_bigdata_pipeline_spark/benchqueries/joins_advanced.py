@@ -112,3 +112,60 @@ def _json_k(engine: str, table: str) -> str:
 def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("bq_json_events")
     return spark.sql(_json_k(D.SPARK, "bq_json_events"))
+
+
+# ------------------------------------------------------------- SCD2
+
+# Scenario (deterministic from testdata): seed the customer dim as an
+# SCD2 table open since 1990-01-01; one update batch re-segments every
+# customer who ordered in 1996 (segment + '_96') effective at their
+# first 1996 order date. The oracle states the same result set-wise:
+# closed old rows + new open rows + untouched rows.
+_SCD2_ORACLE = """
+WITH upd AS (
+  SELECT o_custkey AS c_custkey, MIN(CAST(o_orderdate AS DATE)) AS eff
+  FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1
+),
+cur AS (SELECT c_custkey, c_mktsegment FROM customer)
+SELECT cur.c_custkey, cur.c_mktsegment AS segment,
+       CAST('1990-01-01' AS DATE) AS valid_from,
+       CASE WHEN upd.eff IS NULL THEN CAST('9999-12-31' AS DATE) ELSE upd.eff END AS valid_to,
+       upd.eff IS NULL AS is_current
+FROM cur LEFT JOIN upd ON cur.c_custkey = upd.c_custkey
+UNION ALL
+SELECT upd.c_custkey, concat(cur.c_mktsegment, '_96') AS segment,
+       upd.eff AS valid_from,
+       CAST('9999-12-31' AS DATE) AS valid_to,
+       TRUE AS is_current
+FROM upd JOIN cur ON cur.c_custkey = upd.c_custkey"""
+
+
+@register(
+    "scd2_customer_segments",
+    _SCD2_ORACLE,
+    doc="warehouse extension: SCD Type-2 dim merge (operators/scd.py) — "
+        "validity intervals + current flags after one update batch; beyond "
+        "the reference's insert-if-absent (dw_load_incremental.sql:54-94). "
+        "One key join + key-window, no MERGE statement",
+)
+def scd2_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scd import scd2_apply, scd2_init
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    scd = scd2_init(
+        c.select("c_custkey", F.col("c_mktsegment").alias("segment")),
+        "c_custkey",
+        ["segment"],
+        "1990-01-01",
+    )
+    updates = (
+        o.filter(F.year("o_orderdate") == 1996)
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.min(F.col("o_orderdate").cast("date")).alias("eff_date"))
+        .join(
+            c.select("c_custkey", F.concat("c_mktsegment", F.lit("_96")).alias("segment")),
+            "c_custkey",
+        )
+    )
+    return scd2_apply(scd, updates, "c_custkey", ["segment"])

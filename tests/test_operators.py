@@ -448,3 +448,43 @@ def test_pq_encode_deterministic(emb):
     c1 = {r["vec_id"]: tuple(r["codes"]) for r in similarity.pq_encode(emb, cb1).collect()}
     c2 = {r["vec_id"]: tuple(r["codes"]) for r in similarity.pq_encode(emb, cb2).collect()}
     assert c1 == c2
+
+
+def test_scd2_multi_update_chain_and_idempotency(spark):
+    from nyc_taxi_bigdata_pipeline_spark.operators import scd
+
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver"), (3, "bronze")], "k long, tier string"
+    )
+    t = scd.scd2_init(dim, "k", ["tier"], "2020-01-01")
+
+    import datetime as dt
+
+    updates = spark.createDataFrame(
+        [
+            (1, "platinum", dt.date(2021, 6, 1)),   # real change
+            (1, "diamond", dt.date(2022, 1, 1)),    # second version same batch
+            (2, "silver", dt.date(2021, 6, 1)),     # no-op: attrs unchanged
+        ],
+        "k long, tier string, eff_date date",
+    )
+    out = scd.scd2_apply(t, updates, "k", ["tier"])
+    rows = {(r["k"], r["tier"]): r for r in out.collect()}
+
+    # key 1: gold closed at first change, platinum closed at second, diamond open
+    assert rows[(1, "gold")]["valid_to"] == dt.date(2021, 6, 1)
+    assert not rows[(1, "gold")]["is_current"]
+    assert rows[(1, "platinum")]["valid_from"] == dt.date(2021, 6, 1)
+    assert rows[(1, "platinum")]["valid_to"] == dt.date(2022, 1, 1)
+    assert rows[(1, "diamond")]["is_current"]
+    # key 2: no-op update leaves the row open; key 3 untouched
+    assert rows[(2, "silver")]["is_current"]
+    assert rows[(3, "bronze")]["is_current"]
+    # exactly one current row per key, intervals never overlap
+    assert out.filter("is_current").count() == 3
+    assert out.filter("valid_from >= valid_to").count() == 0
+
+    # idempotency: re-applying the same batch is a no-op (latest version
+    # per key now matches the current rows)
+    again = scd.scd2_apply(out, updates, "k", ["tier"])
+    assert {tuple(r) for r in again.collect()} == {tuple(r) for r in out.collect()}
