@@ -169,3 +169,39 @@ def _interval_join(engine: str, table: str, window_minutes: int = 30) -> str:
 def interval_join_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("bq_ij_events")
     return spark.sql(_interval_join(D.SPARK, "bq_ij_events"))
+
+
+def _transitions(engine: str, table: str) -> str:
+    t = D.epoch_us("ts", engine)
+    return f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY {t}, event_id) AS prev_type
+      FROM {table}
+    ),
+    pairs AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS cnt
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ),
+    totals AS (
+      SELECT prev_type, SUM(cnt) AS row_total FROM pairs GROUP BY prev_type
+    )
+    SELECT p.prev_type, p.next_type, CAST(p.cnt AS BIGINT) AS cnt,
+           CAST(p.cnt AS DOUBLE) / t.row_total AS p_next
+    FROM pairs p JOIN totals t ON p.prev_type = t.prev_type"""
+
+
+@register(
+    "event_transition_matrix",
+    _transitions(D.DUCK, "events"),
+    doc="analytics ext: first-order Markov transition matrix over each "
+        "user's event sequence (lag window keyed by user, epoch-µs order "
+        "with event_id tiebreak) — transition counts + row-normalized "
+        "probabilities; the |types|² matrix is tiny so normalization is a "
+        "broadcast join",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("bq_trans_events")
+    return spark.sql(_transitions(D.SPARK, "bq_trans_events"))

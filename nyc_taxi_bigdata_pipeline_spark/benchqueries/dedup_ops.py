@@ -16,6 +16,7 @@ Spark-first design notes (100 TB mindset):
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..sources.tables import load_table
@@ -253,3 +254,54 @@ def _simhash(engine: str, table: str) -> str:
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_rendered(spark, sf_dir, "documents", _simhash, "bq_simh_docs")
+
+
+# ------------------------------------------------------- fuzzy ed≤1 join
+
+# Deterministic corruption: delete one char (position keyed to the id)
+# from each of 200 customer names, then find every (corrupted, original)
+# pair within edit distance 1. The ORACLE does the naive levenshtein
+# theta join (bounded 200×200 — that's the point of the oracle); the
+# Spark side blocks on deletion-neighborhood variants and verifies only
+# candidates (operators/text.fuzzy_join_ed1), the shape that survives a
+# 100M-name corpus where the theta join is a nested-loop cliff.
+_FUZZY_POS = "CAST(2 + id % 12 AS INT)"
+_FUZZY_BASE = (
+    "SELECT c_custkey AS id, c_name AS name FROM {table} WHERE c_custkey < 200"
+)
+_FUZZY_Q = (
+    f"SELECT id, concat(substr(name, 1, {_FUZZY_POS} - 1), "
+    f"substr(name, {_FUZZY_POS} + 1)) AS qname FROM base"
+)
+_FUZZY_ORACLE = f"""
+WITH base AS ({_FUZZY_BASE.format(table='customer')}),
+q AS ({_FUZZY_Q})
+SELECT q.id AS query_id, b.id AS match_id,
+       CAST(levenshtein(q.qname, b.name) AS INT) AS edit_dist
+FROM q JOIN base b ON levenshtein(q.qname, b.name) <= 1"""
+
+
+@register(
+    "fuzzy_join_names",
+    _FUZZY_ORACLE,
+    doc="training-data ext: edit-distance-≤1 fuzzy join via FastSS "
+        "deletion-neighborhood blocking + exact levenshtein verify "
+        "(operators/text.fuzzy_join_ed1) — the relational form of the "
+        "O(n·m) levenshtein theta join the oracle runs on the bounded slice",
+)
+def fuzzy_join_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import fuzzy_join_ed1
+
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("bq_fuzzy_cust")
+    base = spark.sql(_FUZZY_BASE.format(table="bq_fuzzy_cust"))
+    base.createOrReplaceTempView("base")
+    q = spark.sql(_FUZZY_Q)
+    pairs = fuzzy_join_ed1(
+        q.select(F.col("id").alias("l_id"), F.col("qname").alias("l_str")),
+        base.select(F.col("id").alias("r_id"), F.col("name").alias("r_str")),
+    )
+    return pairs.select(
+        F.col("l_id").alias("query_id"),
+        F.col("r_id").alias("match_id"),
+        F.col("edit_dist").cast("int").alias("edit_dist"),
+    )

@@ -135,3 +135,50 @@ def with_text_features(df: DataFrame, col: str = "text") -> DataFrame:
         .withColumn("quality_score", quality_score(col))
         .withColumn("fingerprint", fingerprint(col))
     )
+
+
+def deletion_variants(
+    df: DataFrame, id_col: str, str_col: str, out_col: str = "__variant"
+) -> DataFrame:
+    """``(id, variant)`` rows: the string itself plus every single-char
+    deletion (FastSS neighborhood for edit distance ≤ 1). Positions are
+    exploded (Generate is codegen) and variants built with substr concat
+    — len+1 rows per string, no Python."""
+    pos = F.explode(F.sequence(F.lit(0), F.length(str_col))).alias("__p")
+    out = df.select(id_col, str_col, pos)
+    variant = F.when(F.col("__p") == 0, F.col(str_col)).otherwise(
+        F.concat(
+            F.substring(F.col(str_col), 1, F.col("__p") - F.lit(1)),
+            F.expr(f"substr({str_col}, __p + 1)"),
+        )
+    )
+    return out.select(id_col, variant.alias(out_col))
+
+
+def fuzzy_join_ed1(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str = "l_id",
+    left_str: str = "l_str",
+    right_id: str = "r_id",
+    right_str: str = "r_str",
+) -> DataFrame:
+    """All (left, right) pairs within edit distance ≤ 1, without the
+    O(n·m) levenshtein theta join (which Spark would plan as a nested
+    loop — the same cliff embedding_near_dup hit, benchqueries/advanced).
+
+    Block on shared deletion-neighborhood variants (two strings at
+    distance ≤ 1 always share one; sharing one only bounds distance ≤ 2),
+    then verify candidates with exact levenshtein. Cost: an equi-join on
+    variant strings — (len+1) rows per side — plus levenshtein on the
+    surviving candidate set only."""
+    lv = deletion_variants(left, left_id, left_str)
+    rv = deletion_variants(right, right_id, right_str)
+    cand = lv.join(rv, "__variant").select(left_id, right_id).distinct()
+    return (
+        cand.join(left.select(left_id, left_str), left_id)
+        .join(right.select(right_id, right_str), right_id)
+        .withColumn("edit_dist", F.levenshtein(left_str, right_str))
+        .filter(F.col("edit_dist") <= 1)
+        .select(left_id, right_id, "edit_dist")
+    )

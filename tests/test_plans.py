@@ -110,3 +110,10 @@ def test_unpivot_plans_single_expand(spark, sf_dir):
 def test_set_ops_no_cartesian(spark, sf_dir):
     plan = physical_plan(REGISTRY["set_ops_customer_years"].spark_fn(spark, sf_dir))
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_fuzzy_join_no_theta_nested_loop(spark, sf_dir):
+    """The ed≤1 join must run as variant-string equi-joins with a
+    post-filter — a levenshtein theta join would plan as BNLJ/cartesian."""
+    plan = physical_plan(REGISTRY["fuzzy_join_names"].spark_fn(spark, sf_dir))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
