@@ -1,0 +1,40 @@
+"""Snapshot the formatted physical plans of every bench-flagged registry
+query into reports/plans/ — reviewable evidence that filters push down,
+dims broadcast, and the hot path stays in whole-stage codegen, without
+re-running the queries.
+
+Usage: python scripts/dump_plans.py [--sf-dir /root/testdata/sf0.1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from nyc_taxi_bigdata_pipeline_spark.benchqueries import REGISTRY
+from nyc_taxi_bigdata_pipeline_spark.plans.explain import physical_plan
+from nyc_taxi_bigdata_pipeline_spark.session import get_spark
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default="reports/plans")
+    args = ap.parse_args()
+
+    spark = get_spark("dump-plans")
+    os.makedirs(args.out, exist_ok=True)
+    names = sorted(n for n, q in REGISTRY.items() if q.bench)
+    for name in names:
+        plan = physical_plan(REGISTRY[name].spark_fn(spark, args.sf_dir))
+        with open(os.path.join(args.out, f"{name}.txt"), "w") as f:
+            f.write(f"== {name} (sf_dir={args.sf_dir}) ==\n{plan}\n")
+        print(name, file=sys.stderr)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
