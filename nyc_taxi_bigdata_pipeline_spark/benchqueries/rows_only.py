@@ -285,3 +285,19 @@ def curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(stage(s3, "pii_scrubbed", 3))
         .unionAll(stage(s4, "mixture_sampled", 4))
     )
+
+
+@register(
+    "ann_ivfpq_topk",
+    None,
+    doc="training-data ext (rows-only): IVF-PQ composite ANN — KMeans "
+        "coarse prune (n_probe/n_cells scan fraction) × PQ code scan × "
+        "exact rerank (operators/similarity.ivfpq_topk); recall "
+        "composition pinned in tests/test_operators.py",
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivfpq_topk(emb, queries, dim=64, k=10, n_cells=8, n_probe=4)

@@ -443,3 +443,61 @@ def pq_topk_rerank(
     scored = cand.mapInPandas(rerank, "query_id long, neighbor_id long, cos_sim double")
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 4,
+    n_subvectors: int = 16,
+    n_codes: int = 32,
+    shortlist_factor: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-PQ: the composition serving systems actually deploy — a KMeans
+    coarse quantizer prunes the corpus to ``n_probe`` cells, the PQ code
+    scan ranks ONLY those cells' residual rows, and the exact rerank
+    reads full vectors for the shortlist alone.
+
+    Read volume at scale: (n_probe/n_cells) of the code table (bytes per
+    row) + shortlist × float vectors — both knobs independent. Recall is
+    bounded by the IVF probe recall times the PQ rerank recall; on the
+    synthetic sphere corpus measure ≈ the product of the two pinned
+    curves (tests/test_operators.py).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vec = F.col(vec_col).cast("array<double>")
+    corpus_v = corpus.withColumn("__v", array_to_vector(vec))
+    model = KMeans(k=n_cells, seed=seed, featuresCol="__v", predictionCol="__cell").fit(
+        corpus_v
+    )
+    assigned = model.transform(corpus_v).select(id_col, vec_col, F.col("__cell"))
+
+    q_ids, q_mat = _collect_queries(queries, id_col, vec_col)
+    centers = np.array(model.clusterCenters())
+    c_norm = np.linalg.norm(centers, axis=1)
+    c_norm[c_norm == 0] = 1.0
+    sims_to_cells = (q_mat @ centers.T) / c_norm[None, :]
+    probed = {
+        int(qid): [int(c) for c in np.argsort(-row)[:n_probe]]
+        for qid, row in zip(q_ids, sims_to_cells)
+    }
+    all_cells = sorted({c for cells in probed.values() for c in cells})
+    sub_corpus = assigned.filter(F.col("__cell").isin(all_cells)).drop("__cell")
+
+    cb = pq_train_codebooks(
+        corpus, dim, n_subvectors=n_subvectors, n_codes=n_codes,
+        vec_col=vec_col, id_col=id_col, seed=seed,
+    )
+    codes = pq_encode(sub_corpus, cb, id_col=id_col, vec_col=vec_col)
+    return pq_topk_rerank(
+        sub_corpus, codes, queries, cb, k=k,
+        shortlist_factor=shortlist_factor, id_col=id_col, vec_col=vec_col,
+    )

@@ -488,3 +488,31 @@ def test_scd2_multi_update_chain_and_idempotency(spark):
     # per key now matches the current rows)
     again = scd.scd2_apply(out, updates, "k", ["tier"])
     assert {tuple(r) for r in again.collect()} == {tuple(r) for r in out.collect()}
+
+
+def test_ivfpq_recall_composes(emb):
+    """IVF-PQ = coarse prune × code scan × exact rerank. With full probe
+    it must recover the PQ+rerank recall; with partial probe recall can
+    only drop (the pruned cells are gone for good)."""
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(emb, queries, k=10).collect()
+    }
+
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivfpq_topk(
+            emb, queries, dim=64, k=10, n_cells=8, n_probe=8
+        ).collect()
+    }
+    assert len(full & exact) / len(exact) >= 0.9  # PQ+rerank floor
+
+    partial = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivfpq_topk(
+            emb, queries, dim=64, k=10, n_cells=8, n_probe=4
+        ).collect()
+    }
+    assert len(partial & exact) / len(exact) >= 0.3
+    assert len(partial & exact) <= len(full & exact)
