@@ -139,3 +139,57 @@ def test_decimal_sum_matches_python_exact(spark, xs):
     ).first()["s"]
     want = float(sum(Fraction(str(round(x, 2))) for x in xs))
     assert math.isclose(got, want, rel_tol=0, abs_tol=0) or got == want
+
+
+# ----------------------------------------------------- SCD2 invariants
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 6),                      # key
+            st.sampled_from(["a", "b", "c"]),       # attr value
+            st.integers(1, 1000),                   # eff day offset
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: (t[0], t[2]),           # one update per (key, eff)
+    )
+)
+def test_scd2_invariants_hold_for_random_batches(spark, batch):
+    """For ANY update batch: exactly one current row per key, validity
+    intervals per key tile without overlap, and re-applying the same
+    batch is a no-op."""
+    import datetime as dt
+
+    from nyc_taxi_bigdata_pipeline_spark.operators import scd
+
+    dim = spark.createDataFrame(
+        [(k, "init") for k in range(1, 7)], "k long, attr string"
+    )
+    t = scd.scd2_init(dim, "k", ["attr"], "2020-01-01")
+    updates = spark.createDataFrame(
+        [
+            (k, v, dt.date(2020, 1, 1) + dt.timedelta(days=off))
+            for k, v, off in batch
+        ],
+        "k long, attr string, eff_date date",
+    )
+    out = scd.scd2_apply(t, updates, "k", ["attr"]).cache()
+
+    rows = out.collect()
+    by_key: dict[int, list] = {}
+    for r in rows:
+        by_key.setdefault(r["k"], []).append(r)
+    for k, krows in by_key.items():
+        currents = [r for r in krows if r["is_current"]]
+        assert len(currents) == 1, (k, krows)
+        ordered = sorted(krows, key=lambda r: r["valid_from"])
+        for a, b in zip(ordered, ordered[1:]):
+            assert a["valid_to"] == b["valid_from"], (k, ordered)  # tiling
+            assert a["valid_from"] < a["valid_to"]
+
+    again = scd.scd2_apply(out, updates, "k", ["attr"])
+    assert {tuple(r) for r in again.collect()} == {tuple(r) for r in rows}
+    out.unpersist()
