@@ -32,12 +32,24 @@ TESTDATA_TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one testdata table; normalizes the events ns-timestamp."""
+    """Read one testdata table; normalizes the events timestamp.
+
+    The generator has written ``events.ts`` as TIMESTAMP(NANOS) (read as a
+    raw long under ``nanosAsLong``) in some rounds and TIMESTAMP(MICROS)
+    (read as TIMESTAMP_NTZ) in others — normalize BOTH to session-tz
+    TimestampType so every downstream ``unix_micros``/window/watermark
+    sees the same epoch-µs instants (session tz is pinned to UTC by
+    ``ensure_engine_confs``, so NTZ wall-clock ≡ epoch semantics).
+    """
     ensure_engine_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # ns → µs; integer division keeps this exact and engine-agnostic
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # ns → µs; integer division keeps this exact and engine-agnostic
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS BIGINT)")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
