@@ -144,3 +144,48 @@ def dataset_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dataset_length_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_rendered(spark, sf_dir, "documents", _length_strata, "bq_strata_docs")
+
+
+# ------------------------------------------- per-key exact-k sampling
+
+_SAMPLE_K = 40
+_SAMPLE_SEED = 17
+
+
+def _per_key_sample(engine: str, table: str) -> str:
+    h = D.seeded_h64("CAST(o_orderkey AS STRING)", _SAMPLE_SEED, engine)
+    return f"""
+    SELECT o_orderpriority, o_orderkey, CAST(rn AS INT) AS rn
+    FROM (
+      SELECT o_orderpriority, o_orderkey,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY {h}, o_orderkey) AS rn
+      FROM {table}
+    ) ranked
+    WHERE rn <= {_SAMPLE_K}"""
+
+
+@register(
+    "per_key_sample",
+    _per_key_sample(D.DUCK, "orders"),
+    doc="training-data ext: EXACTLY-k-per-stratum deterministic sample "
+        "(reservoir-sampling equivalent) — rank by seeded content hash "
+        "inside each key, keep top k (operators/sampling."
+        "per_key_exact_sample); one keyed shuffle, stable across "
+        "runs/engines/re-sharding",
+)
+def per_key_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from ..operators.sampling import per_key_exact_sample
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderpriority", "o_orderkey")
+    h = F.expr(D.seeded_h64("CAST(o_orderkey AS STRING)", _SAMPLE_SEED, D.SPARK))
+    return per_key_exact_sample(
+        o,
+        "o_orderpriority",
+        _SAMPLE_K,
+        key_col="o_orderkey",
+        order_hash=h,
+        rank_col="rn",
+    )

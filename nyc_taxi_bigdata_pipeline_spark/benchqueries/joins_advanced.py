@@ -169,3 +169,57 @@ def scd2_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scd2_apply(scd, updates, "c_custkey", ["segment"])
+
+
+# --------------------------------------------- CDC latest-wins snapshot merge
+
+# Change feed synthesized from orders: each order is one change event for
+# its customer (seq = orderkey, every-23rd a delete, every-101st targets
+# a brand-new key so the FULL OUTER insert path is exercised too).
+_CDC_ORACLE = """
+WITH changes AS (
+  SELECT o_custkey + CASE WHEN o_orderkey % 101 = 0 THEN 1000000 ELSE 0 END AS k,
+         o_orderkey AS seq,
+         CASE WHEN o_orderkey % 23 = 0 THEN 'D' ELSE 'U' END AS op,
+         o_totalprice AS bal
+  FROM orders),
+latest AS (
+  SELECT k,
+         (max({'s': seq, 'op': op, 'bal': bal})).s   AS seq,
+         (max({'s': seq, 'op': op, 'bal': bal})).op  AS op,
+         (max({'s': seq, 'op': op, 'bal': bal})).bal AS bal
+  FROM changes GROUP BY k)
+SELECT COALESCE(c.c_custkey, l.k) AS c_custkey,
+       c.c_mktsegment AS c_mktsegment,
+       CASE WHEN l.k IS NOT NULL THEN l.bal ELSE c.c_acctbal END AS c_acctbal,
+       CAST(COALESCE(l.seq, 0) AS BIGINT) AS last_seq
+FROM customer c FULL OUTER JOIN latest l ON c.c_custkey = l.k
+WHERE l.op IS NULL OR l.op <> 'D'"""
+
+
+@register(
+    "cdc_merge_snapshot",
+    _CDC_ORACLE,
+    doc="warehouse extension: latest-wins CDC snapshot merge (operators/"
+        "upsert.apply_cdc) — I/U/D change feed folded to one winner per key "
+        "via struct-MAX hash aggregate (no window sort), then ONE full-outer "
+        "key join applies upserts/deletes/inserts; the MERGE-with-deletes "
+        "counterpart of the reference's insert-only ON CONFLICT DO NOTHING",
+)
+def cdc_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.upsert import apply_cdc
+
+    o = load_table(spark, sf_dir, "orders")
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    changes = o.select(
+        (
+            F.col("o_custkey")
+            + F.when(F.col("o_orderkey") % 101 == 0, F.lit(1000000)).otherwise(F.lit(0))
+        ).alias("c_custkey"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 23 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.col("o_totalprice").alias("c_acctbal"),
+    )
+    return apply_cdc(base, changes, "c_custkey", "seq", "op")

@@ -225,3 +225,38 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("bigram"))
         .limit(20)
     )
+
+
+# ------------------------------------------------ corpus-relative rarity
+
+
+def _rarity_score(engine: str, table: str) -> str:
+    unnest = D.unnest_col(D.split_ws("lower(trim(text))", engine), engine)
+    return f"""
+    WITH toks AS (SELECT doc_id, {unnest} AS tok FROM {table}),
+    freq AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+                   COUNT(*) AS vocab_size FROM freq)
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(f.cnt) AS DOUBLE) / COUNT(*) AS avg_tok_freq,
+           CAST(MIN(f.cnt) AS BIGINT) AS rarest_cnt,
+           CAST(SUM(CASE WHEN f.cnt * tot.vocab_size * 2 <= tot.total_tokens
+                         THEN 1 ELSE 0 END) AS BIGINT) AS rare_tokens
+    FROM toks t JOIN freq f ON t.tok = f.tok CROSS JOIN tot
+    GROUP BY t.doc_id"""
+
+
+@register(
+    "text_rarity_score",
+    _rarity_score(D.DUCK, "documents"),
+    doc="training-data ext: corpus-relative token-rarity features per doc "
+        "(operators/text.token_rarity_features) — global frequency pass + "
+        "broadcast re-join; rare = freq below half the corpus mean, pure "
+        "integer comparison so it hash-matches across engines",
+)
+def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import token_rarity_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_rarity_features(docs, id_col="doc_id", col="text")

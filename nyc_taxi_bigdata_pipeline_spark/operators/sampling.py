@@ -60,6 +60,45 @@ def deterministic_sample(
     return df.filter(_bucket(key_col, seed, 10_000) < cut)
 
 
+def per_key_exact_sample(
+    df: DataFrame,
+    strata_col: str,
+    k: int,
+    key_col: str = "doc_id",
+    seed: int = 17,
+    order_hash: F.Column | None = None,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """EXACTLY min(k, group size) rows per stratum — the deterministic
+    equivalent of per-key reservoir sampling. Rank rows inside each
+    stratum by a seeded content hash (key as tiebreak) and keep the top
+    ``k``; the chosen set is stable across runs, engines and
+    repartitioning, and new rows displace old ones only by hash order.
+
+    Scale shape: one shuffle on the stratum key + in-partition sort for
+    the window. Stratum cardinality bounds the sort width; for heavily
+    skewed strata the hash pre-filter trick (filter to ~4k/|stratum|
+    by bucket first, then rank the survivors) keeps the sort bounded —
+    apply it upstream with :func:`deterministic_sample` when a stratum
+    exceeds memory.
+    """
+    from pyspark.sql import Window
+
+    # default ranking hash is Spark-native xxhash64; pass ``order_hash``
+    # (e.g. the portable md5-based h64) when the chosen set must be
+    # reproducible OUTSIDE Spark as well
+    h = order_hash
+    if h is None:
+        h = F.xxhash64(F.col(key_col).cast("string"), F.lit(seed))
+    w = Window.partitionBy(strata_col).orderBy(h, F.col(key_col))
+    out = df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
+    if rank_col is None:
+        return out.drop("__rn")
+    # rank surfaced as INT (Spark row_number is int, DuckDB's BIGINT —
+    # pin the narrow type for cross-engine schema parity)
+    return out.withColumn(rank_col, F.col("__rn").cast("int")).drop("__rn")
+
+
 def stratified_deterministic_sample(
     df: DataFrame,
     strata_col: str,

@@ -56,6 +56,46 @@ def fingerprint(col: str = "text") -> F.Column:
     return F.xxhash64(F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " "))
 
 
+def token_rarity_features(
+    df: DataFrame, id_col: str = "doc_id", col: str = "text"
+) -> DataFrame:
+    """Corpus-relative token-rarity features per document — the
+    frequency-based slice of LM-style quality scoring (docs dominated by
+    corpus-rare tokens are disproportionately OCR noise, boilerplate
+    mutations, or misspellings).
+
+    Two-pass: (1) global token frequencies — one explode + hash
+    aggregate with map-side combine; (2) re-join frequencies onto the
+    exploded tokens and re-aggregate per doc. The frequency table is a
+    *vocabulary*-sized dim (≪ corpus, Heaps' law), so it is broadcast —
+    the corpus itself shuffles once, on the doc id. All features are
+    exact-integer or single-division doubles, so the oracle-backed
+    flavor (benchqueries/text_ops.text_rarity_score) hash-matches.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.lower(F.trim(F.col(col))), " ")).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    totals = freq.agg(
+        F.sum("cnt").alias("total_tokens"), F.count("*").alias("vocab_size")
+    )
+    joined = toks.join(F.broadcast(freq), "tok").join(F.broadcast(totals))
+    return joined.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        (F.sum("cnt").cast("double") / F.count("*")).alias("avg_tok_freq"),
+        F.min("cnt").cast("bigint").alias("rarest_cnt"),
+        # "rare" = frequency below half the corpus mean — pure integer
+        # comparison (cnt · vocab · 2 ≤ total), no float thresholds
+        F.sum(
+            F.when(
+                F.col("cnt") * F.col("vocab_size") * 2 <= F.col("total_tokens"), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("rare_tokens"),
+    )
+
+
 def tfidf_vectors(
     df: DataFrame,
     col: str = "text",

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 
@@ -44,6 +45,65 @@ def anti_dup_append(
         c = batch[k].eqNullSafe(existing[k])
         cond = c if cond is None else (cond & c)
     return batch.join(existing.select(*key), on=cond, how="left_anti")
+
+
+def apply_cdc(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str,
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Latest-wins CDC snapshot merge: apply an insert/update/delete
+    change feed to a base snapshot (the MERGE-with-deletes counterpart
+    of :func:`anti_dup_append`'s insert-only semantics).
+
+    ``changes`` carries (key, seq, op∈{'U','D'}, payload...); for each key
+    only the highest-``seq`` change applies ('U' upserts its payload, 'D'
+    removes the row; a 'D' on an absent key is a no-op). Payload columns
+    must be a subset of ``base``'s columns; non-payload base columns of a
+    freshly inserted key come out NULL. Appends ``last_seq`` (0 for
+    untouched base rows).
+
+    Scale shape: latest-change extraction is ONE hash aggregate on the
+    key via MAX over a (seq, op, payload) struct — no window sort, full
+    map-side combine over the feed — then ONE key-equi full-outer join
+    against the base (broadcast when the day's feed is small, co-located
+    when the base is bucketed by key). No driver state, no collect.
+    """
+    payload = [c for c in changes.columns if c not in (key, seq_col, op_col)]
+    struct_fields = [
+        F.col(seq_col).alias("__s"),
+        F.col(op_col).alias("__op"),
+        *[F.col(c) for c in payload],
+    ]
+    latest = (
+        changes.groupBy(key)
+        .agg(F.max(F.struct(*struct_fields)).alias("__m"))
+        .select(
+            F.col(key),
+            F.col("__m.__s").alias("__seq"),
+            F.col("__m.__op").alias("__op"),
+            *[F.col(f"__m.{c}").alias(f"__chg_{c}") for c in payload],
+        )
+    )
+    merged = base.join(latest, on=key, how="full").filter(
+        F.col("__op").isNull() | (F.col("__op") != "D")
+    )
+    out = [F.col(key)]
+    for c in base.columns:
+        if c == key:
+            continue
+        if c in payload:
+            out.append(
+                F.when(F.col("__op").isNotNull(), F.col(f"__chg_{c}"))
+                .otherwise(F.col(c))
+                .alias(c)
+            )
+        else:
+            out.append(F.col(c))
+    out.append(F.coalesce(F.col("__seq"), F.lit(0)).cast("bigint").alias("last_seq"))
+    return merged.select(*out)
 
 
 def union_distinct_keys(frames: Sequence[DataFrame], out_col: str) -> DataFrame:

@@ -516,3 +516,81 @@ def test_ivfpq_recall_composes(emb):
     }
     assert len(partial & exact) / len(exact) >= 0.3
     assert len(partial & exact) <= len(full & exact)
+
+
+# ---------------------------------------------------- CDC latest-wins merge
+
+
+def test_apply_cdc_upsert_delete_insert(spark):
+    from nyc_taxi_bigdata_pipeline_spark.operators.upsert import apply_cdc
+
+    base = spark.createDataFrame(
+        [(1, "A", 10.0), (2, "B", 20.0), (3, "C", 30.0)],
+        "k bigint, seg string, bal double",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, 5, "U", 11.0),   # stale update...
+            (1, 9, "U", 12.0),   # ...overridden by the latest seq
+            (2, 7, "D", 0.0),    # delete existing
+            (4, 3, "U", 40.0),   # insert brand-new key
+            (5, 2, "D", 0.0),    # delete of absent key = no-op
+            (4, 1, "D", 0.0),    # stale delete loses to seq-3 upsert
+        ],
+        "k bigint, seq bigint, op string, bal double",
+    )
+    out = {r["k"]: r for r in apply_cdc(base, changes, "k").collect()}
+    assert set(out) == {1, 3, 4}
+    assert out[1]["bal"] == 12.0 and out[1]["last_seq"] == 9
+    assert out[3]["bal"] == 30.0 and out[3]["last_seq"] == 0  # untouched
+    assert out[4]["bal"] == 40.0 and out[4]["seg"] is None    # insert: non-payload NULL
+
+
+def test_apply_cdc_idempotent_reapply(spark):
+    from nyc_taxi_bigdata_pipeline_spark.operators.upsert import apply_cdc
+
+    base = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k bigint, bal double")
+    changes = spark.createDataFrame(
+        [(1, 3, "U", 15.0), (2, 4, "D", 0.0)], "k bigint, seq bigint, op string, bal double"
+    )
+    once = apply_cdc(base, changes, "k")
+    twice = apply_cdc(once.drop("last_seq"), changes, "k")
+    assert sorted(r["bal"] for r in twice.collect()) == [15.0]
+
+
+# ------------------------------------------------- per-key exact-k sampling
+
+
+def test_per_key_exact_sample(docs):
+    k = 7
+    sampled = sampling.per_key_exact_sample(docs, "lang", k, key_col="doc_id")
+    sizes = {r["lang"]: r["n"] for r in sampled.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    full = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in sizes.items():
+        assert n == min(k, full[lang])
+    # deterministic: same rows on re-run, even after repartitioning
+    a = {r["doc_id"] for r in sampled.collect()}
+    b = {
+        r["doc_id"]
+        for r in sampling.per_key_exact_sample(
+            docs.repartition(7), "lang", k, key_col="doc_id"
+        ).collect()
+    }
+    assert a == b
+
+
+# ------------------------------------------------------ token rarity
+
+
+def test_token_rarity_features(spark):
+    corpus = spark.createDataFrame(
+        [(1, "a a a rare"), (2, "a a a a"), (3, "a a b b")],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in text.token_rarity_features(corpus).collect()}
+    # corpus: a×9, b×2, rare×1 → total=12, vocab=3, mean=4 → rare iff cnt≤2
+    assert out[1]["n_tokens"] == 4 and out[1]["rarest_cnt"] == 1
+    assert out[1]["rare_tokens"] == 1
+    assert out[2]["rare_tokens"] == 0
+    assert out[3]["rare_tokens"] == 2
+    assert out[2]["avg_tok_freq"] == 9.0
