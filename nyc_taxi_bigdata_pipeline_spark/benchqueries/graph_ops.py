@@ -1,0 +1,91 @@
+"""Graph analytics over the relational tables: weighted PageRank on the
+nation-level trade graph (supplier nation → customer nation, weighted by
+shipped lineitems), oracle-checked bit-for-bit.
+
+Float PageRank can't hash-match across engines, so the ranks use the
+fixed-point-integer formulation of ``operators/graph.pagerank_fixed_point``
+(rank mass ``SCALE`` per node; every step integer ×, truncating ÷, integer
+Σ). The DuckDB oracle unrolls the same three synchronous iterations as
+chained CTEs — any arithmetic drift between engines fails the hash gate.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.graph import SCALE, pagerank_fixed_point
+from ..sources.tables import load_table
+from .registry import register
+
+_ITER = 3
+_DAMP = 85
+_BASE = (100 - _DAMP) * SCALE // 100
+
+_EDGES_SQL = """
+  SELECT s.s_nationkey AS src, c.c_nationkey AS dst, COUNT(*) AS w
+  FROM lineitem l
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+  JOIN customer c ON o.o_custkey  = c.c_custkey
+  GROUP BY s.s_nationkey, c.c_nationkey"""
+
+
+def _iter_ctes() -> str:
+    out = []
+    for i in range(_ITER):
+        prev, cur = f"r{i}", f"r{i + 1}"
+        out.append(
+            f"""c{i + 1} AS (
+  SELECT e.dst AS n, CAST(SUM(p.r * e.w // d.totw) AS BIGINT) AS c
+  FROM edges e JOIN {prev} p ON p.n = e.src JOIN deg d ON d.src = e.src
+  GROUP BY e.dst),
+{cur} AS (
+  SELECT nodes.n,
+         CAST({_BASE} + ({_DAMP} * COALESCE(c{i + 1}.c, 0)) // 100 AS BIGINT) AS r
+  FROM nodes LEFT JOIN c{i + 1} ON c{i + 1}.n = nodes.n)"""
+        )
+    return ",\n".join(out)
+
+
+_PAGERANK_ORACLE = f"""
+WITH edges AS ({_EDGES_SQL}),
+deg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS totw FROM edges GROUP BY src),
+nodes AS (SELECT src AS n FROM edges UNION SELECT dst FROM edges),
+r0 AS (SELECT n, CAST({SCALE} AS BIGINT) AS r FROM nodes),
+{_iter_ctes()}
+SELECT nat.n_name, fin.r AS rank_fp,
+       CAST(fin.r AS DOUBLE) / {SCALE} AS rank
+FROM r{_ITER} fin JOIN nation nat ON nat.n_nationkey = fin.n"""
+
+
+@register(
+    "graph_pagerank_nations",
+    _PAGERANK_ORACLE,
+    doc="beyond-reference: iterative graph algorithm — weighted PageRank "
+        "over the supplier→customer nation trade graph in fixed-point "
+        "integer arithmetic (operators/graph.py), 3 synchronous steps as a "
+        "DataFrame loop (per-step persist bounds lineage; rank vector "
+        "broadcast, contributions one keyed shuffle per step); DuckDB "
+        "oracle unrolls the identical iterations as CTEs, hash-exact",
+)
+def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+
+    edges = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst"))
+        .agg(F.count("*").alias("w"))
+    )
+    ranks = pagerank_fixed_point(edges, iterations=_ITER, damping_pct=_DAMP)
+    return ranks.join(F.broadcast(nat), ranks["n"] == nat["n_nationkey"]).select(
+        "n_name",
+        F.col("r").alias("rank_fp"),
+        F.expr(f"CAST(r AS DOUBLE) / {SCALE}").alias("rank"),
+    )

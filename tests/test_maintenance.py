@@ -62,3 +62,39 @@ def test_incremental_rollup_month_replace(spark, tmp_path):
     out2 = maintenance.read_rollup(spark, rollup)
     assert out2.agg(F.sum("trips")).first()[0] == f1.count() + f2.count()
     assert out2.groupBy("pickup_date").count().filter(F.col("count") > 1).count() == 0
+
+def test_zorder_write_narrows_file_stats(spark, sf_dir, tmp_path):
+    """Z-order clustering must shrink per-file min-max ranges on BOTH
+    dimensions vs the natural layout — that's the property parquet
+    skipping actually uses (file pruned when predicate ∉ [min,max])."""
+    import pyarrow.parquet as pq
+
+    from nyc_taxi_bigdata_pipeline_spark.operators import maintenance
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    plain, zpath = str(tmp_path / "plain"), str(tmp_path / "zord")
+    # 16 curve segments ⇒ ~4 splits per dimension (2-D curve: n_files
+    # segments shrink each dim by ~√n_files, not n_files)
+    li.repartition(16).write.mode("overwrite").parquet(plain)
+    maintenance.write_zordered(li, zpath, "l_partkey", "l_suppkey", n_files=16)
+
+    def avg_range(path: str, col: str) -> float:
+        spans = []
+        for f in Path(path).glob("*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(
+                    [c.path_in_schema for c in
+                     [md.row_group(rg).column(i) for i in range(md.num_columns)]
+                     ].index(col)
+                ).statistics
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            spans.append(hi - lo)
+        return sum(spans) / len(spans)
+
+    for col in ("l_partkey", "l_suppkey"):
+        assert avg_range(zpath, col) < 0.55 * avg_range(plain, col), col

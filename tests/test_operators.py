@@ -594,3 +594,42 @@ def test_token_rarity_features(spark):
     assert out[2]["rare_tokens"] == 0
     assert out[3]["rare_tokens"] == 2
     assert out[2]["avg_tok_freq"] == 9.0
+
+
+# ------------------------------------------------------ fixed-point PageRank
+
+
+def test_pagerank_fixed_point_hand_computed(spark):
+    """Tiny graph with hand-derived fixed-point values (scale=100):
+    A→B, A→C, B→A unit weights; C dangling. Exact integer semantics —
+    any arithmetic drift (float division, rounding instead of
+    truncation) breaks these equalities."""
+    from nyc_taxi_bigdata_pipeline_spark.operators.graph import pagerank_fixed_point
+
+    edges = spark.createDataFrame(
+        [("A", "B", 1), ("A", "C", 1), ("B", "A", 1)], "src string, dst string, w bigint"
+    )
+    r2 = {
+        r["n"]: r["r"]
+        for r in pagerank_fixed_point(edges, iterations=2, scale=100).collect()
+    }
+    # iter1: A=15+85·100//100=100, B=C=15+85·(100//2)//100=57
+    # iter2: A=15+85·57//100=63,  B=C=57
+    assert r2 == {"A": 63, "B": 57, "C": 57}
+
+
+def test_pagerank_mass_bounded(spark, docs):
+    """On a real graph, total rank mass never exceeds the initial mass
+    (dangling loss only shrinks it) and every rank ≥ teleport base."""
+    from nyc_taxi_bigdata_pipeline_spark.operators.graph import SCALE, pagerank_fixed_point
+
+    edges = (
+        docs.selectExpr("doc_id % 13 AS src", "doc_id % 7 AS dst")
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+    )
+    ranks = pagerank_fixed_point(edges, iterations=3)
+    n = ranks.count()
+    agg = ranks.agg(F.sum("r").alias("s"), F.min("r").alias("lo")).first()
+    assert agg["s"] <= n * SCALE
+    assert agg["lo"] >= 15 * SCALE // 100
