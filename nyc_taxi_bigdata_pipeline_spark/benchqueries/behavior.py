@@ -205,3 +205,44 @@ def _transitions(engine: str, table: str) -> str:
 def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("bq_trans_events")
     return spark.sql(_transitions(D.SPARK, "bq_trans_events"))
+
+
+# --------------------------------------------- half-life decayed engagement
+
+
+def _decayed_engagement(engine: str, table: str) -> str:
+    """Recency-weighted engagement with EXACT integer decay: value in
+    cents halves per week of age (bit shift), so the score is a BIGINT
+    sum — deterministic in any engine/order, unlike float EWMA whose
+    pow() weights can never hash-match. The anchor day is the corpus'
+    own max event day, keeping the query reproducible on static data."""
+    d = D.idiv(D.epoch_us("ts", engine), str(_US_PER_DAY), engine)
+    weeks_old = D.idiv("(a.d0 - e.d)", "7", engine)
+    decayed = D.shr("e.cents", weeks_old, engine)
+    return f"""
+    WITH ev AS (
+      SELECT user_id,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+             {d} AS d
+      FROM {table}),
+    a AS (SELECT MAX(d) AS d0 FROM ev)
+    SELECT e.user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(e.cents) AS BIGINT) AS raw_cents,
+           CAST(SUM({decayed}) AS BIGINT) AS decayed_cents
+    FROM ev e CROSS JOIN a
+    GROUP BY e.user_id"""
+
+
+@register(
+    "user_decayed_engagement",
+    _decayed_engagement(D.DUCK, "events"),
+    doc="analytics ext: half-life recency-weighted engagement score — "
+        "value halves per week of age via integer bit shift (exact-BIGINT "
+        "decay; float EWMA can't hash-match an oracle). One hash aggregate "
+        "on user_id after a broadcast scalar anchor; map-side combine, no "
+        "window",
+)
+def user_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("bq_decay_events")
+    return spark.sql(_decayed_engagement(D.SPARK, "bq_decay_events"))

@@ -127,6 +127,14 @@ def idiv(a: str, b: str, engine: str) -> str:
     return f"({a} // {b})" if engine == DUCK else f"({a} DIV {b})"
 
 
+def shr(a: str, n: str, engine: str) -> str:
+    """Bitwise right shift (integer halving per step — the exact-integer
+    decay primitive). Spark's shiftright wants an INT shift amount."""
+    if engine == DUCK:
+        return f"({a} >> ({n}))"
+    return f"shiftright({a}, CAST({n} AS INT))"
+
+
 def epoch_us(ts: str, engine: str) -> str:
     """Timestamp → exact epoch microseconds (the portable event-time key;
     sidesteps the ns/µs parquet precision skew documented in

@@ -193,3 +193,64 @@ def test_scd2_invariants_hold_for_random_batches(spark, batch):
     again = scd.scd2_apply(out, updates, "k", ["attr"])
     assert {tuple(r) for r in again.collect()} == {tuple(r) for r in rows}
     out.unpersist()
+
+
+# ------------------------------------------- incremental view maintenance
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.data())
+def test_ivm_equals_full_recompute(spark, data):
+    """Join-view delta + agg-view merge over random insert batches must
+    land exactly where a from-scratch recompute lands."""
+    import pandas as pd
+
+    from nyc_taxi_bigdata_pipeline_spark.operators import ivm
+
+    keys = st.integers(0, 6)
+    rows = lambda: data.draw(
+        st.lists(st.tuples(keys, st.integers(0, 100)), min_size=0, max_size=25)
+    )
+    a0, da = rows(), rows()
+    b0, db = rows(), rows()
+
+    def df(pairs, val):
+        return spark.createDataFrame(
+            pd.DataFrame(pairs or [(99, 0)], columns=["k", val]).iloc[: len(pairs)],
+            f"k bigint, {val} bigint",
+        )
+
+    A0, dA, B0, dB = df(a0, "va"), df(da, "va"), df(b0, "vb"), df(db, "vb")
+
+    # --- join view
+    v0 = A0.join(B0, "k")
+    delta = ivm.join_view_delta(A0, dA, B0, dB, "k")
+    incr = sorted(map(tuple, v0.unionByName(delta).collect()))
+    full = sorted(map(tuple, A0.unionByName(dA).join(B0.unionByName(dB), "k").collect()))
+    assert incr == full
+
+    # --- agg view
+    import pyspark.sql.functions as F
+
+    def gview(d):
+        return d.groupBy("k").agg(
+            F.sum("va").alias("s"),
+            F.min("va").alias("lo"),
+            F.max("va").alias("hi"),
+            F.count("*").cast("bigint").alias("cnt"),
+        )
+
+    v = gview(A0)
+    # delta rows carry raw column names — rename to the view's agg names
+    merged = ivm.agg_view_merge(
+        v,
+        dA.select("k", F.col("va").alias("s"), F.col("va").alias("lo"), F.col("va").alias("hi")),
+        ["k"],
+        sum_cols=["s"],
+        min_cols=["lo"],
+        max_cols=["hi"],
+        count_col="cnt",
+    )
+    incr_a = sorted(map(tuple, merged.collect()))
+    full_a = sorted(map(tuple, gview(A0.unionByName(dA)).collect()))
+    assert incr_a == full_a
