@@ -188,4 +188,5 @@ def per_key_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_col="o_orderkey",
         order_hash=h,
         rank_col="rn",
+        hash_range=(0, 1 << 60),  # portable md5 h64 is 60-bit non-negative
     )

@@ -633,3 +633,23 @@ def test_pagerank_mass_bounded(spark, docs):
     agg = ranks.agg(F.sum("r").alias("s"), F.min("r").alias("lo")).first()
     assert agg["s"] <= n * SCALE
     assert agg["lo"] >= 15 * SCALE // 100
+
+
+def test_per_key_sample_prefilter_exact(docs):
+    """The hash-range pre-filtered plan must pick the IDENTICAL row set
+    as the naive full-window formulation — including at oversample=1
+    where the guard's fallback path is likely to trigger."""
+    naive = {
+        (r["lang"], r["doc_id"])
+        for r in sampling.per_key_exact_sample(
+            docs, "lang", 9, key_col="doc_id", prefilter=False
+        ).collect()
+    }
+    for ov in (16, 1):
+        fast = {
+            (r["lang"], r["doc_id"])
+            for r in sampling.per_key_exact_sample(
+                docs, "lang", 9, key_col="doc_id", prefilter=True, oversample=ov
+            ).collect()
+        }
+        assert naive == fast, ov
