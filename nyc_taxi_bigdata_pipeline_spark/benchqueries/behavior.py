@@ -242,6 +242,7 @@ def _decayed_engagement(engine: str, table: str) -> str:
         "decay; float EWMA can't hash-match an oracle). One hash aggregate "
         "on user_id after a broadcast scalar anchor; map-side combine, no "
         "window",
+    bench=True,
 )
 def user_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("bq_decay_events")

@@ -68,6 +68,7 @@ FROM r{_ITER} fin JOIN nation nat ON nat.n_nationkey = fin.n"""
         "DataFrame loop (per-step persist bounds lineage; rank vector "
         "broadcast, contributions one keyed shuffle per step); DuckDB "
         "oracle unrolls the identical iterations as CTEs, hash-exact",
+    bench=True,
 )
 def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")

@@ -205,6 +205,7 @@ WHERE l.op IS NULL OR l.op <> 'D'"""
         "via struct-MAX hash aggregate (no window sort), then ONE full-outer "
         "key join applies upserts/deletes/inserts; the MERGE-with-deletes "
         "counterpart of the reference's insert-only ON CONFLICT DO NOTHING",
+    bench=True,
 )
 def cdc_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.upsert import apply_cdc

@@ -68,3 +68,63 @@ def foreach_batch_upsert(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def foreach_batch_agg_maintain(
+    stream: DataFrame,
+    view_path: str,
+    keys: Sequence[str],
+    sum_cols: Sequence[str],
+    checkpoint: str,
+    count_col: str = "cnt",
+) -> StreamingQuery:
+    """Maintain a materialized SUM/COUNT aggregate view from a stream:
+    each micro-batch is aggregated alone and key-merged into the stored
+    view via the ΔV algebra (operators/ivm.agg_view_merge) — per-batch
+    cost O(|batch| + |view|), the streaming face of incremental view
+    maintenance, vs Structured Streaming's own stateful aggregation
+    which would pin the whole group state in the state store. Use this
+    when the view must live as a queryable TABLE between runs and group
+    cardinality outgrows state-store comfort.
+
+    Atomic per batch: merge to a temp dir, then swap — a crash
+    mid-write leaves the previous view intact, and the checkpoint
+    replays the batch (the merge is NOT idempotent under re-delivery of
+    rows ALREADY merged; upstream effectively-once via
+    dedup_within_watermark / foreach_batch_upsert covers that).
+    """
+    import shutil
+    from pathlib import Path
+
+    from ..operators.ivm import agg_view_merge
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        try:
+            view = spark.read.parquet(view_path)
+        except Exception:  # first batch: empty view with the right schema
+            view = None
+        delta = batch
+        if view is None:
+            aggs = [F.sum(c).alias(c) for c in sum_cols]
+            aggs.append(F.count("*").cast("bigint").alias(count_col))
+            new_view = delta.groupBy(*keys).agg(*aggs)
+        else:
+            new_view = agg_view_merge(
+                view, delta, keys, sum_cols=sum_cols, count_col=count_col
+            )
+        tmp = view_path.rstrip("/") + "__merging"
+        new_view.write.mode("overwrite").parquet(tmp)
+        old = view_path.rstrip("/") + "__prev"
+        shutil.rmtree(old, ignore_errors=True)
+        if Path(view_path).exists():
+            Path(view_path).rename(old)
+        Path(tmp).rename(view_path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    return (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

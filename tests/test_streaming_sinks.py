@@ -72,3 +72,33 @@ def test_foreach_batch_upsert_idempotent(spark, events_df, tmp_path):
     run("cp2")
     n2 = spark.read.parquet(gold).count()
     assert n2 == n1
+
+
+def test_foreach_batch_agg_maintain(spark, tmp_path):
+    """Streamed incremental agg view must equal the batch groupBy over
+    everything that flowed through, across multiple runs (new files
+    between runs -> new micro-batches merged into the stored view)."""
+    import pyspark.sql.functions as F
+
+    from nyc_taxi_bigdata_pipeline_spark.streaming import sinks
+
+    src = tmp_path / "src"
+    view = str(tmp_path / "view")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k string, v bigint"
+
+    def run_batch(rows, part):
+        spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+            str(src / part)
+        )
+        stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+        q = sinks.foreach_batch_agg_maintain(
+            stream, view, ["k"], ["v"], ckpt, count_col="cnt"
+        )
+        q.awaitTermination(120)
+
+    run_batch([("a", 1), ("a", 2), ("b", 5)], "p1")
+    run_batch([("a", 10), ("c", 7)], "p2")
+
+    got = {r["k"]: (r["v"], r["cnt"]) for r in spark.read.parquet(view).collect()}
+    assert got == {"a": (13, 3), "b": (5, 1), "c": (7, 1)}
