@@ -254,3 +254,35 @@ def purchase_view_join(
     return purchases.join(views, cond, "inner").select(
         "user_id", "purchase_id", "p_ts", "v_ts", "purchase_value"
     )
+
+
+def sessionize_native(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Gap-based sessionization via the BUILT-IN ``session_window``
+    aggregation — the Spark-first counterpart of :func:`sessionize`:
+    one groupBy, fully JVM-side, works unchanged on batch and streaming
+    input (streaming needs a watermark upstream; the window closes gap
+    past the watermark, same trigger as the custom operator's timeout).
+
+    Semantics note pinned by ``test_sessionize_native_matches_sql_twin``:
+    ``session_window.end`` is last-event-time + gap (the close horizon),
+    where :func:`sessionize`/the SQL twin report the last event time —
+    identical sessions, end shifted by exactly ``gap``.
+
+    Prefer this path; ``applyInPandasWithState`` (:func:`sessionize`)
+    remains as the template for session logic the built-in can't
+    express (e.g. value-dependent dynamic gaps, mid-session emission).
+    """
+    return (
+        events.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.coalesce("value", F.lit(0.0))).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_close"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -205,3 +205,32 @@ def test_purchase_view_join_stream_matches_batch(spark, events_df, tmp_path):
     # twin (this is the bounded-state late-data contract, not a bug)
     multi = run_stream("ppv_join_multi", maxFilesPerTrigger=1)
     assert multi <= expected
+
+
+def test_sessionize_native_matches_sql_twin(spark, sf_dir):
+    """Built-in session_window must produce the same sessions as the
+    gaps-and-islands SQL twin (modulo the documented end-time shift:
+    native end = last event + gap)."""
+    import pyspark.sql.functions as F
+
+    from nyc_taxi_bigdata_pipeline_spark.benchqueries import advanced  # noqa: F401 registers
+    from nyc_taxi_bigdata_pipeline_spark.benchqueries.registry import REGISTRY
+    from nyc_taxi_bigdata_pipeline_spark.sources.tables import load_table
+    from nyc_taxi_bigdata_pipeline_spark.streaming.events import sessionize_native
+
+    gap_us = 30 * 60 * 1_000_000
+    twin = {
+        (r["user_id"], r["start_us"], r["end_us"] + gap_us, r["n_events"])
+        for r in REGISTRY["sessionize_events"].spark_fn(spark, sf_dir).collect()
+    }
+    native = {
+        (
+            r["user_id"],
+            r["session_start"].timestamp() * 1_000_000,
+            r["session_close"].timestamp() * 1_000_000,
+            r["n_events"],
+        )
+        for r in sessionize_native(load_table(spark, sf_dir, "events")).collect()
+    }
+    native = {(u, int(round(s)), int(round(e)), n) for u, s, e, n in native}
+    assert native == twin
