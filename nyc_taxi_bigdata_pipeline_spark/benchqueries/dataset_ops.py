@@ -190,3 +190,39 @@ def per_key_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_col="rn",
         hash_range=(0, 1 << 60),  # portable md5 h64 is 60-bit non-negative
     )
+
+
+# ----------------------------------------- weight-proportional sampling
+
+
+def _weighted_sample(engine: str, table: str) -> str:
+    """Importance-sampling oracle (scale path: operators/sampling.
+    weighted_deterministic_sample): keep-probability ∝ token count, so
+    the TOKEN budget's composition survives where uniform doc sampling
+    skews short. Threshold arithmetic is all-integer — w·frac·2^20
+    rescaled by the corpus mean via (Σw, n) from a scalar subquery —
+    so both engines agree exactly."""
+    tok = D.alen(D.split_ws("trim(text)", engine), engine)
+    h = D.seeded_h64("CAST(doc_id AS STRING)", 23, engine)
+    gate = f"({h}) % 1048576"
+    thresh = D.idiv("w.w * 3 * 1048576 * tot.n", "10 * tot.tw", engine)
+    return f"""
+    WITH w AS (SELECT doc_id, lang, CAST({tok} AS BIGINT) AS w FROM {table}),
+    tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw, COUNT(*) AS n FROM w)
+    SELECT w.lang, COUNT(*) AS docs_kept,
+           CAST(SUM(w.w) AS BIGINT) AS tokens_kept
+    FROM w CROSS JOIN tot
+    WHERE {gate} < LEAST(1048576, {thresh})
+    GROUP BY w.lang"""
+
+
+@register(
+    "weighted_sample_summary",
+    _weighted_sample(D.DUCK, "documents"),
+    doc="training-data ext: weight-proportional (importance) sampling — "
+        "keep-probability ∝ token count at a 30% token-budget target, "
+        "content-stable hash gate, all-integer thresholds; per-language "
+        "kept-docs/kept-tokens summary",
+)
+def weighted_sample_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_rendered(spark, sf_dir, "documents", _weighted_sample, "bq_wsamp_docs")

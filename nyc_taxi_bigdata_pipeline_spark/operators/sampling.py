@@ -171,3 +171,36 @@ def stratified_deterministic_sample(
         c = (F.col(strata_col) == stratum) & (b < cut)
         cond = c if cond is None else (cond | c)
     return df.filter(cond if cond is not None else F.lit(False))
+
+
+def weighted_deterministic_sample(
+    df: DataFrame,
+    weight_col: str,
+    target_fraction: float,
+    key_col: str = "doc_id",
+    max_weight: int = 1 << 20,
+    seed: int = 23,
+) -> DataFrame:
+    """Importance sampling with content-stable selection: each row's
+    keep-probability is proportional to its integer ``weight_col``
+    (e.g. token count — sampling documents proportional to length keeps
+    the TOKEN budget's composition, where uniform doc sampling skews it
+    toward short docs). ``target_fraction`` rescales so the expected
+    kept-weight fraction matches; rows with rescaled weight ≥ max_weight
+    are always kept (deterministic heavy-item guarantee, the same
+    always-include rule threshold-sampling/VarOpt uses).
+
+    keep ⇔ hash(key) mod max_weight < weight · target_fraction · C —
+    pure integer comparison, map-only, zero shuffle; reproducible
+    across runs/engines/re-sharding like every sampler in this module.
+    C folds target_fraction against the MEAN weight so the expected
+    kept fraction of total weight ≈ target_fraction when weights vary.
+    """
+    mean_w = df.agg(F.avg(weight_col)).first()[0] or 1.0
+    # per-row threshold: w * target_fraction / mean_w of the hash space
+    scale = target_fraction / float(mean_w)
+    gate = F.pmod(
+        F.xxhash64(F.col(key_col).cast("string"), F.lit(seed)), F.lit(max_weight)
+    )
+    thresh = (F.col(weight_col).cast("double") * scale * max_weight).cast("bigint")
+    return df.filter(gate < F.least(thresh, F.lit(max_weight)))

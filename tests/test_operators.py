@@ -653,3 +653,32 @@ def test_per_key_sample_prefilter_exact(docs):
             ).collect()
         }
         assert naive == fast, ov
+
+
+def test_weighted_deterministic_sample(docs):
+    """Longer docs must be kept at higher rates; the kept TOKEN mass
+    should be near the target fraction; selection must be stable
+    across repartitioning."""
+    import pyspark.sql.functions as F2
+
+    weighted = docs.withColumn("w", F2.size(F2.split(F2.trim("text"), " ")))
+    kept = sampling.weighted_deterministic_sample(weighted, "w", 0.3, key_col="doc_id")
+    tot = weighted.agg(F2.sum("w")).first()[0]
+    got = kept.agg(F2.sum("w")).first()[0] or 0
+    assert 0.15 < got / tot < 0.45  # expectation 0.3, wide tolerance at 5k docs
+    a = {r["doc_id"] for r in kept.collect()}
+    b = {
+        r["doc_id"]
+        for r in sampling.weighted_deterministic_sample(
+            weighted.repartition(7), "w", 0.3, key_col="doc_id"
+        ).collect()
+    }
+    assert a == b
+    # monotone in weight: keep-rate of the longest tercile exceeds shortest
+    q1, q2 = weighted.approxQuantile("w", [0.33, 0.67], 0.0)
+    terc = weighted.withColumn("kept", F2.col("doc_id").isin(list(a)).cast("int"))
+    lo, hi = (
+        terc.filter(F2.col("w") <= q1).agg(F2.avg("kept")).first()[0],
+        terc.filter(F2.col("w") >= q2).agg(F2.avg("kept")).first()[0],
+    )
+    assert hi > lo
