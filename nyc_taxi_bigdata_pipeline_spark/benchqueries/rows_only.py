@@ -84,7 +84,11 @@ def dedup_minhash_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text", F.concat(F.col("text"), F.lit(" zzextra"))
     )
     corpus = docs.unionByName(exact_dup).unionByName(near_dup)
-    pairs = minhash_dedup(corpus, num_hashes=16, bands=8, threshold=0.5)
+    # bands=4 → 4 rows/band (banding threshold ≈ 0.7): on this tiny-vocab
+    # synthetic corpus 2-row bands collide for ~4% of ALL pairs (528k
+    # candidates from 5.1k docs, measured) — band width must track the
+    # corpus' baseline similarity, not just the target threshold
+    pairs = minhash_dedup(corpus, num_hashes=16, bands=4, threshold=0.5)
     return pairs.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     ).orderBy("id_a", "id_b")
@@ -112,7 +116,11 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("text", F.concat(F.col("text"), F.lit(" zzextra")))
         )
     )
-    pairs = minhash_dedup(corpus, num_hashes=16, bands=8, threshold=0.5)
+    # bands=4 → 4 rows/band (banding threshold ≈ 0.7): on this tiny-vocab
+    # synthetic corpus 2-row bands collide for ~4% of ALL pairs (528k
+    # candidates from 5.1k docs, measured) — band width must track the
+    # corpus' baseline similarity, not just the target threshold
+    pairs = minhash_dedup(corpus, num_hashes=16, bands=4, threshold=0.5)
     kept = keep_canonical(corpus, pairs)
     return corpus.agg(F.count("*").alias("docs_in")).crossJoin(
         kept.agg(F.count("*").alias("docs_kept"))

@@ -257,11 +257,24 @@ def dedup_clusters(
     Near-dup graphs have tiny diameters (a dup family is a dense blob,
     and the star pairs from the LSH bucket cap are depth 1), so the loop
     converges in a handful of rounds; each round is one join + one
-    min-aggregate, with the frontier persisted and the previous round
-    unpersisted — the standard Spark shape for iterative graph steps
-    (what GraphFrames does under the hood, without the dependency).
-    Raises if ``max_iter`` rounds don't reach a fixpoint rather than
-    returning silently-partial clusters."""
+    min-aggregate. Raises if ``max_iter`` rounds don't reach a fixpoint
+    rather than returning silently-partial clusters.
+
+    Lineage discipline (scale bug fixed in round 2): each round's plan
+    references the previous labels TWICE, so un-truncated lineage fans
+    out 2^i-wise — and a partial materialization (the old
+    ``limit(1).count()`` convergence probe cached only the one partition
+    it touched) leaves exactly that recompute bomb armed; even a
+    416-pair graph hung for minutes. Every round is therefore cut with
+    an EAGER ``localCheckpoint`` (all partitions computed, plan replaced
+    by the stored result — on a cluster with flaky executors use
+    ``spark.sparkContext.setCheckpointDir`` + ``checkpoint`` for the
+    replicated flavor), and the convergence probe aggregates a full
+    count, never a limit."""
+    # persist the pair input: the symmetric edge union scans it TWICE,
+    # and upstream pair generation (LSH + Jaccard verify) is the
+    # expensive part of the whole clustering path
+    pairs = pairs.persist()
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -272,7 +285,7 @@ def dedup_clusters(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     try:
         for _ in range(max_iter):
@@ -289,22 +302,21 @@ def dedup_clusters(
                         F.col("label"), F.coalesce("nbr_label", F.col("label"))
                     ).alias("label"),
                 )
-                .persist()
+                .localCheckpoint(eager=True)
             )
             changed = (
                 new_labels.alias("n")
                 .join(labels.alias("o"), "id")
                 .filter(F.col("n.label") != F.col("o.label"))
-                .limit(1)
                 .count()
             )
-            labels.unpersist()
             labels = new_labels
             if changed == 0:
                 return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster"))
         raise RuntimeError(f"dedup_clusters did not converge in {max_iter} iterations")
     finally:
         edges.unpersist()
+        pairs.unpersist()
 
 
 def keep_canonical(

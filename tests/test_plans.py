@@ -117,3 +117,37 @@ def test_fuzzy_join_no_theta_nested_loop(spark, sf_dir):
     post-filter — a levenshtein theta join would plan as BNLJ/cartesian."""
     plan = physical_plan(REGISTRY["fuzzy_join_names"].spark_fn(spark, sf_dir))
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+# queries that legitimately plan a BroadcastNestedLoopJoin: a 1-row
+# scalar-aggregate anchor folded into every row, or a bounded-by-design
+# tiny side. (BNLJ-vs-BHJ choice is stats/SF-dependent — this is the
+# union over sf0.001 and sf0.01 sweeps.) Adding a name here needs the
+# same 1-row/bounded justification.
+_SCALAR_ANCHOR_OK = {
+    "user_decayed_engagement",    # 1-row MAX(day) anchor
+    "text_rarity_score",          # 1-row (total_tokens, vocab_size)
+    "weighted_sample_summary",    # 1-row (Σw, n) totals
+    "percentiles",                # 1-row rank-interpolation anchors
+    "grouped_percentiles",        # per-group rank anchors (tiny side)
+    "curation_domain_mixture",    # 20-row domain table × 1-row total
+    "curation_pipeline_full",     # per-stage survival vs 1-row total
+    "dedup_cluster_canonical",    # 1-row corpus-count anchor
+    "similarity_knn_bruteforce",  # bounded 5-row query side × corpus BY
+                                  # DESIGN (exact baseline; ANN variants
+                                  # are the scale path)
+    "similarity_norm_buckets",    # 1-row label-cardinality anchor
+}
+
+
+def test_no_cartesian_products_across_registry(spark, sf_dir):
+    """Engine-wide guardrail: NO query may plan a CartesianProduct, and
+    BroadcastNestedLoopJoin is tolerated only for whitelisted scalar-
+    anchor shapes (a 1-row aggregate folded into every row) — a BNLJ
+    against anything larger is the O(n*m) cliff the explode+equi-join
+    rewrites exist to avoid."""
+    for name, q in REGISTRY.items():
+        plan = physical_plan(q.spark_fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        if name not in _SCALAR_ANCHOR_OK:
+            assert "BroadcastNestedLoopJoin" not in plan, name
