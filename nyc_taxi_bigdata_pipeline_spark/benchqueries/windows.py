@@ -160,3 +160,41 @@ def _range_frame(engine: str, table: str) -> str:
 def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("bq_rangef_orders")
     return spark.sql(_range_frame("spark", "bq_rangef_orders"))
+
+
+# -------------------------------------- distribution windows (pct_rank/cume)
+
+
+def _distribution_windows(engine: str, table: str) -> str:
+    """percent_rank = (rank−1)/(rows−1) and cume_dist = rows≤x / rows —
+    both exact int ratios surfaced as one double division, so they are
+    bit-identical across engines. o_orderkey tiebreak keeps every rank
+    deterministic; aggregated to per-priority deciles of the
+    distribution functions so the result stays compact at any SF."""
+    return f"""
+    WITH d AS (
+      SELECT o_orderpriority,
+             percent_rank() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice, o_orderkey) AS pr,
+             cume_dist() OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice, o_orderkey) AS cd
+      FROM {table}
+    )
+    SELECT o_orderpriority,
+           CAST(FLOOR(pr * 10) AS INT) AS pr_decile,
+           COUNT(*) AS cnt,
+           MIN(cd) AS min_cume, MAX(cd) AS max_cume
+    FROM d GROUP BY o_orderpriority, CAST(FLOOR(pr * 10) AS INT)"""
+
+
+@register(
+    "window_distribution",
+    _distribution_windows("duck", "orders"),
+    doc="§2.5 extension: distribution window functions — percent_rank + "
+        "cume_dist per priority (keyed windows, no global sort), bucketed "
+        "to deciles; completes the window family (rank/running/lag/range/"
+        "ntile already covered)",
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("bq_dist_orders")
+    return spark.sql(_distribution_windows("spark", "bq_dist_orders"))
