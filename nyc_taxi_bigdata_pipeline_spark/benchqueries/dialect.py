@@ -129,10 +129,14 @@ def idiv(a: str, b: str, engine: str) -> str:
 
 def shr(a: str, n: str, engine: str) -> str:
     """Bitwise right shift (integer halving per step — the exact-integer
-    decay primitive). Spark's shiftright wants an INT shift amount."""
+    decay primitive). Spark's shiftright wants an INT shift amount AND
+    masks it mod 64 (Java semantics) while DuckDB's >> does not, so a
+    shift of 64+ would wrap in Spark but zero in DuckDB: clamp to 63 in
+    BOTH dialects (a 63-step halving of any BIGINT is already 0/-1)."""
+    n63 = f"LEAST({n}, 63)"
     if engine == DUCK:
-        return f"({a} >> ({n}))"
-    return f"shiftright({a}, CAST({n} AS INT))"
+        return f"({a} >> ({n63}))"
+    return f"shiftright({a}, CAST({n63} AS INT))"
 
 
 def epoch_us(ts: str, engine: str) -> str:

@@ -15,11 +15,14 @@ oracle unrolls the same iterations as chained CTEs and matches
 bit-for-bit (benchqueries/graph_ops.py).
 
 At scale: each iteration is one shuffle (contributions aggregated on
-dst) plus one broadcast-able join of the rank vector (|nodes| ≪ |edges|
-for web/citation-shaped graphs). The rank frame is re-persisted per
-iteration and the loop count is small and fixed — no unbounded lineage
-(each iteration's plan reads the materialized previous ranks, the
-standard iterative-algorithm pattern on Spark).
+dst) plus a join of the rank vector against the edges. The rank vector
+is broadcast ONLY while the node count stays under
+``broadcast_nodes_max`` — web-scale graphs (10⁸–10⁹ nodes) exceed any
+driver's broadcast budget, so past the threshold both per-step joins
+fall back to shuffle equi-joins (one extra exchange per step, same
+bit-exact result). The rank frame is re-persisted per iteration, the
+previous one unpersisted once the new one is materialized, and e/nodes
+are unpersisted on exit — no cache leak, no unbounded lineage.
 """
 
 from __future__ import annotations
@@ -28,6 +31,11 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 SCALE = 10**12  # rank mass per node; 25 nodes × 1e12 × max-weight ≪ 2^63
+
+# Above this node count the rank vector stops being broadcast and the
+# per-step joins become shuffle equi-joins. 2M rows × ~16 bytes ≈ 32 MB,
+# comfortably under a default driver's broadcast ceiling.
+BROADCAST_NODES_MAX = 2_000_000
 
 
 def pagerank_fixed_point(
@@ -38,14 +46,23 @@ def pagerank_fixed_point(
     src: str = "src",
     dst: str = "dst",
     weight: str = "w",
+    broadcast_nodes_max: int = BROADCAST_NODES_MAX,
+    reinject_dangling: bool = False,
 ) -> DataFrame:
     """Weighted PageRank over (src, dst, w) with integer fixed-point
     ranks; returns (node, rank) after ``iterations`` synchronous steps.
 
     r'(n) = (100-d)%·scale + d%·Σ_in( r(s)·w(s→n) ÷ totw(s) ), every op
     on BIGINTs with truncating division — bit-identical in any engine,
-    any partitioning. Dangling-node mass is dropped (standard simplified
-    formulation; re-injection would add one global agg per step).
+    any partitioning, and identical whether the rank vector is broadcast
+    or shuffle-joined. With ``reinject_dangling`` the mass parked on
+    out-degree-0 nodes is redistributed uniformly each step as
+    ``(d%·Σ_dangling r) ÷ (100·|nodes|)`` — one extra 1-row aggregate
+    per iteration (the default False matches the simplified formulation
+    the DuckDB oracle unrolls).
+
+    The returned frame is persisted (it is the loop's own materialized
+    state); callers that keep it long-term own the unpersist.
     """
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w")
@@ -59,28 +76,61 @@ def pagerank_fixed_point(
     )
     e = e.persist()
     nodes = nodes.persist()
-    base = (100 - damping_pct) * scale // 100
+    dangling = None
+    ranks = nodes.withColumn("r", F.lit(scale).cast("bigint")).persist()
+    try:
+        # materializes the caches AND decides the join strategy: ranks /
+        # contrib both have ≤ n_nodes rows
+        n_nodes = nodes.count()
+        small = n_nodes <= broadcast_nodes_max
 
-    ranks = nodes.withColumn("r", F.lit(scale).cast("bigint"))
-    for _ in range(iterations):
-        contrib = (
-            e.join(F.broadcast(ranks), e["src"] == ranks["n"])
-            .select("dst", F.expr("r * w DIV totw").alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").cast("bigint").alias("c"))
-        )
-        ranks = (
-            nodes.join(F.broadcast(contrib), nodes["n"] == contrib["dst"], "left")
-            .select(
-                "n",
-                # truncating DIV, not `/` (which is double division)
-                F.expr(
-                    f"CAST({base} + ({damping_pct} * COALESCE(c, 0)) DIV 100 AS BIGINT)"
-                ).alias("r"),
-            )
-        )
-        # materialize each step: bounds lineage depth and makes the next
-        # join read a small cached rank vector instead of a growing plan
-        ranks = ranks.persist()
+        def rank_side(df: DataFrame) -> DataFrame:
+            return F.broadcast(df) if small else df
+
+        if reinject_dangling:
+            dangling = nodes.join(
+                e.select(F.col("src").alias("n")).distinct(), "n", "left_anti"
+            ).persist()
+
+        base = (100 - damping_pct) * scale // 100
         ranks.count()
-    return ranks
+        for _ in range(iterations):
+            contrib = (
+                e.join(rank_side(ranks), e["src"] == ranks["n"])
+                .select("dst", F.expr("r * w DIV totw").alias("c"))
+                .groupBy("dst")
+                .agg(F.sum("c").cast("bigint").alias("c"))
+            )
+            share = 0
+            if reinject_dangling:
+                # 1-row exact-integer aggregate; bounded driver traffic
+                dm = (
+                    dangling.join(ranks, "n")
+                    .agg(F.sum("r").cast("bigint").alias("dm"))
+                    .collect()[0]["dm"]
+                ) or 0
+                share = damping_pct * dm // (100 * n_nodes)
+            new_ranks = (
+                nodes.join(rank_side(contrib), nodes["n"] == contrib["dst"], "left")
+                .select(
+                    "n",
+                    # truncating DIV, not `/` (which is double division)
+                    F.expr(
+                        f"CAST({base + share} + ({damping_pct} * COALESCE(c, 0)) "
+                        "DIV 100 AS BIGINT)"
+                    ).alias("r"),
+                )
+            )
+            # materialize each step: bounds lineage depth and makes the
+            # next join read a small cached rank vector, then drop the
+            # now-dead previous vector
+            new_ranks = new_ranks.persist()
+            new_ranks.count()
+            ranks.unpersist()
+            ranks = new_ranks
+        return ranks
+    finally:
+        e.unpersist()
+        nodes.unpersist()
+        if dangling is not None:
+            dangling.unpersist()

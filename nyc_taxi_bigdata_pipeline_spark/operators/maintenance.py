@@ -147,10 +147,27 @@ def write_zordered(
     lo_a, hi_a, lo_b, hi_b = df.agg(
         F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
     ).first()
+    if lo_a is None or lo_b is None:  # empty input: write it, key = 0
+        df.withColumn("zorder_key", F.lit(0).cast("bigint")).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path)
+        return
     mask = (1 << bits) - 1
-    span_a, span_b = max(1, hi_a - lo_a), max(1, hi_b - lo_b)
-    norm_a = f"(({col_a} - {lo_a}) * {mask}) DIV {span_a}"
-    norm_b = f"(({col_b} - {lo_b}) * {mask}) DIV {span_b}"
+
+    def norm(col: str, lo: int, hi: int) -> str:
+        # multiply-then-divide keeps full precision, but (col-lo)*mask
+        # overflows BIGINT for wide-range keys (epoch-µs spans); switch
+        # to pre-division ((col-lo) DIV step) when the product could
+        # exceed 2^62 — rank precision beyond file granularity is wasted
+        # anyway, so the coarser bucketing loses nothing that matters.
+        span = max(1, hi - lo)
+        if span <= (1 << 62) // mask:
+            return f"((({col} - {lo}) * {mask}) DIV {span})"
+        step = -(-span // mask)  # ceil: keeps the result within [0, mask]
+        return f"(LEAST(({col} - {lo}) DIV {step}, {mask}))"
+
+    norm_a = norm(col_a, lo_a, hi_a)
+    norm_b = norm(col_b, lo_b, hi_b)
     keyed = df.withColumn("zorder_key", zorder_value(norm_a, norm_b, bits))
     (
         keyed.repartitionByRange(n_files, "zorder_key")

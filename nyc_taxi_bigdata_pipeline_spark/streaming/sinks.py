@@ -92,6 +92,10 @@ def foreach_batch_agg_maintain(
     replays the batch (the merge is NOT idempotent under re-delivery of
     rows ALREADY merged; upstream effectively-once via
     dedup_within_watermark / foreach_batch_upsert covers that).
+    Crash recovery: the swap is two renames (view→__prev, tmp→view);
+    a crash between them leaves the old view parked at __prev, so every
+    batch first restores __prev→view before reading — the prior
+    aggregates are never silently discarded.
     """
     import shutil
     from pathlib import Path
@@ -100,10 +104,16 @@ def foreach_batch_agg_maintain(
 
     def merge(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        try:
-            view = spark.read.parquet(view_path)
-        except Exception:  # first batch: empty view with the right schema
-            view = None
+        vp = Path(view_path)
+        prev = Path(view_path.rstrip("/") + "__prev")
+        if prev.exists():
+            if vp.exists():
+                # crashed after tmp→view but before cleanup: prev is stale
+                shutil.rmtree(prev, ignore_errors=True)
+            else:
+                # crashed between view→prev and tmp→view: restore the view
+                prev.rename(vp)
+        view = spark.read.parquet(view_path) if vp.exists() else None
         delta = batch
         if view is None:
             aggs = [F.sum(c).alias(c) for c in sum_cols]
@@ -115,12 +125,10 @@ def foreach_batch_agg_maintain(
             )
         tmp = view_path.rstrip("/") + "__merging"
         new_view.write.mode("overwrite").parquet(tmp)
-        old = view_path.rstrip("/") + "__prev"
-        shutil.rmtree(old, ignore_errors=True)
-        if Path(view_path).exists():
-            Path(view_path).rename(old)
-        Path(tmp).rename(view_path)
-        shutil.rmtree(old, ignore_errors=True)
+        if vp.exists():
+            vp.rename(prev)
+        Path(tmp).rename(vp)
+        shutil.rmtree(prev, ignore_errors=True)
 
     return (
         stream.writeStream.foreachBatch(merge)

@@ -635,6 +635,52 @@ def test_pagerank_mass_bounded(spark, docs):
     assert agg["lo"] >= 15 * SCALE // 100
 
 
+def test_pagerank_shuffle_join_path_identical(spark):
+    """Above the broadcast threshold the rank joins fall back to shuffle
+    equi-joins (the 100-TB path): with broadcasting disabled entirely the
+    fixed-point ranks must be bit-identical and the plan must contain no
+    BroadcastNestedLoopJoin."""
+    from nyc_taxi_bigdata_pipeline_spark.operators.graph import pagerank_fixed_point
+    from nyc_taxi_bigdata_pipeline_spark.plans.explain import physical_plan
+
+    edges = spark.createDataFrame(
+        [("A", "B", 1), ("A", "C", 1), ("B", "A", 1)], "src string, dst string, w bigint"
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ranks = pagerank_fixed_point(
+            edges, iterations=2, scale=100, broadcast_nodes_max=0
+        )
+        got = {r["n"]: r["r"] for r in ranks.collect()}
+        plan = physical_plan(ranks)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert got == {"A": 63, "B": 57, "C": 57}  # == broadcast-path values
+    assert "BroadcastNestedLoop" not in plan, plan
+
+
+def test_pagerank_dangling_reinjection(spark):
+    """reinject_dangling=True redistributes the mass parked on
+    out-degree-0 nodes uniformly each step. Hand-derived (scale=100,
+    d=85, C dangling): iter1 share=85·100//300=28 → A=128 B=C=85;
+    iter2 dm=85, share=24 → A=111 B=C=93. Total mass stays ≈ n·scale
+    (truncation-only loss) instead of leaking 1/3 per step."""
+    from nyc_taxi_bigdata_pipeline_spark.operators.graph import pagerank_fixed_point
+
+    edges = spark.createDataFrame(
+        [("A", "B", 1), ("A", "C", 1), ("B", "A", 1)], "src string, dst string, w bigint"
+    )
+    got = {
+        r["n"]: r["r"]
+        for r in pagerank_fixed_point(
+            edges, iterations=2, scale=100, reinject_dangling=True
+        ).collect()
+    }
+    assert got == {"A": 111, "B": 93, "C": 93}
+    assert sum(got.values()) >= 3 * 100 - 5  # mass conserved up to truncation
+
+
 def test_per_key_sample_prefilter_exact(docs):
     """The hash-range pre-filtered plan must pick the IDENTICAL row set
     as the naive full-window formulation — including at oversample=1
