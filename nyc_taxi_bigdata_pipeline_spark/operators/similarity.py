@@ -123,28 +123,70 @@ def ivf_topk(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     ).join(probes, "query_id")
 
-    dot = (
-        "aggregate(zip_with(q_vec, c_vec, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
-        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
-
-    def _norm(col: str) -> str:
-        return (
-            f"aggregate(zip_with({col}, {col}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
-            " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-        )
-
-    scored = (
+    pairs = (
         F.broadcast(q_side)
         .join(assigned, "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos_sim", F.expr(f"({dot}) / (sqrt({_norm('q_vec')}) * sqrt({_norm('c_vec')}))"))
     )
+    scored = _pairwise_cosine(pairs, dim=q_mat.shape[1])
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rn")
+    )
+
+
+# Above this vector dimension the candidate-verify cosine switches from
+# the interpreted zip_with/aggregate fold to an Arrow-batched numpy
+# kernel: HOFs never enter codegen, so their per-pair cost is O(dim)
+# interpreted — fine at dim 64, a hot-path tax at real embedding dims
+# (768/1536). Below the threshold the fold is kept because its strictly
+# sequential summation is bit-identical to the unrolled SQL oracles.
+ARROW_COSINE_MIN_DIM = 256
+
+
+def _pairwise_cosine(pairs: DataFrame, dim: int) -> DataFrame:
+    """(query_id, q_vec, neighbor_id, c_vec) → (query_id, neighbor_id,
+    cos_sim) for candidate pairs that already survived bucketing/probing.
+
+    dim < ARROW_COSINE_MIN_DIM: interpreted sequential fold (engine-exact
+    vs the SQL oracles). Otherwise: one numpy pass per Arrow batch — same
+    BLAS shape as :func:`cosine_topk`'s scan, applied to the pruned
+    candidate set instead of the corpus."""
+    if dim < ARROW_COSINE_MIN_DIM:
+        return pairs.select(
+            "query_id",
+            "neighbor_id",
+            (
+                _seq_dot(F.col("q_vec"), F.col("c_vec"))
+                / (
+                    F.sqrt(_seq_dot(F.col("q_vec"), F.col("q_vec")))
+                    * F.sqrt(_seq_dot(F.col("c_vec"), F.col("c_vec")))
+                )
+            ).alias("cos_sim"),
+        )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.array(pdf["q_vec"].tolist(), dtype=np.float64)
+            c = np.array(pdf["c_vec"].tolist(), dtype=np.float64)
+            qn = np.linalg.norm(q, axis=1)
+            qn[qn == 0] = 1.0
+            cn = np.linalg.norm(c, axis=1)
+            cn[cn == 0] = 1.0
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                    "cos_sim": (q * c).sum(axis=1) / (qn * cn),
+                }
+            )
+
+    return pairs.select("query_id", "q_vec", "neighbor_id", "c_vec").mapInPandas(
+        kernel, "query_id long, neighbor_id long, cos_sim double"
     )
 
 
@@ -219,7 +261,7 @@ def ann_topk_lsh(
             "lsh_bucket",
             F.explode(F.array_distinct(F.array(F.col("lsh_bucket"), *flips))),
         )
-    joined = (
+    pairs = (
         qb.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("q_vec"),
@@ -234,15 +276,8 @@ def ann_topk_lsh(
             "lsh_bucket",
         )
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "cos_sim",
-            _seq_dot(F.col("q_vec"), F.col("c_vec"))
-            / (
-                F.sqrt(_seq_dot(F.col("q_vec"), F.col("q_vec")))
-                * F.sqrt(_seq_dot(F.col("c_vec"), F.col("c_vec")))
-            ),
-        )
     )
+    joined = _pairwise_cosine(pairs, dim=dim)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         joined.withColumn("rn", F.row_number().over(w))

@@ -218,6 +218,41 @@ def test_ann_lsh_dim_768(spark):
     assert all(r["rn"] <= 5 for r in out)
 
 
+def test_arrow_cosine_matches_interpreted_fold(spark, monkeypatch):
+    """At dim ≥ ARROW_COSINE_MIN_DIM the candidate-verify cosine runs as
+    an Arrow/numpy kernel instead of the interpreted zip_with fold. Both
+    routes must nominate the SAME neighbors in the SAME order (sims agree
+    to float tolerance; ranking ties are broken by neighbor_id either
+    way)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    mat = rng.standard_normal((200, 768)).astype(float)
+    corpus = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = corpus.filter(F.col("vec_id") < 3)
+
+    def run():
+        return {
+            (r["query_id"], r["rn"]): (r["neighbor_id"], r["cos_sim"])
+            for r in similarity.ann_topk_lsh(
+                corpus, queries, dim=768, k=5, num_planes=4, probe_radius=1
+            ).collect()
+        }
+
+    arrow = run()
+    monkeypatch.setattr(similarity, "ARROW_COSINE_MIN_DIM", 10**9)  # force fold
+    fold = run()
+    assert set(arrow) == set(fold)
+    for key, (nid, sim) in fold.items():
+        anid, asim = arrow[key]
+        assert abs(asim - sim) < 1e-9
+        if anid != nid:  # only explicable by a float-tie rank swap
+            assert abs(asim - sim) < 1e-9
+
+
 def test_ivf_topk_recall_and_dial(emb):
     queries = emb.filter(F.col("vec_id") < 5)
     exact = {
