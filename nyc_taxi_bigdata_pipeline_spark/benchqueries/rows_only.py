@@ -35,25 +35,51 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_features",
     None,
-    doc="training-data ext (rows-only): binary-column decode/featurize "
-        "plumbing — documents' text bytes stand in for media payloads, the "
-        "deterministic fake decoder stands in for codecs this container "
-        "lacks (operators/multimodal.py)",
+    doc="training-data ext (rows-only): REAL binary-media decode — every "
+        "doc_id deterministically becomes a PPM (P6) image or a PCM WAV "
+        "payload (stdlib-encodable, no codec needed), which media_decoder "
+        "sniffs and decodes to a 16-dim feature vector via mapInPandas "
+        "(operators/multimodal.py); compressed formats remain stubbed",
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.multimodal import extract_features
+    import numpy as np
+    import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents")
-    media = docs.select(
-        F.col("doc_id").cast("string").alias("media_id"),
-        F.lit("image").alias("kind"),
-        F.encode("text", "utf-8").alias("content"),
-        F.lit(None).cast("int").alias("width"),
-        F.lit(None).cast("int").alias("height"),
-        F.lit(None).cast("int").alias("duration_ms"),
-        F.lit("txt").alias("format"),
+    from ..operators.multimodal import (
+        encode_ppm,
+        encode_wav,
+        extract_features,
+        media_decoder,
     )
-    feats = extract_features(media)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        # stand-in for a real media source table: payload bytes derived
+        # deterministically from the key (no RNG — append-stable)
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 3 == 0:  # 0.1 s of 16 kHz deterministic PCM
+                    t = np.arange(1600)
+                    samples = ((d * 13 + t * 37) % 2048 - 1024).astype(np.int16)
+                    payload, kind, fmt = encode_wav(samples), "audio", "wav"
+                else:  # 8×8 RGB gradient image
+                    i, j, c = np.meshgrid(
+                        np.arange(8), np.arange(8), np.arange(3), indexing="ij"
+                    )
+                    img = ((d * 7 + i * 16 + j + c * 31) % 256).astype(np.uint8)
+                    payload, kind, fmt = encode_ppm(img), "image", "ppm"
+                out.append((str(d), kind, payload, fmt))
+            yield pd.DataFrame(
+                out, columns=["media_id", "kind", "content", "format"]
+            )
+
+    media = docs.mapInPandas(
+        synth, "media_id string, kind string, content binary, format string"
+    )
+    feats = extract_features(media, decoder=media_decoder)
     return feats.select(
         "media_id",
         "kind",

@@ -3,9 +3,11 @@
 Images/audio/video ride through the engine as opaque ``binary`` columns
 with typed metadata structs. The Spark-side machinery — schema,
 partition-size-aware batching, Arrow-batched Pandas UDF signatures —
-is real and tested; the codec work itself (PIL/librosa/ffmpeg) is NOT
-available in this container, so the decode kernels are stubbed behind
-``decoder=`` injection points with a deterministic fake for tests.
+is real and tested. Decode is real for the stdlib-decodable formats:
+PPM (P6) images and PCM WAV audio go payload → numpy array → feature
+vector with no external codec (``media_decoder`` sniffs the magic
+bytes); compressed formats (JPEG/MP4) still require PIL/ffmpeg, which
+this container lacks, and stay behind ``real_decoder_unavailable``.
 
 Scale notes: binary payloads dominate partition size, so callers should
 keep ``spark.sql.files.maxPartitionBytes`` at/below 128 MB and avoid
@@ -15,6 +17,8 @@ the blob before any join/agg.
 
 from __future__ import annotations
 
+import io
+import wave
 from collections.abc import Callable, Iterator
 
 import numpy as np
@@ -58,12 +62,139 @@ def default_fake_decoder(payload: bytes) -> np.ndarray:
 
 
 def real_decoder_unavailable(payload: bytes) -> np.ndarray:
-    """The production decode path — requires codec libraries this
-    container doesn't ship."""
+    """Decode path for COMPRESSED formats (JPEG/PNG/MP4/MP3) — requires
+    codec libraries this container doesn't ship. Raw PPM/WAV payloads
+    decode for real via :func:`media_decoder`."""
     raise NotImplementedError(
-        "media codecs (PIL/librosa/ffmpeg) are not installed in this "
-        "environment; inject a decoder or use default_fake_decoder"
+        "compressed-media codecs (PIL/librosa/ffmpeg) are not installed "
+        "in this environment; PPM/WAV decode for real via media_decoder, "
+        "otherwise inject a decoder or use default_fake_decoder"
     )
+
+
+# ------------------------------------------------- real codecs: PPM / WAV
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 array → binary PPM (P6, maxval 255). Stdlib-only
+    writer used by tests/fixtures; any P6 produced elsewhere decodes the
+    same."""
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+    return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) → (h, w, 3) uint8 array. Pure header parse +
+    one zero-copy frombuffer; handles comment lines and any whitespace
+    between header tokens per the netpbm spec."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    # tokenize the header: magic, width, height, maxval — '#' starts a
+    # comment running to end-of-line; a single whitespace ends the header
+    tokens: list[int] = []
+    i = 2
+    while len(tokens) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        tokens.append(int(payload[i:j]))
+        i = j
+    i += 1  # exactly one whitespace byte after maxval, then raster
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"only maxval 255 supported, got {maxval}")
+    raster = np.frombuffer(payload, dtype=np.uint8, count=h * w * 3, offset=i)
+    return raster.reshape(h, w, 3)
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """int16 mono sample array → RIFF/WAV bytes (stdlib ``wave``)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAV bytes → (samples float64 in [-1, 1), sample_rate).
+    16-bit PCM via stdlib ``wave``; channels are averaged to mono so the
+    feature kernel sees one series either way."""
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        if wf.getsampwidth() != 2:
+            raise ValueError("only 16-bit PCM supported")
+        rate = wf.getframerate()
+        nch = wf.getnchannels()
+        raw = wf.readframes(wf.getnframes())
+    samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    if nch > 1:
+        samples = samples.reshape(-1, nch).mean(axis=1)
+    return samples, rate
+
+
+def image_features(img: np.ndarray) -> np.ndarray:
+    """(h, w, 3) uint8 → FEATURE_DIM deterministic descriptor: per-channel
+    mean/std, 2×2 luminance-quadrant means, normalized dims, 4-bin
+    luminance histogram. All exact numpy reductions — no RNG, no codec."""
+    h, w, _ = img.shape
+    x = img.astype(np.float64) / 255.0
+    lum = x @ np.array([0.299, 0.587, 0.114])
+    quads = [
+        lum[: h // 2 or 1, : w // 2 or 1].mean(),
+        lum[: h // 2 or 1, w // 2 :].mean() if w > 1 else 0.0,
+        lum[h // 2 :, : w // 2 or 1].mean() if h > 1 else 0.0,
+        lum[h // 2 :, w // 2 :].mean() if h > 1 and w > 1 else 0.0,
+    ]
+    hist = np.histogram(lum, bins=4, range=(0.0, 1.0))[0] / lum.size
+    return np.array(
+        [
+            *x.mean(axis=(0, 1)),        # 0-2 channel means
+            *x.std(axis=(0, 1)),         # 3-5 channel stds
+            *quads,                      # 6-9 luminance quadrants
+            h / 1024.0, w / 1024.0,      # 10-11 normalized dims
+            *hist,                       # 12-15 luminance histogram
+        ]
+    )
+
+
+def audio_features(samples: np.ndarray, rate: int) -> np.ndarray:
+    """(n,) float64 in [-1, 1) → FEATURE_DIM descriptor: rms / zero-cross
+    rate / peak / duration + 8-segment energy profile + 4-bin |amp|
+    histogram. Deterministic numpy reductions."""
+    n = len(samples)
+    if n == 0:
+        return np.zeros(FEATURE_DIM, dtype=np.float64)
+    rms = float(np.sqrt((samples**2).mean()))
+    zcr = float((np.signbit(samples[1:]) != np.signbit(samples[:-1])).mean()) if n > 1 else 0.0
+    segs = np.array_split(samples, 8)
+    total_e = (samples**2).sum() or 1.0
+    seg_e = [float((s**2).sum()) / total_e for s in segs]
+    hist = np.histogram(np.abs(samples), bins=4, range=(0.0, 1.0))[0] / n
+    return np.array(
+        [rms, zcr, float(np.abs(samples).max()), n / rate / 60.0, *seg_e, *hist]
+    )
+
+
+def media_decoder(payload: bytes) -> np.ndarray:
+    """Real decode+featurize for stdlib-decodable formats, sniffed from
+    magic bytes: ``P6`` → PPM image, ``RIFF…WAVE`` → PCM WAV. Compressed
+    formats raise — the honest answer in a codec-less container."""
+    if payload is None or len(payload) == 0:
+        return np.zeros(FEATURE_DIM, dtype=np.float64)
+    if payload.startswith(b"P6"):
+        return image_features(decode_ppm(payload))
+    if payload.startswith(b"RIFF") and payload[8:12] == b"WAVE":
+        return audio_features(*decode_wav(payload))
+    return real_decoder_unavailable(payload)
 
 
 def extract_features(

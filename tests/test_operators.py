@@ -361,6 +361,56 @@ def test_multimodal_plumbing(spark):
     assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000, 3000]
 
 
+def test_ppm_wav_roundtrip():
+    """Stdlib codecs: encode → decode recovers the exact pixel/sample
+    arrays (PPM header variations with comments included)."""
+    import numpy as np
+
+    img = (np.arange(8 * 6 * 3, dtype=np.uint64) % 256).astype(np.uint8).reshape(8, 6, 3)
+    assert (multimodal.decode_ppm(multimodal.encode_ppm(img)) == img).all()
+    # comment + multi-whitespace header, per netpbm spec
+    with_comment = b"P6\n# made by a test\n6 8\n255\n" + img.tobytes()
+    assert (multimodal.decode_ppm(with_comment) == img).all()
+
+    t = np.arange(3200)
+    samples = ((t * 37) % 2048 - 1024).astype(np.int16)
+    dec, rate = multimodal.decode_wav(multimodal.encode_wav(samples, rate=8000))
+    assert rate == 8000
+    assert np.allclose(dec * 32768.0, samples)
+
+
+def test_media_decoder_real_decode_in_spark(spark):
+    """End-to-end real decode through the Arrow plumbing: PPM and WAV
+    payloads built driver-side, decoded distributed, features equal the
+    locally computed kernels; compressed formats still raise."""
+    import numpy as np
+
+    img = ((np.arange(16 * 16 * 3) * 7) % 256).astype(np.uint8).reshape(16, 16, 3)
+    samples = ((np.arange(1600) * 91) % 4096 - 2048).astype(np.int16)
+    rows = [
+        ("ppm1", "image", multimodal.encode_ppm(img), 16, 16, None, "ppm"),
+        ("wav1", "audio", multimodal.encode_wav(samples), None, None, 100, "wav"),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    feats = {
+        r["media_id"]: r["features"]
+        for r in multimodal.extract_features(
+            media, decoder=multimodal.media_decoder
+        ).collect()
+    }
+    assert feats["ppm1"] == multimodal.image_features(img).tolist()
+    assert feats["wav1"] == multimodal.audio_features(
+        *multimodal.decode_wav(multimodal.encode_wav(samples))
+    ).tolist()
+    assert len(feats["ppm1"]) == multimodal.FEATURE_DIM
+    assert len(feats["wav1"]) == multimodal.FEATURE_DIM
+    # luminance quadrants + histogram are genuine image statistics
+    assert 0.0 < feats["ppm1"][6] < 1.0
+    assert abs(sum(feats["ppm1"][12:16]) - 1.0) < 1e-9
+    with pytest.raises(NotImplementedError):
+        multimodal.media_decoder(b"\xff\xd8\xff\xe0 jpeg-ish")
+
+
 def test_deterministic_splits_and_samples(spark, docs):
     d = docs.limit(400).select("doc_id", "text")
     s1 = sampling.with_split(d)
