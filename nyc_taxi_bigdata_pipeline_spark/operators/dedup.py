@@ -48,8 +48,13 @@ def dedup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 # ------------------------------------------------------------ MinHash + LSH
 
 
-def char_shingles(col: str, n: int = 5) -> F.Column:
-    """Distinct char n-gram array (JVM expression, codegen-friendly)."""
+def _legacy_char_shingles(col: str, n: int = 5) -> F.Column:
+    """Distinct char n-gram ARRAY build — the pre-round-2 formulation,
+    kept ONLY as the measured-slower baseline for
+    scripts/bench_minhash_scale.py. ``transform()`` is an interpreted
+    higher-order function (never codegen'd); every hot path instead
+    explodes shingle POSITIONS and hashes inline (see
+    :func:`add_minhash`). Not exported; do not add new callers."""
     return F.array_distinct(
         F.expr(
             f"transform(sequence(1, greatest(length({col}) - {n - 1}, 1)),"
@@ -80,7 +85,7 @@ def add_minhash(
     Shingles never materialize as an array: the POSITION sequence is
     exploded (Generate supports whole-stage codegen) and the 5-char
     substring + hash happen inline per position row — the interpreted
-    ``char_shingles`` array build was the dominant cost even after the
+    legacy shingle-array build was the dominant cost even after the
     hash passes moved to codegen. Duplicate shingles don't need dedup
     before MIN (min of a multiset == min of its support).
 
@@ -169,7 +174,7 @@ def hashed_shingles(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 5
 ) -> DataFrame:
     """Distinct xxhash64'd char-n-gram shingles, one row per (doc,
-    shingle-hash) — the fully-codegen twin of :func:`char_shingles`
+    shingle-hash) — the fully-codegen twin of the legacy shingle build
     (positions exploded, no interpreted array lambdas)."""
     pos = docs.select(
         F.col(id_col),

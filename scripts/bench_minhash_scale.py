@@ -25,7 +25,7 @@ NUM_HASHES = 32
 def old_add_minhash(df, text_col="text", num_hashes=NUM_HASHES):
     """Pre-round-2 formulation: N interpreted transform() lambdas per
     row, each re-hashing every shingle STRING. Kept for the comparison."""
-    out = df.withColumn("__sh", dedup.char_shingles(text_col))
+    out = df.withColumn("__sh", dedup._legacy_char_shingles(text_col))
     sigs = [
         F.array_min(F.expr(f"transform(__sh, s -> xxhash64(s, {seed}))")).alias(f"mh{seed}")
         for seed in range(num_hashes)
