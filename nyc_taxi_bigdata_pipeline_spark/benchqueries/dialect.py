@@ -139,6 +139,15 @@ def shr(a: str, n: str, engine: str) -> str:
     return f"shiftright({a}, CAST({n63} AS INT))"
 
 
+def shl(a: str, n: str, engine: str) -> str:
+    """Bitwise left shift on BIGINT. Same Java mod-64 masking caveat as
+    :func:`shr` — callers must keep ``n`` < 64 themselves (the sketch
+    code's shift amounts are structurally ≤ 52)."""
+    if engine == DUCK:
+        return f"(CAST({a} AS BIGINT) << ({n}))"
+    return f"shiftleft(CAST({a} AS BIGINT), CAST({n} AS INT))"
+
+
 def epoch_us(ts: str, engine: str) -> str:
     """Timestamp → exact epoch microseconds (the portable event-time key;
     sidesteps the ns/µs parquet precision skew documented in

@@ -1,0 +1,161 @@
+"""Cardinality sketches: an ENGINE-EXACT HyperLogLog approx-distinct.
+
+Beyond-reference capability (the reference has no sketch surface) and a
+100-TB staple: estimating distinct counts without a COUNT(DISTINCT)
+shuffle of every value. Spark's own ``approx_count_distinct`` (and
+DuckDB's ``approx_distinct``) can never hash-match across engines —
+different hash functions, different register encodings — so this
+formulation rebuilds HLL from primitives both engines share:
+
+- portable md5-derived 60-bit hash (dialect.h64, engine-identical),
+- bucket = h % m, rho = leading-zero rank of the remaining 52 bits via
+  a generated integer-comparison CASE chain (no float log),
+- per-bucket MAX(rho) registers,
+- the harmonic-mean denominator as an EXACT INTEGER sum of
+  2^(53-rho) weights (empty registers contribute 2^53), so the only
+  float ops are one division and one multiply by constants — identical
+  IEEE results in any engine, any partition order.
+
+Distributed shape: one hash aggregate on (group, bucket) with map-side
+combine, then a tiny per-group rollup — the sketch shuffle carries at
+most m rows per group regardless of input size. Mergeability falls out
+of MAX being associative: unioning sketches = the same GROUP BY over
+more rows.
+
+Small-range branch: below 2.5·m with empty registers HLL switches to
+linear counting, m·ln(m/V) — the one transcendental. Both engines get
+bit-identical inputs and the output is rounded to 4 decimals, so a
+1-ulp libm difference cannot realistically surface; the raw branch is
+float-division-only either way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.tables import load_table
+from . import dialect as D
+from .registry import register
+
+_M = 256                      # registers (b = 8 bucket bits)
+_WBITS = 52                   # h64 is 60-bit non-negative; 60 - 8 bucket bits
+_ALPHA = 0.7213 / (1.0 + 1.079 / _M)
+_EMPTY_W = 1 << (_WBITS + 1)  # rho = 0 weight for an empty register
+
+
+def _rho_case(w: str) -> str:
+    """Leading-zero rank of the 52-bit value ``w`` as a pure integer
+    CASE chain — rho = 1 for the top bit set … 53 for w = 0. No float
+    log2 (misrounds at power-of-two boundaries), fully codegen-able."""
+    whens = " ".join(
+        f"WHEN {w} >= {1 << (_WBITS - k)} THEN {k}" for k in range(1, _WBITS + 1)
+    )
+    return f"(CASE {whens} ELSE {_WBITS + 1} END)"
+
+
+def _hll_sql(engine: str, table: str) -> str:
+    h = D.h64("CAST(event_id AS STRING)" if engine == D.SPARK
+              else "CAST(event_id AS VARCHAR)", engine)
+    w = D.idiv("h", str(_M), engine)
+    weight = D.shl("1", f"({_WBITS + 1} - rho)", engine)
+    # bare float literals parse as DECIMAL in both engines (CLAUDE.md
+    # pitfall) — CAST every constant to DOUBLE so the arithmetic is IEEE
+    raw = (
+        f"(CAST({_ALPHA!r} AS DOUBLE) * CAST({float(_M * _M)!r} AS DOUBLE)"
+        f" * CAST({float(_EMPTY_W)!r} AS DOUBLE) / CAST(reg_sum AS DOUBLE))"
+    )
+    return f"""
+    WITH h AS (
+      SELECT event_type, {h} AS h FROM {table}
+    ),
+    b AS (
+      SELECT event_type, h % {_M} AS bucket,
+             MAX({_rho_case(w)}) AS rho,
+             COUNT(DISTINCT h) AS nd
+      FROM h GROUP BY event_type, h % {_M}
+    ),
+    r AS (
+      SELECT event_type,
+             COUNT(*) AS used,
+             CAST(SUM({weight}) AS BIGINT) AS sum_present,
+             CAST(SUM(nd) AS BIGINT) AS n_distinct
+      FROM b GROUP BY event_type
+    ),
+    e AS (
+      SELECT event_type, n_distinct,
+             CAST(used AS BIGINT) AS used_registers,
+             CAST(sum_present + ({_M} - used) * {_EMPTY_W} AS BIGINT) AS reg_sum
+      FROM r
+    )
+    SELECT event_type, n_distinct, used_registers, reg_sum,
+           ROUND(CASE WHEN {raw} <= CAST({2.5 * _M!r} AS DOUBLE) AND used_registers < {_M}
+                      THEN CAST({float(_M)!r} AS DOUBLE)
+                           * LN(CAST({float(_M)!r} AS DOUBLE) / CAST({_M} - used_registers AS DOUBLE))
+                      ELSE {raw} END, 4) AS hll_estimate
+    FROM e"""
+
+
+_CMS_D = 4    # independent hash rows
+_CMS_W = 512  # counters per row
+
+
+def _cms_sql(engine: str, table: str) -> str:
+    """Count-Min heavy hitters over document tokens: build the d×w
+    counter matrix (one GROUP BY, ≤ d·w rows survive the shuffle no
+    matter the corpus size), then read back the estimate for the true
+    top-20 tokens as MIN over their d counters. Everything is integer
+    COUNT/MIN on portable-hash buckets — engine-exact by construction —
+    and ``overestimate ≥ 0`` is the CMS guarantee made visible."""
+    unnest = D.unnest_col(D.split_ws("lower(trim(text))", engine), engine)
+    seeds = D.unnest_col(D.iseq("0", str(_CMS_D - 1), engine), engine)
+    str_t = "STRING" if engine == D.SPARK else "VARCHAR"
+    keyed = f"CONCAT(CAST(seed AS {str_t}), '#', tok)"
+    bkt = f"({D.h64(keyed, engine)} % {_CMS_W})"
+    return f"""
+    WITH toks AS (SELECT {unnest} AS tok FROM {table}),
+    seeded AS (SELECT tok, {seeds} AS seed FROM toks),
+    counters AS (
+      SELECT seed, {bkt} AS bucket, COUNT(*) AS c
+      FROM seeded GROUP BY seed, {bkt}
+    ),
+    top AS (
+      SELECT tok, COUNT(*) AS true_cnt FROM toks GROUP BY tok
+      ORDER BY true_cnt DESC, tok LIMIT 20
+    ),
+    probes AS (SELECT tok, true_cnt, {seeds} AS seed FROM top)
+    SELECT p.tok, CAST(p.true_cnt AS BIGINT) AS true_cnt,
+           CAST(MIN(c.c) AS BIGINT) AS cms_estimate,
+           CAST(MIN(c.c) - p.true_cnt AS BIGINT) AS overestimate
+    FROM probes p JOIN counters c ON c.seed = p.seed AND c.bucket = {bkt.replace('tok', 'p.tok').replace('seed', 'p.seed')}
+    GROUP BY p.tok, p.true_cnt"""
+
+
+@register(
+    "cms_heavy_hitters",
+    _cms_sql(D.DUCK, "documents"),
+    doc="beyond-reference sketch: engine-exact Count-Min heavy hitters "
+        "over document tokens — d=4 portable-hash rows × w=512 integer "
+        "counters (the shuffle carries ≤2048 counter rows at ANY corpus "
+        "size), probed for the true top-20 tokens; overestimate ≥ 0 "
+        "exposes the CMS one-sided error bound. All COUNT/MIN integer "
+        "arithmetic, deterministic in any engine or partition order",
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("bq_cms_docs")
+    return spark.sql(_cms_sql(D.SPARK, "bq_cms_docs"))
+
+
+@register(
+    "hll_distinct_by_type",
+    _hll_sql(D.DUCK, "events"),
+    doc="beyond-reference sketch: engine-exact HyperLogLog approx-distinct "
+        "of event_id per event_type — portable-hash buckets, integer CASE "
+        "leading-zero rank, MAX registers, exact-integer harmonic-mean "
+        "denominator (the only floats are one constant multiply + divide). "
+        "Shuffle carries ≤256 rows per group at any input size; registers "
+        "merge by MAX, so sharded sketches union for free",
+    bench=True,
+)
+def hll_distinct_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("bq_hll_events")
+    return spark.sql(_hll_sql(D.SPARK, "bq_hll_events"))

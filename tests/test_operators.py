@@ -411,6 +411,22 @@ def test_media_decoder_real_decode_in_spark(spark):
         multimodal.media_decoder(b"\xff\xd8\xff\xe0 jpeg-ish")
 
 
+def test_hll_sketch_accuracy(spark, sf_dir):
+    """The engine-exact HLL must actually estimate well: per event_type
+    the estimate lands within 25% of the true distinct count (m=256 →
+    ~6.5% standard error; 25% is ~4σ), and registers are all integer
+    state (reg_sum exact BIGINT)."""
+    from nyc_taxi_bigdata_pipeline_spark.benchqueries import REGISTRY
+
+    rows = REGISTRY["hll_distinct_by_type"].spark_fn(spark, sf_dir).collect()
+    assert len(rows) >= 3
+    for r in rows:
+        assert r["n_distinct"] > 0
+        err = abs(r["hll_estimate"] - r["n_distinct"]) / r["n_distinct"]
+        assert err < 0.25, (r["event_type"], r["hll_estimate"], r["n_distinct"])
+        assert isinstance(r["reg_sum"], int) and r["reg_sum"] > 0
+
+
 def test_deterministic_splits_and_samples(spark, docs):
     d = docs.limit(400).select("doc_id", "text")
     s1 = sampling.with_split(d)
