@@ -159,3 +159,73 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def hll_distinct_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("bq_hll_events")
     return spark.sql(_hll_sql(D.SPARK, "bq_hll_events"))
+
+
+_BLOOM_M = 65536  # bits
+_BLOOM_K = 4      # hash functions
+
+
+def _bloom_sql(engine: str, orders: str, customer: str) -> str:
+    """Engine-exact Bloom filter: build a 65536-bit / 4-hash membership
+    filter over the custkeys that ordered in 1995, probe EVERY customer
+    through it, and report per-segment true members vs bloom positives —
+    ``false_positives ≥ 0`` is the one-sided Bloom error bound made
+    visible, and ``bloom ⊇ truth`` (no false negatives) is implied by
+    ``bloom_positives − true_members = false_positives``.
+
+    The filter itself is the DISTINCT set of set bit positions (≤ m
+    rows regardless of member count) — exactly how a distributed Bloom
+    build works at 100 TB: the tiny bit set broadcasts to the probe
+    side, the probe is a per-key hash aggregate (did all k positions
+    hit), one shuffle on the probe key. All arithmetic is portable-hash
+    modulo + integer COUNT, so any engine, any partition order, any
+    shard split produces the identical filter."""
+    str_t = "STRING" if engine == D.SPARK else "VARCHAR"
+    seeds = D.unnest_col(D.iseq("0", str(_BLOOM_K - 1), engine), engine)
+    mh = D.h64(f"CONCAT(CAST(seed AS {str_t}), '#', CAST(ck AS {str_t}))", engine)
+    ph = D.h64(f"CONCAT(CAST(seed AS {str_t}), '#', CAST(c_custkey AS {str_t}))", engine)
+    return f"""
+    WITH members AS (
+      SELECT DISTINCT o_custkey AS ck FROM {orders}
+      WHERE year(CAST(o_orderdate AS DATE)) = 1995
+    ),
+    mseed AS (SELECT ck, {seeds} AS seed FROM members),
+    mbits AS (SELECT DISTINCT ({mh} % {_BLOOM_M}) AS pos FROM mseed),
+    pseed AS (SELECT c_custkey, c_mktsegment, {seeds} AS seed FROM {customer}),
+    probe AS (SELECT c_custkey, c_mktsegment, ({ph} % {_BLOOM_M}) AS pos FROM pseed),
+    hits AS (
+      SELECT p.c_custkey, p.c_mktsegment, COUNT(b.pos) AS k_hit
+      FROM probe p LEFT JOIN mbits b ON p.pos = b.pos
+      GROUP BY p.c_custkey, p.c_mktsegment
+    ),
+    truth AS (
+      SELECT h.c_custkey, h.c_mktsegment, h.k_hit,
+             CASE WHEN m.ck IS NULL THEN 0 ELSE 1 END AS is_member
+      FROM hits h LEFT JOIN members m ON h.c_custkey = m.ck
+    )
+    SELECT c_mktsegment AS segment,
+           COUNT(*) AS probed,
+           CAST(SUM(is_member) AS BIGINT) AS true_members,
+           CAST(SUM(CASE WHEN k_hit = {_BLOOM_K} THEN 1 ELSE 0 END) AS BIGINT)
+             AS bloom_positives,
+           CAST(SUM(CASE WHEN k_hit = {_BLOOM_K} AND is_member = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS false_positives,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM mbits) AS bits_set
+    FROM truth GROUP BY c_mktsegment"""
+
+
+@register(
+    "bloom_membership",
+    _bloom_sql(D.DUCK, "orders", "customer"),
+    doc="beyond-reference sketch: engine-exact Bloom filter membership — "
+        "65536-bit / 4-portable-hash filter over 1995 purchasers, probed "
+        "for every customer with per-segment true-member vs bloom-positive "
+        "vs false-positive accounting. The filter is ≤ m DISTINCT bit "
+        "positions (broadcastable at any input size); the probe is one "
+        "per-key hash aggregate. Zero false negatives by construction, "
+        "false_positives ≥ 0 is the Bloom one-sided bound made visible",
+)
+def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("bq_bloom_orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("bq_bloom_cust")
+    return spark.sql(_bloom_sql(D.SPARK, "bq_bloom_orders", "bq_bloom_cust"))
