@@ -133,6 +133,7 @@ JOIN customer ON o_custkey = c_custkey"""
         "line quantity exceeds 250) feeding a join back to orders and "
         "customer — the aggregate prunes ~99% of orderkeys before any "
         "wide-row join happens, so the expensive joins see only survivors",
+    bench=True,
 )
 def big_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "lineitem", "orders", "customer")

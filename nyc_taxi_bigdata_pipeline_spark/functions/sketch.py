@@ -1,0 +1,89 @@
+"""Mergeable sketch primitives at the DataFrame level.
+
+Same math, bit for bit, as the oracle-checked SQL twin in
+``benchqueries/sketch_ops`` (portable md5-derived 60-bit hash, m=256
+buckets, integer leading-zero rank, exact-integer harmonic-mean
+denominator) — but exposed as composable DataFrame functions so the
+STREAMING layer can maintain a sketch incrementally: registers merge by
+MAX, which is exactly the ``max_cols`` case of
+``operators/ivm.agg_view_merge``.
+
+100-TB shape: a register table is ≤ m rows per group no matter the
+input size, so per-shard sketches union for free (same GROUP BY, MAX),
+a micro-batch merges into a materialized register view in O(|batch| +
+|view|), and the estimate is a per-group rollup of ≤ m rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+M = 256                    # registers (8 bucket bits)
+_WBITS = 52                # 60-bit hash minus 8 bucket bits
+_ALPHA = 0.7213 / (1.0 + 1.079 / M)
+_EMPTY_W = 1 << (_WBITS + 1)
+
+
+def _rho_case(w: str) -> str:
+    """Leading-zero rank of the 52-bit value ``w`` (1 = top bit set …
+    53 = zero) as a pure integer CASE chain — no float log2, codegen."""
+    whens = " ".join(
+        f"WHEN {w} >= {1 << (_WBITS - k)} THEN {k}" for k in range(1, _WBITS + 1)
+    )
+    return f"(CASE {whens} ELSE {_WBITS + 1} END)"
+
+
+def hll_registers(df: DataFrame, keys: Sequence[str], id_col: str) -> DataFrame:
+    """Per-(keys, bucket) MAX-rho HLL registers for ``id_col``.
+
+    One hash aggregate with map-side combine; the output is ≤ m rows
+    per key group at any input size. Registers from different shards /
+    batches / partitions merge with another MAX over the same keys.
+    """
+    keys = list(keys)
+    h = (f"CAST(CONV(SUBSTRING(MD5(CAST({id_col} AS STRING)), 1, 15), 16, 10)"
+         " AS BIGINT)")
+    rows = df.select(
+        *keys,
+        F.expr(f"{h} % {M}").alias("bucket"),
+        F.expr(_rho_case(f"({h} DIV {M})")).alias("rho"),
+    )
+    return rows.groupBy(*keys, "bucket").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(registers: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Distinct-count estimate per key group from a register table.
+
+    Exact-integer harmonic denominator (empty registers contribute
+    2^53); the only float ops are one constant multiply and one divide,
+    plus the linear-counting LN on the small-range branch — identical
+    IEEE results in any engine or partition order.
+    """
+    keys = list(keys)
+    per = registers.groupBy(*keys).agg(
+        F.count("*").alias("used"),
+        F.expr(f"CAST(SUM(shiftleft(CAST(1 AS BIGINT), {_WBITS + 1} - rho))"
+               " AS BIGINT)").alias("sum_present"),
+    )
+    raw = (f"(CAST({_ALPHA!r} AS DOUBLE) * CAST({float(M * M)!r} AS DOUBLE)"
+           f" * CAST({float(_EMPTY_W)!r} AS DOUBLE) / CAST(reg_sum AS DOUBLE))")
+    return (
+        per.withColumn(
+            "reg_sum",
+            F.expr(f"CAST(sum_present + ({M} - used) * {_EMPTY_W} AS BIGINT)"),
+        )
+        .select(
+            *keys,
+            F.expr(
+                f"ROUND(CASE WHEN {raw} <= CAST({2.5 * M!r} AS DOUBLE)"
+                f" AND used < {M}"
+                f" THEN CAST({float(M)!r} AS DOUBLE)"
+                f"      * LN(CAST({float(M)!r} AS DOUBLE)"
+                f"           / CAST({M} - used AS DOUBLE))"
+                f" ELSE {raw} END, 4)"
+            ).alias("hll_estimate"),
+        )
+    )

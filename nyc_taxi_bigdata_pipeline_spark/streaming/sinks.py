@@ -97,38 +97,92 @@ def foreach_batch_agg_maintain(
     batch first restores __prev→view before reading — the prior
     aggregates are never silently discarded.
     """
-    import shutil
-    from pathlib import Path
-
     from ..operators.ivm import agg_view_merge
 
     def merge(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        vp = Path(view_path)
-        prev = Path(view_path.rstrip("/") + "__prev")
-        if prev.exists():
-            if vp.exists():
-                # crashed after tmp→view but before cleanup: prev is stale
-                shutil.rmtree(prev, ignore_errors=True)
-            else:
-                # crashed between view→prev and tmp→view: restore the view
-                prev.rename(vp)
-        view = spark.read.parquet(view_path) if vp.exists() else None
-        delta = batch
-        if view is None:
-            aggs = [F.sum(c).alias(c) for c in sum_cols]
-            aggs.append(F.count("*").cast("bigint").alias(count_col))
-            new_view = delta.groupBy(*keys).agg(*aggs)
-        else:
-            new_view = agg_view_merge(
-                view, delta, keys, sum_cols=sum_cols, count_col=count_col
+        def build(view: DataFrame | None) -> DataFrame:
+            if view is None:
+                aggs = [F.sum(c).alias(c) for c in sum_cols]
+                aggs.append(F.count("*").cast("bigint").alias(count_col))
+                return batch.groupBy(*keys).agg(*aggs)
+            return agg_view_merge(
+                view, batch, keys, sum_cols=sum_cols, count_col=count_col
             )
-        tmp = view_path.rstrip("/") + "__merging"
-        new_view.write.mode("overwrite").parquet(tmp)
+
+        _merge_view_crash_safe(batch.sparkSession, view_path, build)
+
+    return (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _merge_view_crash_safe(spark, view_path: str, build) -> None:
+    """Read-merge-swap for materialized views: recover a half-finished
+    swap, read the current view (None on first batch), write
+    ``build(view)`` to a temp dir, then swap via two renames. A crash
+    between the renames parks the old view at ``__prev`` and the next
+    call restores it, so prior state is never silently discarded."""
+    import shutil
+    from pathlib import Path
+
+    vp = Path(view_path)
+    prev = Path(view_path.rstrip("/") + "__prev")
+    if prev.exists():
         if vp.exists():
-            vp.rename(prev)
-        Path(tmp).rename(vp)
-        shutil.rmtree(prev, ignore_errors=True)
+            # crashed after tmp→view but before cleanup: prev is stale
+            shutil.rmtree(prev, ignore_errors=True)
+        else:
+            # crashed between view→prev and tmp→view: restore the view
+            prev.rename(vp)
+    view = spark.read.parquet(view_path) if vp.exists() else None
+    new_view = build(view)
+    tmp = view_path.rstrip("/") + "__merging"
+    new_view.write.mode("overwrite").parquet(tmp)
+    if vp.exists():
+        vp.rename(prev)
+    Path(tmp).rename(vp)
+    shutil.rmtree(prev, ignore_errors=True)
+
+
+def foreach_batch_sketch_maintain(
+    stream: DataFrame,
+    view_path: str,
+    keys: Sequence[str],
+    id_col: str,
+    checkpoint: str,
+) -> StreamingQuery:
+    """Maintain a mergeable HyperLogLog register view from a stream:
+    each micro-batch is sketched alone (``functions/sketch.
+    hll_registers`` — ≤ m rows per key group regardless of batch size)
+    and MAX-merged into the stored registers, the ``max_cols`` case of
+    the ΔV algebra. Unlike a COUNT(DISTINCT) view, per-batch cost and
+    view size are BOUNDED (m registers per group), and re-delivered
+    EVENTS are absorbed for free — MAX is idempotent per value, so this
+    sink tolerates at-least-once delivery with no upstream dedup.
+
+    Query the estimate any time with ``functions/sketch.hll_estimate``
+    over the stored view. Crash-safe swap identical to
+    :func:`foreach_batch_agg_maintain`.
+    """
+    from ..functions.sketch import hll_registers
+    from ..operators.ivm import agg_view_merge
+
+    keys = list(keys)
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        def build(view: DataFrame | None) -> DataFrame:
+            regs = hll_registers(batch, keys, id_col)
+            if view is None:
+                return regs
+            return agg_view_merge(
+                view, regs, [*keys, "bucket"],
+                count_col=None, max_cols=["rho"],
+            )
+
+        _merge_view_crash_safe(batch.sparkSession, view_path, build)
 
     return (
         stream.writeStream.foreachBatch(merge)

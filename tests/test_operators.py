@@ -829,3 +829,48 @@ def test_weighted_deterministic_sample(docs):
         terc.filter(F2.col("w") >= q2).agg(F2.avg("kept")).first()[0],
     )
     assert hi > lo
+
+
+def test_hll_dataframe_twin_matches_sql(spark, sf_dir):
+    """functions/sketch (the DataFrame register builder the streaming
+    sink uses) must agree with the oracle-checked SQL formulation
+    (hll_distinct_by_type) to the last decimal — same hash, same
+    registers, same estimate."""
+    from nyc_taxi_bigdata_pipeline_spark.benchqueries import REGISTRY
+    from nyc_taxi_bigdata_pipeline_spark.functions import sketch
+    from nyc_taxi_bigdata_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    regs = sketch.hll_registers(ev, ["event_type"], "event_id")
+    est = {
+        r["event_type"]: r["hll_estimate"]
+        for r in sketch.hll_estimate(regs, ["event_type"]).collect()
+    }
+    sql_rows = REGISTRY["hll_distinct_by_type"].spark_fn(spark, sf_dir).collect()
+    assert len(sql_rows) >= 3
+    for r in sql_rows:
+        assert est[r["event_type"]] == r["hll_estimate"], r["event_type"]
+
+
+def test_hll_registers_shard_merge_exact(spark, sf_dir):
+    """Sketch mergeability: registers built on two disjoint shards and
+    MAX-merged must equal registers built on the union — the property
+    the streaming sink and any 1000-executor tree aggregation rely on."""
+    import pyspark.sql.functions as F
+
+    from nyc_taxi_bigdata_pipeline_spark.functions import sketch
+    from nyc_taxi_bigdata_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    merged = (
+        sketch.hll_registers(a, ["event_type"], "event_id")
+        .unionByName(sketch.hll_registers(b, ["event_type"], "event_id"))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    whole = sketch.hll_registers(ev, ["event_type"], "event_id")
+    key = lambda r: (r["event_type"], r["bucket"])
+    assert sorted(map(tuple, merged.collect()), key=str) == \
+        sorted(map(tuple, whole.collect()), key=str)

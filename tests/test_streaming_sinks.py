@@ -102,3 +102,47 @@ def test_foreach_batch_agg_maintain(spark, tmp_path):
 
     got = {r["k"]: (r["v"], r["cnt"]) for r in spark.read.parquet(view).collect()}
     assert got == {"a": (13, 3), "b": (5, 1), "c": (7, 1)}
+
+
+def test_foreach_batch_sketch_maintain(spark, events_df, tmp_path):
+    """Streamed HLL register view must equal the batch sketch over
+    everything that flowed through — across two runs (new files → new
+    micro-batches MAX-merged into the stored registers) — and absorb a
+    redelivered feed with no drift (MAX is idempotent)."""
+    import pyspark.sql.functions as F
+
+    from nyc_taxi_bigdata_pipeline_spark.functions import sketch
+
+    view = str(tmp_path / "hll_view")
+    src = str(tmp_path / "sk_src")
+    half1 = events_df.filter(F.col("event_id") % 2 == 0)
+    half2 = events_df.filter(F.col("event_id") % 2 == 1)
+
+    def run(cp: str):
+        stream = spark.readStream.schema(ev.EVENT_SCHEMA).parquet(src)
+        q = sinks.foreach_batch_sketch_maintain(
+            stream, view, ["event_type"], "event_id", str(tmp_path / cp)
+        )
+        q.awaitTermination(180)
+        q.stop()
+
+    half1.write.mode("overwrite").parquet(src)
+    run("skcp")
+    half2.write.mode("append").parquet(src)
+    run("skcp")  # same checkpoint: only the new files form the batch
+
+    batch_regs = sketch.hll_registers(events_df, ["event_type"], "event_id")
+    got = sorted(map(tuple, spark.read.parquet(view).collect()), key=str)
+    want = sorted(map(tuple, batch_regs.collect()), key=str)
+    assert got == want
+
+    # worst-case redelivery: replay the ENTIRE feed with a fresh
+    # checkpoint — registers must not move
+    run("skcp2")
+    again = sorted(map(tuple, spark.read.parquet(view).collect()), key=str)
+    assert again == want
+
+    # and the estimate over the maintained view is the batch estimate
+    est = sketch.hll_estimate(spark.read.parquet(view), ["event_type"])
+    batch_est = sketch.hll_estimate(batch_regs, ["event_type"])
+    assert sorted(map(tuple, est.collect())) == sorted(map(tuple, batch_est.collect()))
