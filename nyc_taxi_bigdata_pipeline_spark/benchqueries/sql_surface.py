@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..functions import compat as C
 from ..sources.tables import load_table
+from . import dialect as D
 from .registry import register
 
 # ------------------------------------------------------- set operations
@@ -179,3 +180,72 @@ def unpivot_nation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="val",
     )
+
+
+# ----------------------------------------------- recursive CTE (Spark 4)
+
+def _hierarchy_sql(engine: str, customer: str) -> str:
+    """Recursive-CTE hierarchy walk over a synthetic customer tree
+    (parent key = key DIV 10, roots are keys < 10 — every key has a
+    smaller parent, so the recursion provably terminates at depth
+    ~log10(|customer|)). Spark 4's native WITH RECURSIVE iterates the
+    anchor+step as DataFrame loops under the hood — each level is one
+    equi-join against the previous level only, never the whole closure;
+    the same plan an iterative operator (operators/graph.py) would
+    build by hand."""
+    div = D.idiv("c.c_custkey", "10", engine)
+    return f"""
+    WITH RECURSIVE tree AS (
+      SELECT c_custkey AS node, c_custkey AS root, 0 AS depth
+      FROM {customer} WHERE c_custkey < 10
+      UNION ALL
+      SELECT c.c_custkey AS node, t.root AS root, t.depth + 1 AS depth
+      FROM {customer} c JOIN tree t ON {div} = t.node
+      WHERE c.c_custkey >= 10
+    )
+    SELECT CAST(depth AS INT) AS depth, COUNT(*) AS nodes,
+           CAST(COUNT(DISTINCT root) AS BIGINT) AS roots,
+           CAST(MIN(node) AS BIGINT) AS min_node,
+           CAST(MAX(node) AS BIGINT) AS max_node
+    FROM tree GROUP BY depth"""
+
+
+@register(
+    "recursive_hierarchy_depth",
+    _hierarchy_sql(D.DUCK, "customer"),
+    doc="§2.2 extension: recursive CTE (WITH RECURSIVE, native in Spark 4) "
+        "— per-depth rollup of a synthetic customer hierarchy (parent = "
+        "key DIV 10). Each recursion level joins only the PREVIOUS level "
+        "to the base table (never the growing closure), so the distributed "
+        "cost is |levels| bounded equi-joins — the declarative twin of the "
+        "engine's iterative-DataFrame operators",
+)
+def recursive_hierarchy_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("bq_rec_cust")
+    return spark.sql(_hierarchy_sql(D.SPARK, "bq_rec_cust"))
+
+
+# ------------------------------------------- LATERAL correlated subquery
+
+_LATERAL_SQL = """
+    SELECT c_custkey, o_orderkey, o_totalprice
+    FROM {customer} c, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM {orders} o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t"""
+
+
+@register(
+    "lateral_top_orders",
+    _LATERAL_SQL.format(customer="customer", orders="orders"),
+    doc="§2.3 extension: correlated LATERAL subquery with per-row ORDER BY "
+        "+ LIMIT (each customer's two most expensive orders) — the same "
+        "text runs on both engines. Catalyst decorrelates the lateral into "
+        "a ranked window over one customer-keyed shuffle (no per-row "
+        "re-execution); the unique-key tiebreak makes the top-2 "
+        "deterministic",
+)
+def lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("bq_lat_cust")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("bq_lat_ord")
+    return spark.sql(_LATERAL_SQL.format(customer="bq_lat_cust", orders="bq_lat_ord"))
