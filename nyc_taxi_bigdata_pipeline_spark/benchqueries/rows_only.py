@@ -335,3 +335,74 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return ivfpq_topk(emb, queries, dim=64, k=10, n_cells=8, n_probe=4)
+
+
+@register(
+    "image_phash_dedup",
+    None,
+    doc="training-data ext (rows-only): perceptual-hash IMAGE dedup — "
+        "deterministic pseudo-random PPM payloads (exact + perturbed "
+        "duplicates planted every 20 ids) are decoded and 63-bit "
+        "average-hashed per partition (operators/multimodal.phash_images, "
+        "only the 8-byte hash shuffles), then Hamming-near pairs come from "
+        "the same 4×16-bit pigeonhole blocking as text SimHash "
+        "(operators/dedup.hamming_near_pairs). Planted pairs are recovered "
+        "exactly; unrelated images don't collide",
+)
+def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.dedup import hamming_near_pairs
+    from ..operators.multimodal import encode_ppm, phash_images
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        # deterministic pseudo-random 32×32 RGB per doc (content-stable,
+        # no RNG); ids ≡ 1 (mod 20) duplicate id-1 exactly, ids ≡ 11
+        # (mod 20) duplicate id-1 with two 4×4 blocks swapped — a 4×4
+        # block IS one phash grid cell and the swap preserves the grid
+        # mean exactly, so the planted near-dup is structurally within
+        # Hamming ≤ 2 (only the two swapped cells' bits can change)
+        idx = np.arange(32 * 32 * 3, dtype=np.uint64)
+        M1, M2, M3 = (np.uint64(0x9E3779B97F4A7C15),
+                      np.uint64(0xBF58476D1CE4E5B9),
+                      np.uint64(0x94D049BB133111EB))
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                base = d - 1 if d % 10 == 1 else d
+                # splitmix-style vectorized scramble: statistically
+                # independent pixels per doc (a plain gradient + doc
+                # offset only shifts images by a constant mod 256 —
+                # docs 256 apart would be identical)
+                with np.errstate(over="ignore"):
+                    x = idx * M1 + np.uint64(base) * M2
+                    x ^= x >> np.uint64(31)
+                    x *= M3
+                    x ^= x >> np.uint64(29)
+                img = (x & np.uint64(0xFF)).astype(np.uint8).reshape(32, 32, 3)
+                if d % 20 == 11:  # near-dup: swap grid cells (0,0)↔(1,1)
+                    a = img[:4, :4, :].copy()
+                    img[:4, :4, :] = img[4:8, 4:8, :]
+                    img[4:8, 4:8, :] = a
+                out.append((str(d), "image", encode_ppm(img)))
+            yield pd.DataFrame(out, columns=["media_id", "kind", "content"])
+
+    media = docs.mapInPandas(
+        synth, "media_id string, kind string, content binary"
+    )
+    hashes = phash_images(media)
+    pairs = hamming_near_pairs(hashes, "media_id", "phash", max_hamming=3)
+    return pairs.agg(
+        F.count("*").alias("pairs"),
+        F.sum(F.when(F.col("hamming") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("exact_pairs"),
+        F.sum(F.when(F.col("hamming") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("near_pairs"),
+        F.max("hamming").alias("max_hamming"),
+    )

@@ -87,3 +87,60 @@ def hll_estimate(registers: DataFrame, keys: Sequence[str]) -> DataFrame:
             ).alias("hll_estimate"),
         )
     )
+
+
+CMS_D = 4    # hash rows
+CMS_W = 512  # counters per row
+
+
+def cms_counter_rows(df: DataFrame, token_col: str) -> DataFrame:
+    """Count-Min counter increments for a token column: one row per
+    (seed, bucket) with its count — same portable hash and d×w geometry
+    as the oracle-checked SQL twin (benchqueries/sketch_ops._cms_sql).
+
+    Counters merge by SUM, so a streaming CMS is just
+    ``streaming/sinks.foreach_batch_agg_maintain(cms_hash_rows(stream),
+    keys=["seed", "bucket"], sum_cols=["c"])`` — the row-level
+    projection is streaming-safe (no pre-aggregation; the sink sums per
+    micro-batch). Unlike the HLL's idempotent MAX, SUM counts every
+    delivery, so feed it effectively-once input
+    (dedup_within_watermark upstream).
+    """
+    return (
+        cms_hash_rows(df, token_col)
+        .groupBy("seed", "bucket")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )
+
+
+def cms_hash_rows(df: DataFrame, token_col: str) -> DataFrame:
+    """Row-level (seed, bucket, c=1) projection — works on streams
+    (pure narrow transforms, aggregation deferred to the consumer)."""
+    seeded = df.select(
+        F.col(token_col).alias("tok"),
+        F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("seed"),
+    )
+    h = ("CAST(CONV(SUBSTRING(MD5(CONCAT(CAST(seed AS STRING), '#', tok)),"
+         " 1, 15), 16, 10) AS BIGINT)")
+    return seeded.select(
+        "seed",
+        F.expr(f"{h} % {CMS_W}").alias("bucket"),
+        F.lit(1).cast("bigint").alias("c"),
+    )
+
+
+def cms_lookup(counters: DataFrame, probes: DataFrame, token_col: str) -> DataFrame:
+    """Point-estimate probe: MIN over the d counters a token hashes to —
+    the CMS read path (estimate ≥ true count, one-sided error)."""
+    seeded = probes.select(
+        F.col(token_col).alias("tok"),
+        F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("seed"),
+    )
+    h = ("CAST(CONV(SUBSTRING(MD5(CONCAT(CAST(seed AS STRING), '#', tok)),"
+         " 1, 15), 16, 10) AS BIGINT)")
+    keyed = seeded.select("tok", "seed", F.expr(f"{h} % {CMS_W}").alias("bucket"))
+    return (
+        keyed.join(counters, ["seed", "bucket"], "left")
+        .groupBy("tok")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("bigint").alias("cms_estimate"))
+    )

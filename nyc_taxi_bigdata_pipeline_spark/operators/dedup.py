@@ -384,19 +384,32 @@ def simhash_near_pairs(
     blocks on the 4×16-bit chunks (a pair within Hamming ≤ 3 of 64 bits
     must share at least one exact 16-bit chunk — pigeonhole)."""
     sh = add_simhash(docs.select(id_col, text_col), id_col, text_col)
-    chunks = sh.select(
+    return hamming_near_pairs(sh, id_col, "sh", max_hamming)
+
+
+def hamming_near_pairs(
+    hashed: DataFrame, id_col: str, hash_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Hamming-near pairs over ANY precomputed ≤63-bit integer hash
+    column (SimHash over text, perceptual image hashes, audio
+    fingerprints …) via 4×16-bit pigeonhole blocking: a pair within
+    Hamming ≤ 3 must agree exactly on at least one chunk, so candidates
+    come from a (chunk_id, chunk) equi-join — one keyed shuffle, never
+    all-pairs — and the exact bit_count(xor) verify runs on candidates
+    only."""
+    chunks = hashed.select(
         id_col,
-        "sh",
+        F.col(hash_col).alias("__h"),
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(c).alias("chunk_id"),
-                    F.expr(f"(sh >> {c * 16}) & 65535").alias("chunk"),
+                    F.expr(f"({hash_col} >> {c * 16}) & 65535").alias("chunk"),
                 )
                 for c in range(4)
             ])
         ).alias("c"),
-    ).select(id_col, "sh", "c.chunk_id", "c.chunk")
+    ).select(id_col, "__h", "c.chunk_id", "c.chunk")
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(
@@ -408,13 +421,13 @@ def simhash_near_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
+            F.col("a.__h").alias("h_a"),
+            F.col("b.__h").alias("h_b"),
         )
         .distinct()
     )
     return (
-        cand.withColumn("hamming", F.bit_count(F.expr("sh_a ^ sh_b")))
+        cand.withColumn("hamming", F.bit_count(F.expr("h_a ^ h_b")))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )

@@ -252,3 +252,60 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         )
         .select("media_id", "frame_ts_ms", "format")
     )
+
+
+def phash63(img: np.ndarray) -> int:
+    """(h, w, 3) uint8 → 63-bit perceptual average-hash.
+
+    Rec.601 luminance, block-averaged onto an 8×8 grid (integer block
+    boundaries (k·h)//8 work for any image size), each of the first 63
+    cells contributes a bit: 1 iff its mean exceeds the grid mean. Two
+    images that differ by a few pixels land within a small Hamming
+    distance; 63 bits keeps the value positive in a signed BIGINT (the
+    SimHash convention — see operators/dedup.py).
+    """
+    luma = (
+        0.299 * img[:, :, 0].astype(np.float64)
+        + 0.587 * img[:, :, 1].astype(np.float64)
+        + 0.114 * img[:, :, 2].astype(np.float64)
+    )
+    h, w = luma.shape
+    rb = (np.arange(9) * h) // 8
+    cb = (np.arange(9) * w) // 8
+    cells = np.empty((8, 8), dtype=np.float64)
+    for i in range(8):
+        for j in range(8):
+            block = luma[rb[i]: max(rb[i + 1], rb[i] + 1),
+                         cb[j]: max(cb[j + 1], cb[j] + 1)]
+            cells[i, j] = block.mean()
+    flat = cells.ravel()
+    mean = flat.mean()
+    out = 0
+    for k in range(63):
+        if flat[k] > mean:
+            out |= 1 << k
+    return out
+
+
+def phash_images(media: DataFrame, batch_limit: int = 256) -> DataFrame:
+    """PPM image payloads → (media_id, phash BIGINT) via mapInPandas.
+
+    The decode stays per-partition (Arrow batches, blob dropped on
+    output); the hash column is what shuffles — 8 bytes per image, so
+    downstream near-dup blocking (operators/dedup.hamming_near_pairs)
+    costs the same as text SimHash no matter how large the payloads
+    were.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_limit):
+                chunk = pdf.iloc[start: start + batch_limit]
+                hashes = [phash63(decode_ppm(p)) for p in chunk["content"]]
+                yield pd.DataFrame(
+                    {"media_id": chunk["media_id"].values, "phash": hashes}
+                )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        run, "media_id string, phash long"
+    )

@@ -874,3 +874,55 @@ def test_hll_registers_shard_merge_exact(spark, sf_dir):
     key = lambda r: (r["event_type"], r["bucket"])
     assert sorted(map(tuple, merged.collect()), key=str) == \
         sorted(map(tuple, whole.collect()), key=str)
+
+
+def test_phash_image_near_dup(spark, sf_dir):
+    """Perceptual-hash dedup: identical images share a phash, a
+    grid-mean-preserving block swap stays within Hamming 2, and the
+    registry query recovers exactly the planted duplicate pairs."""
+    import numpy as np
+
+    from nyc_taxi_bigdata_pipeline_spark.benchqueries import REGISTRY
+    from nyc_taxi_bigdata_pipeline_spark.operators.multimodal import phash63
+
+    i, j, c = np.meshgrid(np.arange(32), np.arange(32), np.arange(3), indexing="ij")
+    img = ((7 * 2654435761 + i * 40503 + j * 653 + c * 29791) ^ (i * j * 97 + c))
+    img = (img.astype(np.int64) % 256).astype(np.uint8)
+    assert phash63(img) == phash63(img.copy())
+    swapped = img.copy()
+    a = swapped[:4, :4, :].copy()
+    swapped[:4, :4, :] = swapped[4:8, 4:8, :]
+    swapped[4:8, 4:8, :] = a
+    assert bin(phash63(img) ^ phash63(swapped)).count("1") <= 2
+
+    row = REGISTRY["image_phash_dedup"].spark_fn(spark, sf_dir).first()
+    # one planted pair per 20 ids (exact at ≡1, near at ≡11), and the
+    # pigeonhole blocking must not hallucinate extra collisions beyond
+    # the occasional random near-hash (pairs stays close to planted)
+    n_docs = 500  # sf0.001 documents table
+    planted = 2 * (n_docs // 20)
+    assert row["pairs"] >= planted
+    assert row["pairs"] <= planted + 5
+    assert row["exact_pairs"] >= n_docs // 20
+    assert row["max_hamming"] <= 3
+
+
+def test_hamming_near_pairs_generic(spark):
+    """The generic pigeonhole blocker finds every pair within Hamming 3
+    of a hand-built set and nothing else."""
+    from nyc_taxi_bigdata_pipeline_spark.operators.dedup import hamming_near_pairs
+
+    rows = [
+        ("a", 0b1010101),
+        ("b", 0b1010100),          # d(a,b)=1
+        ("c", 0b1010101 ^ (0b111 << 60)),  # d(a,c)=3 in the TOP chunk
+        ("d", (1 << 62) | 0b11110000111100001111),  # far from everything
+    ]
+    df = spark.createDataFrame(rows, "id string, h long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_near_pairs(df, "id", "h", max_hamming=3).collect()
+    }
+    # d(a,b)=1, d(a,c)=3; d(b,c)=4 is candidate-generated (chunks 1-2
+    # match) but must fail the exact verify; "d" pairs with nothing
+    assert got == {("a", "b"): 1, ("a", "c"): 3}

@@ -146,3 +146,38 @@ def test_foreach_batch_sketch_maintain(spark, events_df, tmp_path):
     est = sketch.hll_estimate(spark.read.parquet(view), ["event_type"])
     batch_est = sketch.hll_estimate(batch_regs, ["event_type"])
     assert sorted(map(tuple, est.collect())) == sorted(map(tuple, batch_est.collect()))
+
+
+def test_cms_counters_via_agg_maintain(spark, events_df, tmp_path):
+    """A streaming Count-Min sketch is cms_counter_rows composed with the
+    generic agg-maintain sink (counters merge by SUM): the maintained
+    counter view must equal the batch counters, and probing it gives
+    estimates ≥ true counts (one-sided CMS bound)."""
+    import pyspark.sql.functions as F
+
+    from nyc_taxi_bigdata_pipeline_spark.functions import sketch
+
+    view = str(tmp_path / "cms_view")
+    src = str(tmp_path / "cms_src")
+    events_df.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(ev.EVENT_SCHEMA).parquet(src)
+    q = sinks.foreach_batch_agg_maintain(
+        sketch.cms_hash_rows(stream.select("event_type"), "event_type"),
+        view, ["seed", "bucket"], ["c"],
+        str(tmp_path / "cmscp"), count_col="n",
+    )
+    q.awaitTermination(180)
+    q.stop()
+
+    got = spark.read.parquet(view).select("seed", "bucket", "c")
+    want = sketch.cms_counter_rows(events_df.select("event_type"), "event_type")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    truth = {r["event_type"]: r["n"] for r in
+             events_df.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    probes = events_df.select("event_type").distinct()
+    est = {r["tok"]: r["cms_estimate"] for r in
+           sketch.cms_lookup(got, probes, "event_type").collect()}
+    for tok, n in truth.items():
+        assert est[tok] >= n
