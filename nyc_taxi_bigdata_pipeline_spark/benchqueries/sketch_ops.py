@@ -229,3 +229,92 @@ def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("bq_bloom_orders")
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("bq_bloom_cust")
     return spark.sql(_bloom_sql(D.SPARK, "bq_bloom_orders", "bq_bloom_cust"))
+
+
+_HDR_SUB = 16        # sub-bins per power of two (log-linear resolution)
+_HDR_MAXBITS = 40    # price-in-cents fits well below 2^40
+
+
+def _flog2_case(v: str) -> str:
+    """floor(log2(v)) for 16 ≤ v < 2^40 as a pure integer CASE chain —
+    no float LOG2 (misrounds at power-of-two boundaries)."""
+    whens = " ".join(
+        f"WHEN {v} >= {1 << k} THEN {k}" for k in range(_HDR_MAXBITS, 3, -1)
+    )
+    return f"(CASE {whens} ELSE 3 END)"
+
+
+def _hdr_quantile_sql(engine: str, orders: str) -> str:
+    """HDR-histogram quantile sketch: o_totalprice → exact integer cents
+    → log-linear bin (floor-log2 power bucket × 16 linear sub-bins, ≤
+    ~1/16 relative width), ONE hash aggregate to bin counts (the
+    shuffle carries ≤ 600 rows at ANY input size, and bins merge by
+    SUM — shard/stream/batch sketches union for free, same algebra as
+    the CMS counters). Quantiles read back from the cumulative bin walk
+    with linear interpolation inside the landing bin; every boundary
+    decision is integer, the interpolation is one identical double
+    expression, so the APPROXIMATE answer still hash-matches the
+    oracle. The 3-probe × ~400-bin qualifying join is intentionally
+    tiny (both sides post-aggregate)."""
+    def lo_expr(b: str, s: str) -> str:
+        return D.idiv(D.shl(f"({_HDR_SUB} + {s})", b, engine), str(_HDR_SUB), engine)
+
+    def width_expr(b: str) -> str:
+        return D.idiv(D.shl("1", b, engine), str(_HDR_SUB), engine)
+
+    sub = D.idiv(f"(v - {D.shl('1', 'b', engine)}) * {_HDR_SUB}",
+                 D.shl("1", "b", engine), engine)
+    lb = D.idiv("l.bin_id", str(_HDR_SUB), engine)   # power-of-two bucket
+    ls = f"(l.bin_id % {_HDR_SUB})"                  # linear sub-bin
+    return f"""
+    WITH c AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT) AS v
+      FROM {orders} WHERE o_totalprice > 0
+    ),
+    h AS (SELECT v, {_flog2_case('v')} AS b FROM c WHERE v >= 16),
+    bins AS (
+      SELECT CAST(b * {_HDR_SUB} + {sub} AS BIGINT) AS bin_id,
+             COUNT(*) AS cnt
+      FROM h GROUP BY 1
+    ),
+    cum AS (
+      SELECT bin_id, cnt, CAST(SUM(cnt) OVER (ORDER BY bin_id) AS BIGINT) AS cum
+      FROM bins
+    ),
+    n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM bins),
+    probes AS (
+      SELECT CAST(0.5 AS DOUBLE) AS q
+      UNION ALL SELECT CAST(0.9 AS DOUBLE)
+      UNION ALL SELECT CAST(0.99 AS DOUBLE)
+    ),
+    landing AS (
+      SELECT p.q, MIN(c.bin_id) AS bin_id
+      FROM probes p CROSS JOIN n
+      JOIN cum c ON CAST(c.cum AS DOUBLE) >= p.q * CAST(n.total AS DOUBLE)
+      GROUP BY p.q
+    )
+    SELECT l.q, l.bin_id, c.cnt AS bin_count,
+           ROUND(
+             CAST({lo_expr(lb, ls)} AS DOUBLE) / CAST(100 AS DOUBLE)
+             + (l.q * CAST(n.total AS DOUBLE) - CAST(c.cum - c.cnt AS DOUBLE))
+               / CAST(c.cnt AS DOUBLE)
+               * CAST({width_expr(lb)} AS DOUBLE)
+               / CAST(100 AS DOUBLE),
+           4) AS estimate
+    FROM landing l JOIN cum c ON l.bin_id = c.bin_id CROSS JOIN n"""
+
+
+@register(
+    "hdr_quantile_sketch",
+    _hdr_quantile_sql(D.DUCK, "orders"),
+    doc="beyond-reference sketch: engine-exact HDR-histogram quantile "
+        "sketch over order prices — integer cents → log-linear bins "
+        "(floor-log2 CASE × 16 sub-bins, ≤600 rows shuffle at any scale, "
+        "counts merge by SUM like the CMS), p50/p90/p99 interpolated from "
+        "the cumulative bin walk with all-integer boundary decisions. "
+        "Completes the sketch family: distinct (HLL), frequency (CMS), "
+        "membership (Bloom), quantile (HDR)",
+)
+def hdr_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("bq_hdr_orders")
+    return spark.sql(_hdr_quantile_sql(D.SPARK, "bq_hdr_orders"))

@@ -926,3 +926,25 @@ def test_hamming_near_pairs_generic(spark):
     # d(a,b)=1, d(a,c)=3; d(b,c)=4 is candidate-generated (chunks 1-2
     # match) but must fail the exact verify; "d" pairs with nothing
     assert got == {("a", "b"): 1, ("a", "c"): 3}
+
+
+def test_hdr_quantile_sketch_accuracy(spark, sf_dir):
+    """The log-linear histogram's p50/p90/p99 must land within the bin
+    resolution (1/16 ≈ 6.25% relative width) of the exact quantiles."""
+    import pyspark.sql.functions as F
+
+    from nyc_taxi_bigdata_pipeline_spark.benchqueries import REGISTRY
+    from nyc_taxi_bigdata_pipeline_spark.sources.tables import load_table
+
+    got = {r["q"]: r["estimate"]
+           for r in REGISTRY["hdr_quantile_sketch"].spark_fn(spark, sf_dir).collect()}
+    assert set(got) == {0.5, 0.9, 0.99}
+    exact = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 0)
+        .agg(F.expr("percentile(o_totalprice, array(0.5, 0.9, 0.99))").alias("p"))
+        .first()["p"]
+    )
+    for q, true_v in zip((0.5, 0.9, 0.99), exact):
+        rel = abs(got[q] - true_v) / true_v
+        assert rel < 0.0825, (q, got[q], true_v, rel)
