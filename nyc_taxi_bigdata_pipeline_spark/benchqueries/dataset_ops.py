@@ -226,3 +226,41 @@ def _weighted_sample(engine: str, table: str) -> str:
 )
 def weighted_sample_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_rendered(spark, sf_dir, "documents", _weighted_sample, "bq_wsamp_docs")
+
+
+_SHUF_SEED = 11
+_SHUF_SHARDS = 8
+
+
+def _global_shuffle(engine: str, table: str) -> str:
+    """Deterministic epoch shuffle: every doc gets a (shard, position)
+    training order from a seeded content-stable hash — reproducible
+    across runs/engines/re-sharding, and a new seed = a new epoch's
+    permutation. The scalable shape: shard = hash % S partitions the
+    corpus, the ORDER BY hash window sorts only WITHIN each shard (no
+    global sort at any size); readers stream shards independently."""
+    h = D.seeded_h64("CAST(doc_id AS STRING)", _SHUF_SEED, engine)
+    return f"""
+    WITH hashed AS (
+      SELECT doc_id, n_chars, {h} AS h FROM {table}
+    )
+    SELECT doc_id,
+           CAST(h % {_SHUF_SHARDS} AS INT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY h % {_SHUF_SHARDS}
+                                   ORDER BY h, doc_id) AS INT) AS pos,
+           n_chars
+    FROM hashed"""
+
+
+@register(
+    "dataset_global_shuffle",
+    _global_shuffle(D.DUCK, "documents"),
+    doc="training-data ext: deterministic global training-order shuffle — "
+        "seeded content-stable hash assigns every doc a (shard, position); "
+        "re-running, re-sharding, or switching engines reproduces the "
+        "identical permutation, and changing the seed yields the next "
+        "epoch's order. Shard-partitioned ROW_NUMBER windows sort within "
+        "shards only, never globally",
+)
+def dataset_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_rendered(spark, sf_dir, "documents", _global_shuffle, "bq_shuf_docs")

@@ -137,6 +137,11 @@ _SCALAR_ANCHOR_OK = {
                                   # DESIGN (exact baseline; ANN variants
                                   # are the scale path)
     "similarity_norm_buckets",    # 1-row label-cardinality anchor
+    "sales_opportunity",          # 1-row avg-balance anchor (inequality
+                                  # gate can't hash-join a scalar)
+    "brand_revenue_share",        # 1-row grand-total anchor
+    "hdr_quantile_sketch",        # 1-row total + 3-probe walk over ≤600
+                                  # aggregated bins — both sides tiny
 }
 
 
