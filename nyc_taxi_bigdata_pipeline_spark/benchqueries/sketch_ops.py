@@ -99,28 +99,31 @@ _CMS_D = 4    # independent hash rows
 _CMS_W = 512  # counters per row
 
 
-def _cms_sql(engine: str, table: str) -> str:
-    """Count-Min heavy hitters over document tokens: build the d×w
-    counter matrix (one GROUP BY, ≤ d·w rows survive the shuffle no
-    matter the corpus size), then read back the estimate for the true
-    top-20 tokens as MIN over their d counters. Everything is integer
-    COUNT/MIN on portable-hash buckets — engine-exact by construction —
-    and ``overestimate ≥ 0`` is the CMS guarantee made visible."""
+def _cms_tokcounts_sql(engine: str, table: str) -> str:
+    """The one corpus pass: tokenize and count — vocabulary-sized output."""
     unnest = D.unnest_col(D.split_ws("lower(trim(text))", engine), engine)
+    return (f"SELECT tok, COUNT(*) AS cnt FROM"
+            f" (SELECT {unnest} AS tok FROM {table}) t GROUP BY tok")
+
+
+def _cms_read_sql(engine: str, tokcounts: str) -> str:
+    """Counter build + top-20 probe over a (tok, cnt) relation: every
+    DISTINCT token is hashed once per seed (not once per occurrence),
+    counters are SUM(cnt) per (seed, bucket) — identical integer values
+    to counting raw occurrences, at vocabulary cost."""
     seeds = D.unnest_col(D.iseq("0", str(_CMS_D - 1), engine), engine)
     str_t = "STRING" if engine == D.SPARK else "VARCHAR"
     keyed = f"CONCAT(CAST(seed AS {str_t}), '#', tok)"
     bkt = f"({D.h64(keyed, engine)} % {_CMS_W})"
     return f"""
-    WITH toks AS (SELECT {unnest} AS tok FROM {table}),
-    seeded AS (SELECT tok, {seeds} AS seed FROM toks),
+    , seeded AS (SELECT tok, cnt, {seeds} AS seed FROM {tokcounts}),
     counters AS (
-      SELECT seed, {bkt} AS bucket, COUNT(*) AS c
+      SELECT seed, {bkt} AS bucket, CAST(SUM(cnt) AS BIGINT) AS c
       FROM seeded GROUP BY seed, {bkt}
     ),
     top AS (
-      SELECT tok, COUNT(*) AS true_cnt FROM toks GROUP BY tok
-      ORDER BY true_cnt DESC, tok LIMIT 20
+      SELECT tok, cnt AS true_cnt FROM {tokcounts}
+      ORDER BY cnt DESC, tok LIMIT 20
     ),
     probes AS (SELECT tok, true_cnt, {seeds} AS seed FROM top)
     SELECT p.tok, CAST(p.true_cnt AS BIGINT) AS true_cnt,
@@ -130,6 +133,18 @@ def _cms_sql(engine: str, table: str) -> str:
     GROUP BY p.tok, p.true_cnt"""
 
 
+def _cms_sql(engine: str, table: str) -> str:
+    """Count-Min heavy hitters over document tokens: build the d×w
+    counter matrix (one GROUP BY, ≤ d·w rows survive the shuffle no
+    matter the corpus size), then read back the estimate for the true
+    top-20 tokens as MIN over their d counters. Everything is integer
+    COUNT/SUM/MIN on portable-hash buckets — engine-exact by
+    construction — and ``overestimate ≥ 0`` is the CMS guarantee made
+    visible."""
+    return (f"WITH tc AS ({_cms_tokcounts_sql(engine, table)})\n"
+            + _cms_read_sql(engine, "tc"))
+
+
 @register(
     "cms_heavy_hitters",
     _cms_sql(D.DUCK, "documents"),
@@ -137,12 +152,23 @@ def _cms_sql(engine: str, table: str) -> str:
         "over document tokens — d=4 portable-hash rows × w=512 integer "
         "counters (the shuffle carries ≤2048 counter rows at ANY corpus "
         "size), probed for the true top-20 tokens; overestimate ≥ 0 "
-        "exposes the CMS one-sided error bound. All COUNT/MIN integer "
+        "exposes the CMS one-sided error bound. All COUNT/SUM/MIN integer "
         "arithmetic, deterministic in any engine or partition order",
 )
 def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one corpus tokenize+count pass, materialized (Spark inlines CTEs,
+    # so the naive form re-tokenized the corpus for counters AND top —
+    # and hashed every occurrence instead of every distinct token:
+    # 15.0 s → 2.2 s at the 10× corpus)
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("bq_cms_docs")
-    return spark.sql(_cms_sql(D.SPARK, "bq_cms_docs"))
+    tc = spark.sql(
+        _cms_tokcounts_sql(D.SPARK, "bq_cms_docs")
+    ).localCheckpoint(eager=False)
+    tc.createOrReplaceTempView("bq_cms_tokcounts")
+    return spark.sql(
+        "WITH tc AS (SELECT tok, cnt FROM bq_cms_tokcounts)"
+        + _cms_read_sql(D.SPARK, "tc")
+    )
 
 
 @register(
@@ -244,6 +270,22 @@ def _flog2_case(v: str) -> str:
     return f"(CASE {whens} ELSE 3 END)"
 
 
+def _hdr_bins_sql(engine: str, orders: str) -> str:
+    """The one full-data pass: integer cents → (bin_id, cnt), ≤600 rows."""
+    sub = D.idiv(f"(v - {D.shl('1', 'b', engine)}) * {_HDR_SUB}",
+                 D.shl("1", "b", engine), engine)
+    return f"""
+      SELECT CAST(b * {_HDR_SUB} + {sub} AS BIGINT) AS bin_id,
+             COUNT(*) AS cnt
+      FROM (
+        SELECT v, {_flog2_case('v')} AS b
+        FROM (
+          SELECT CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT) AS v
+          FROM {orders} WHERE o_totalprice > 0
+        ) c WHERE v >= 16
+      ) h GROUP BY 1"""
+
+
 def _hdr_quantile_sql(engine: str, orders: str) -> str:
     """HDR-histogram quantile sketch: o_totalprice → exact integer cents
     → log-linear bin (floor-log2 power bucket × 16 linear sub-bins, ≤
@@ -256,32 +298,30 @@ def _hdr_quantile_sql(engine: str, orders: str) -> str:
     expression, so the APPROXIMATE answer still hash-matches the
     oracle. The 3-probe × ~400-bin qualifying join is intentionally
     tiny (both sides post-aggregate)."""
+    return (f"WITH bins AS ({_hdr_bins_sql(engine, orders)})\n"
+            + _hdr_read_sql(engine, "bins"))
+
+
+def _hdr_read_sql(engine: str, bins: str) -> str:
+    """Quantile read-back over a (bin_id, cnt) relation — what a 100-TB
+    deployment runs against the MAINTAINED sketch table (the full-data
+    pass happens once in ``_hdr_bins_sql`` / a streaming SUM-merge
+    sink), so probing quantiles never rescans the corpus."""
+
     def lo_expr(b: str, s: str) -> str:
         return D.idiv(D.shl(f"({_HDR_SUB} + {s})", b, engine), str(_HDR_SUB), engine)
 
     def width_expr(b: str) -> str:
         return D.idiv(D.shl("1", b, engine), str(_HDR_SUB), engine)
 
-    sub = D.idiv(f"(v - {D.shl('1', 'b', engine)}) * {_HDR_SUB}",
-                 D.shl("1", "b", engine), engine)
     lb = D.idiv("l.bin_id", str(_HDR_SUB), engine)   # power-of-two bucket
     ls = f"(l.bin_id % {_HDR_SUB})"                  # linear sub-bin
     return f"""
-    WITH c AS (
-      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT) AS v
-      FROM {orders} WHERE o_totalprice > 0
-    ),
-    h AS (SELECT v, {_flog2_case('v')} AS b FROM c WHERE v >= 16),
-    bins AS (
-      SELECT CAST(b * {_HDR_SUB} + {sub} AS BIGINT) AS bin_id,
-             COUNT(*) AS cnt
-      FROM h GROUP BY 1
-    ),
-    cum AS (
+    , cum AS (
       SELECT bin_id, cnt, CAST(SUM(cnt) OVER (ORDER BY bin_id) AS BIGINT) AS cum
-      FROM bins
+      FROM {bins}
     ),
-    n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM bins),
+    n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM {bins}),
     probes AS (
       SELECT CAST(0.5 AS DOUBLE) AS q
       UNION ALL SELECT CAST(0.9 AS DOUBLE)
@@ -316,5 +356,17 @@ def _hdr_quantile_sql(engine: str, orders: str) -> str:
         "membership (Bloom), quantile (HDR)",
 )
 def hdr_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark inlines CTEs, so the naive single-SQL form rescans orders
+    # once per downstream reference (8 scans, measured 8× slower at
+    # 15M rows). Materialize the ≤600-row bins ONCE (lazy local
+    # checkpoint — computed on first use, shared by every reference,
+    # exactly how a deployment would persist the sketch table) and run
+    # the read-back over it; the oracle keeps the equivalent one-shot
+    # SQL, same values either way.
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("bq_hdr_orders")
-    return spark.sql(_hdr_quantile_sql(D.SPARK, "bq_hdr_orders"))
+    bins = spark.sql(_hdr_bins_sql(D.SPARK, "bq_hdr_orders")).localCheckpoint(eager=False)
+    bins.createOrReplaceTempView("bq_hdr_bins")
+    return spark.sql(
+        "WITH bins AS (SELECT bin_id, cnt FROM bq_hdr_bins)"
+        + _hdr_read_sql(D.SPARK, "bins")
+    )
