@@ -48,10 +48,14 @@ def set_ops_customer_years(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
 
     def keys(year: int) -> DataFrame:
+        # each cohort participates in three set ops; materialize the
+        # small distinct key set once (CLAUDE.md CTE-inlining pitfall:
+        # without this, orders is scanned SIX times — 2 cohorts × 3 ops)
         return (
             o.filter(F.year("o_orderdate") == year)
             .select("o_custkey")
             .distinct()
+            .localCheckpoint(eager=False)
         )
 
     c95, c96 = keys(1995), keys(1996)

@@ -100,6 +100,9 @@ def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.to_date("l_shipdate").between("1996-01-01", "1996-03-31"))
         .groupBy("l_suppkey")
         .agg(sx(C.sum_exact(_DISC, "total_rev")))
+        # rev feeds both the MAX anchor and the final join — materialize
+        # the supplier-count-sized aggregate once or lineitem scans twice
+        .localCheckpoint(eager=False)
     )
     mx = rev.agg(F.max("total_rev").alias("mx"))
     return (
@@ -236,6 +239,9 @@ def brand_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand")
         .agg(F.expr(f"SUM({_DISC})").alias("rev_dec"))
+        # br feeds both the grand-total anchor and the share filter —
+        # materialize the ~25-brand aggregate once or lineitem scans twice
+        .localCheckpoint(eager=False)
     )
     tot = br.agg(F.sum("rev_dec").alias("t"))
     return (
