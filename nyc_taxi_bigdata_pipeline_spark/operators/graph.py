@@ -64,11 +64,14 @@ def pagerank_fixed_point(
     The returned frame is persisted (it is the loop's own materialized
     state); callers that keep it long-term own the unpersist.
     """
-    e = edges.select(
+    # persist the raw edge frame FIRST: deg aggregates it and e joins it
+    # back, so without this the caller's edge build (often an expensive
+    # multi-table join) executes twice before the loop even starts
+    raw = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w")
-    )
-    deg = e.groupBy("src").agg(F.sum("w").cast("bigint").alias("totw"))
-    e = e.join(deg, "src")  # static: weight share denominator rides along
+    ).persist()
+    deg = raw.groupBy("src").agg(F.sum("w").cast("bigint").alias("totw"))
+    e = raw.join(deg, "src")  # static: weight share denominator rides along
     nodes = (
         e.select(F.col("src").alias("n"))
         .union(e.select(F.col("dst").alias("n")))
@@ -77,7 +80,7 @@ def pagerank_fixed_point(
     e = e.persist()
     nodes = nodes.persist()
     dangling = None
-    ranks = nodes.withColumn("r", F.lit(scale).cast("bigint")).persist()
+    ranks = nodes.withColumn("r", F.lit(scale).cast("bigint"))
     try:
         # materializes the caches AND decides the join strategy: ranks /
         # contrib both have ≤ n_nodes rows
@@ -93,7 +96,15 @@ def pagerank_fixed_point(
             ).persist()
 
         base = (100 - damping_pct) * scale // 100
-        ranks.count()
+        # Below the broadcast threshold the per-iteration materialization
+        # is pure scheduler overhead: the rank chain is a linear lineage
+        # over the CACHED edge frame, so one final job evaluates all
+        # iterations (each broadcast subplan computed once). Past the
+        # threshold every step persists+counts — bounded lineage and no
+        # recompute on failure matter more than job count there.
+        if not small:
+            ranks = ranks.persist()
+            ranks.count()
         for _ in range(iterations):
             contrib = (
                 e.join(rank_side(ranks), e["src"] == ranks["n"])
@@ -121,15 +132,19 @@ def pagerank_fixed_point(
                     ).alias("r"),
                 )
             )
-            # materialize each step: bounds lineage depth and makes the
-            # next join read a small cached rank vector, then drop the
-            # now-dead previous vector
-            new_ranks = new_ranks.persist()
-            new_ranks.count()
-            ranks.unpersist()
+            if not small:
+                # materialize each step: bounds lineage depth and makes
+                # the next join read a small cached rank vector, then
+                # drop the now-dead previous vector
+                new_ranks = new_ranks.persist()
+                new_ranks.count()
+                ranks.unpersist()
             ranks = new_ranks
+        if small:
+            ranks = ranks.persist()
         return ranks
     finally:
+        raw.unpersist()
         e.unpersist()
         nodes.unpersist()
         if dangling is not None:
