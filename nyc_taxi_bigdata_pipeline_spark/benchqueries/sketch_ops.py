@@ -33,24 +33,22 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..functions.sketch import (
+    ALPHA as _ALPHA,
+    CMS_D as _CMS_D,
+    CMS_W as _CMS_W,
+    EMPTY_W as _EMPTY_W,
+    M as _M,
+    WBITS as _WBITS,
+    rho_case as _rho_case,
+)
 from ..sources.tables import load_table
 from . import dialect as D
 from .registry import register
 
-_M = 256                      # registers (b = 8 bucket bits)
-_WBITS = 52                   # h64 is 60-bit non-negative; 60 - 8 bucket bits
-_ALPHA = 0.7213 / (1.0 + 1.079 / _M)
-_EMPTY_W = 1 << (_WBITS + 1)  # rho = 0 weight for an empty register
-
-
-def _rho_case(w: str) -> str:
-    """Leading-zero rank of the 52-bit value ``w`` as a pure integer
-    CASE chain — rho = 1 for the top bit set … 53 for w = 0. No float
-    log2 (misrounds at power-of-two boundaries), fully codegen-able."""
-    whens = " ".join(
-        f"WHEN {w} >= {1 << (_WBITS - k)} THEN {k}" for k in range(1, _WBITS + 1)
-    )
-    return f"(CASE {whens} ELSE {_WBITS + 1} END)"
+# sketch geometry + rho CASE chain are imported from functions/sketch —
+# the single source of truth shared with the DataFrame/streaming twin,
+# so the two formulations cannot drift apart.
 
 
 def _hll_sql(engine: str, table: str) -> str:
@@ -95,10 +93,6 @@ def _hll_sql(engine: str, table: str) -> str:
     FROM e"""
 
 
-_CMS_D = 4    # independent hash rows
-_CMS_W = 512  # counters per row
-
-
 def _cms_tokcounts_sql(engine: str, table: str) -> str:
     """The one corpus pass: tokenize and count — vocabulary-sized output."""
     unnest = D.unnest_col(D.split_ws("lower(trim(text))", engine), engine)
@@ -113,13 +107,16 @@ def _cms_read_sql(engine: str, tokcounts: str) -> str:
     to counting raw occurrences, at vocabulary cost."""
     seeds = D.unnest_col(D.iseq("0", str(_CMS_D - 1), engine), engine)
     str_t = "STRING" if engine == D.SPARK else "VARCHAR"
-    keyed = f"CONCAT(CAST(seed AS {str_t}), '#', tok)"
-    bkt = f"({D.h64(keyed, engine)} % {_CMS_W})"
+
+    def bkt(seed_col: str, tok_col: str) -> str:
+        keyed = f"CONCAT(CAST({seed_col} AS {str_t}), '#', {tok_col})"
+        return f"({D.h64(keyed, engine)} % {_CMS_W})"
+
     return f"""
     , seeded AS (SELECT tok, cnt, {seeds} AS seed FROM {tokcounts}),
     counters AS (
-      SELECT seed, {bkt} AS bucket, CAST(SUM(cnt) AS BIGINT) AS c
-      FROM seeded GROUP BY seed, {bkt}
+      SELECT seed, {bkt('seed', 'tok')} AS bucket, CAST(SUM(cnt) AS BIGINT) AS c
+      FROM seeded GROUP BY seed, {bkt('seed', 'tok')}
     ),
     top AS (
       SELECT tok, cnt AS true_cnt FROM {tokcounts}
@@ -129,7 +126,8 @@ def _cms_read_sql(engine: str, tokcounts: str) -> str:
     SELECT p.tok, CAST(p.true_cnt AS BIGINT) AS true_cnt,
            CAST(MIN(c.c) AS BIGINT) AS cms_estimate,
            CAST(MIN(c.c) - p.true_cnt AS BIGINT) AS overestimate
-    FROM probes p JOIN counters c ON c.seed = p.seed AND c.bucket = {bkt.replace('tok', 'p.tok').replace('seed', 'p.seed')}
+    FROM probes p JOIN counters c
+      ON c.seed = p.seed AND c.bucket = {bkt('p.seed', 'p.tok')}
     GROUP BY p.tok, p.true_cnt"""
 
 
@@ -178,8 +176,11 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "of event_id per event_type — portable-hash buckets, integer CASE "
         "leading-zero rank, MAX registers, exact-integer harmonic-mean "
         "denominator (the only floats are one constant multiply + divide). "
-        "Shuffle carries ≤256 rows per group at any input size; registers "
-        "merge by MAX, so sharded sketches union for free",
+        "The register path shuffles ≤256 rows per group at any input size "
+        "and registers merge by MAX (sharded sketches union for free); the "
+        "n_distinct column is an exhibit-only EXACT count carried along so "
+        "the estimate's error is visible — a production sketch drops it "
+        "(functions/sketch.py is that register-only twin)",
     bench=True,
 )
 def hll_distinct_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -281,8 +281,9 @@ FROM spine s LEFT JOIN cnts USING (day)"""
     doc="A3 extension: zero-filled daily series over a generated date spine "
         "(sequence+explode) — the time-series idiom the reference's daily "
         "chart silently gets wrong on empty days (app.py:287-300 skips "
-        "them). The 90-row spine broadcasts; the fact side aggregates "
-        "before the join so the left join sees one row per day",
+        "them). The fact side aggregates to one row per day BEFORE the "
+        "join and broadcasts (the build side of a left-outer join must "
+        "be the right side)",
 )
 def daily_series_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
@@ -299,8 +300,8 @@ def daily_series_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         " INTERVAL 1 DAY)) AS day"
     )
     return (
-        broadcast(spine)
-        .join(cnts, "day", "left")
+        spine
+        .join(broadcast(cnts), "day", "left")
         .select(
             "day",
             F.expr("CAST(COALESCE(c, 0) AS BIGINT)").alias("cnt"),

@@ -21,19 +21,31 @@ from collections.abc import Sequence
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-M = 256                    # registers (8 bucket bits)
-_WBITS = 52                # 60-bit hash minus 8 bucket bits
-_ALPHA = 0.7213 / (1.0 + 1.079 / M)
-_EMPTY_W = 1 << (_WBITS + 1)
+from . import compat as C
+
+# CANONICAL sketch geometry — benchqueries/sketch_ops builds its
+# dual-dialect SQL from these same values, so the DataFrame twin and
+# the oracle-checked SQL twin cannot drift apart.
+M = 256                    # HLL registers (8 bucket bits)
+WBITS = 52                 # 60-bit hash minus 8 bucket bits
+ALPHA = 0.7213 / (1.0 + 1.079 / M)
+EMPTY_W = 1 << (WBITS + 1)
+# backwards-compatible private aliases
+_WBITS, _ALPHA, _EMPTY_W = WBITS, ALPHA, EMPTY_W
 
 
-def _rho_case(w: str) -> str:
+def rho_case(w: str) -> str:
     """Leading-zero rank of the 52-bit value ``w`` (1 = top bit set …
-    53 = zero) as a pure integer CASE chain — no float log2, codegen."""
+    53 = zero) as a pure integer CASE chain — no float log2, codegen.
+    Engine-neutral SQL text (used by both the DataFrame twin and the
+    dual-dialect oracle SQL)."""
     whens = " ".join(
-        f"WHEN {w} >= {1 << (_WBITS - k)} THEN {k}" for k in range(1, _WBITS + 1)
+        f"WHEN {w} >= {1 << (WBITS - k)} THEN {k}" for k in range(1, WBITS + 1)
     )
-    return f"(CASE {whens} ELSE {_WBITS + 1} END)"
+    return f"(CASE {whens} ELSE {WBITS + 1} END)"
+
+
+_rho_case = rho_case
 
 
 def hll_registers(df: DataFrame, keys: Sequence[str], id_col: str) -> DataFrame:
@@ -44,8 +56,7 @@ def hll_registers(df: DataFrame, keys: Sequence[str], id_col: str) -> DataFrame:
     batches / partitions merge with another MAX over the same keys.
     """
     keys = list(keys)
-    h = (f"CAST(CONV(SUBSTRING(MD5(CAST({id_col} AS STRING)), 1, 15), 16, 10)"
-         " AS BIGINT)")
+    h = C.h64_spark(f"CAST({id_col} AS STRING)")
     rows = df.select(
         *keys,
         F.expr(f"{h} % {M}").alias("bucket"),
@@ -120,8 +131,7 @@ def cms_hash_rows(df: DataFrame, token_col: str) -> DataFrame:
         F.col(token_col).alias("tok"),
         F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("seed"),
     )
-    h = ("CAST(CONV(SUBSTRING(MD5(CONCAT(CAST(seed AS STRING), '#', tok)),"
-         " 1, 15), 16, 10) AS BIGINT)")
+    h = C.h64_spark("CONCAT(CAST(seed AS STRING), '#', tok)")
     return seeded.select(
         "seed",
         F.expr(f"{h} % {CMS_W}").alias("bucket"),
@@ -136,8 +146,7 @@ def cms_lookup(counters: DataFrame, probes: DataFrame, token_col: str) -> DataFr
         F.col(token_col).alias("tok"),
         F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("seed"),
     )
-    h = ("CAST(CONV(SUBSTRING(MD5(CONCAT(CAST(seed AS STRING), '#', tok)),"
-         " 1, 15), 16, 10) AS BIGINT)")
+    h = C.h64_spark("CONCAT(CAST(seed AS STRING), '#', tok)")
     keyed = seeded.select("tok", "seed", F.expr(f"{h} % {CMS_W}").alias("bucket"))
     return (
         keyed.join(counters, ["seed", "bucket"], "left")

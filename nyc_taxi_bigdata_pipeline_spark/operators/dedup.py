@@ -397,6 +397,12 @@ def hamming_near_pairs(
     come from a (chunk_id, chunk) equi-join — one keyed shuffle, never
     all-pairs — and the exact bit_count(xor) verify runs on candidates
     only."""
+    if max_hamming > 3:
+        raise ValueError(
+            f"max_hamming={max_hamming}: 4×16-bit pigeonhole blocking only "
+            "guarantees recall for Hamming ≤ 3 (a distance-4 pair can differ "
+            "in every chunk); use more/narrower chunks for larger radii"
+        )
     chunks = hashed.select(
         id_col,
         F.col(hash_col).alias("__h"),

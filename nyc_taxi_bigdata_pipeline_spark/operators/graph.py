@@ -98,11 +98,15 @@ def pagerank_fixed_point(
         base = (100 - damping_pct) * scale // 100
         # Below the broadcast threshold the per-iteration materialization
         # is pure scheduler overhead: the rank chain is a linear lineage
-        # over the CACHED edge frame, so one final job evaluates all
-        # iterations (each broadcast subplan computed once). Past the
-        # threshold every step persists+counts — bounded lineage and no
-        # recompute on failure matter more than job count there.
-        if not small:
+        # over the CACHED edge frame, so one final job (the count before
+        # return) evaluates all iterations while the caches still exist.
+        # Past the threshold every step persists+counts — bounded lineage
+        # and no recompute on failure matter more than job count there.
+        # Dangling reinjection collects a scalar per step, which would
+        # re-evaluate the whole lazy chain each iteration (quadratic) —
+        # it always takes the eager path.
+        lazy = small and not reinject_dangling
+        if not lazy:
             ranks = ranks.persist()
             ranks.count()
         for _ in range(iterations):
@@ -132,7 +136,7 @@ def pagerank_fixed_point(
                     ).alias("r"),
                 )
             )
-            if not small:
+            if not lazy:
                 # materialize each step: bounds lineage depth and makes
                 # the next join read a small cached rank vector, then
                 # drop the now-dead previous vector
@@ -140,8 +144,12 @@ def pagerank_fixed_point(
                 new_ranks.count()
                 ranks.unpersist()
             ranks = new_ranks
-        if small:
+        if lazy:
+            # evaluate the whole chain NOW, before the finally drops the
+            # e/nodes caches it reads — one job, result persisted for
+            # the caller
             ranks = ranks.persist()
+            ranks.count()
         return ranks
     finally:
         raw.unpersist()

@@ -144,14 +144,21 @@ def write_zordered(
     Delta/Iceberg OPTIMIZE ZORDER produces, from two plain Spark
     primitives.
     """
-    lo_a, hi_a, lo_b, hi_b = df.agg(
-        F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
+    n_rows, lo_a, hi_a, lo_b, hi_b = df.agg(
+        F.count("*"), F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
     ).first()
-    if lo_a is None or lo_b is None:  # empty input: write it, key = 0
+    if n_rows == 0:  # empty input: write it, key = 0
         df.withColumn("zorder_key", F.lit(0).cast("bigint")).coalesce(1).write.mode(
             "overwrite"
         ).parquet(path)
         return
+    if lo_a is None or lo_b is None:
+        # a non-empty table with an all-NULL key would otherwise funnel
+        # every row through the single-file empty path — refuse instead
+        raise ValueError(
+            f"z-order key column {col_a if lo_a is None else col_b!r} is "
+            "entirely NULL; pick populated clustering columns"
+        )
     mask = (1 << bits) - 1
 
     def norm(col: str, lo: int, hi: int) -> str:

@@ -155,15 +155,22 @@ def _pairwise_cosine(pairs: DataFrame, dim: int) -> DataFrame:
     BLAS shape as :func:`cosine_topk`'s scan, applied to the pruned
     candidate set instead of the corpus."""
     if dim < ARROW_COSINE_MIN_DIM:
+        # try_divide: a zero-norm vector makes the division 0/0, which
+        # RAISES under ANSI mode (and would be NaN otherwise, sorting
+        # FIRST under desc() and promoting garbage to top-1); define
+        # cos(0⃗, ·) = 0.0 to match the Arrow kernel below, so results
+        # cannot flip across the dim threshold. Nonzero norms take the
+        # ordinary division — bit-identical to the plain fold.
         return pairs.select(
             "query_id",
             "neighbor_id",
-            (
-                _seq_dot(F.col("q_vec"), F.col("c_vec"))
-                / (
+            F.coalesce(
+                F.try_divide(
+                    _seq_dot(F.col("q_vec"), F.col("c_vec")),
                     F.sqrt(_seq_dot(F.col("q_vec"), F.col("q_vec")))
-                    * F.sqrt(_seq_dot(F.col("c_vec"), F.col("c_vec")))
-                )
+                    * F.sqrt(_seq_dot(F.col("c_vec"), F.col("c_vec"))),
+                ),
+                F.lit(0.0),
             ).alias("cos_sim"),
         )
 
@@ -185,8 +192,14 @@ def _pairwise_cosine(pairs: DataFrame, dim: int) -> DataFrame:
                 }
             )
 
-    return pairs.select("query_id", "q_vec", "neighbor_id", "c_vec").mapInPandas(
-        kernel, "query_id long, neighbor_id long, cos_sim double"
+    # id columns keep their incoming types (callers pass arbitrary
+    # id_col — a hardcoded `long` would Arrow-fail on string ids)
+    narrowed = pairs.select("query_id", "q_vec", "neighbor_id", "c_vec")
+    dtypes = dict(narrowed.dtypes)
+    return narrowed.mapInPandas(
+        kernel,
+        f"query_id {dtypes['query_id']}, neighbor_id {dtypes['neighbor_id']},"
+        " cos_sim double",
     )
 
 

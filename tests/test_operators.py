@@ -948,3 +948,26 @@ def test_hdr_quantile_sketch_accuracy(spark, sf_dir):
     for q, true_v in zip((0.5, 0.9, 0.99), exact):
         rel = abs(got[q] - true_v) / true_v
         assert rel < 0.0825, (q, got[q], true_v, rel)
+
+
+def test_pairwise_cosine_zero_norm_consistent_across_kernels(spark):
+    """cos(0-vector, x) must be 0.0 on BOTH the fold path (dim < 256)
+    and the Arrow kernel — a NaN from 0/0 would sort FIRST under desc()
+    and promote garbage to top-1, and the two paths must never disagree
+    across the dim threshold."""
+    rows = [
+        (1, [0.0, 0.0], 10, [1.0, 2.0]),
+        (1, [1.0, 0.0], 11, [1.0, 0.0]),
+        (2, [1.0, 2.0], 12, [0.0, 0.0]),
+    ]
+    pairs = spark.createDataFrame(
+        rows, "query_id long, q_vec array<double>, neighbor_id long, c_vec array<double>"
+    )
+    fold = {(r["query_id"], r["neighbor_id"]): r["cos_sim"]
+            for r in similarity._pairwise_cosine(pairs, dim=2).collect()}
+    arrow = {(r["query_id"], r["neighbor_id"]): r["cos_sim"]
+             for r in similarity._pairwise_cosine(
+                 pairs, dim=similarity.ARROW_COSINE_MIN_DIM).collect()}
+    assert fold == arrow
+    assert fold[(1, 10)] == 0.0 and fold[(2, 12)] == 0.0
+    assert abs(fold[(1, 11)] - 1.0) < 1e-12
