@@ -27,6 +27,7 @@ from . import graph_ops  # noqa: E402,F401
 from . import scalar_funcs  # noqa: E402,F401
 from . import sketch_ops  # noqa: E402,F401
 from . import tpch_shapes  # noqa: E402,F401
+from . import dq  # noqa: E402,F401
 from . import rows_only  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query", "register", "sx"]

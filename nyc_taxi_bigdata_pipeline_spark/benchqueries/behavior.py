@@ -247,3 +247,54 @@ def _decayed_engagement(engine: str, table: str) -> str:
 def user_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("bq_decay_events")
     return spark.sql(_decayed_engagement(D.SPARK, "bq_decay_events"))
+
+
+# ------------------------------------------------- OHLC daily resample
+
+_DAY_US = 86_400_000_000
+
+
+def _ohlc_sql(engine: str, table: str) -> str:
+    """Daily open/high/low/close resample of the event value stream per
+    event_type — the time-series downsampling shape (candlesticks,
+    sensor rollups). open/close are deterministic argmin/argmax via
+    struct MIN/MAX on (epoch-µs, event_id, value) — the unique key
+    breaks ties, and everything is COMPARISON-only (no float sums), so
+    the result is engine-exact with zero decimal staging. One map-side-
+    combined hash aggregate on (type, day)."""
+    us = D.epoch_us("ts", engine)
+    day = D.idiv("us", str(_DAY_US), engine)
+    if engine == D.DUCK:
+        first = "(MIN({'u': us, 'e': event_id, 'v': value})).v"
+        last = "(MAX({'u': us, 'e': event_id, 'v': value})).v"
+    else:
+        first = "MIN(struct(us, event_id, value)).value"
+        last = "MAX(struct(us, event_id, value)).value"
+    return f"""
+    WITH base AS (
+      SELECT event_type, {us} AS us, event_id, value FROM {table}
+    )
+    SELECT event_type, CAST({day} AS BIGINT) AS day_idx,
+           {first} AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           {last} AS close,
+           COUNT(*) AS cnt
+    FROM base
+    GROUP BY event_type, {day}"""
+
+
+@register(
+    "ohlc_daily_resample",
+    _ohlc_sql(D.DUCK, "events"),
+    doc="analytics ext: daily OHLC (open/high/low/close) resample of the "
+        "event value stream per type — deterministic argmin/argmax via "
+        "struct MIN/MAX on (epoch-µs, event_id, value) with a unique-key "
+        "tiebreak; comparison-only aggregation (no float sums) so it is "
+        "engine-exact without decimal staging. One hash aggregate with "
+        "map-side combine; epoch-µs day keys sidestep the ns/µs parquet "
+        "timestamp drift",
+)
+def ohlc_daily_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("bq_ohlc_events")
+    return spark.sql(_ohlc_sql(D.SPARK, "bq_ohlc_events"))

@@ -35,11 +35,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.sketch import (
     ALPHA as _ALPHA,
+    HDR_MAXBITS as _HDR_MAXBITS,
+    HDR_SUB as _HDR_SUB,
     CMS_D as _CMS_D,
     CMS_W as _CMS_W,
     EMPTY_W as _EMPTY_W,
     M as _M,
     WBITS as _WBITS,
+    flog2_case as _flog2_case,
     rho_case as _rho_case,
 )
 from ..sources.tables import load_table
@@ -258,17 +261,6 @@ def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_bloom_sql(D.SPARK, "bq_bloom_orders", "bq_bloom_cust"))
 
 
-_HDR_SUB = 16        # sub-bins per power of two (log-linear resolution)
-_HDR_MAXBITS = 40    # price-in-cents fits well below 2^40
-
-
-def _flog2_case(v: str) -> str:
-    """floor(log2(v)) for 16 ≤ v < 2^40 as a pure integer CASE chain —
-    no float LOG2 (misrounds at power-of-two boundaries)."""
-    whens = " ".join(
-        f"WHEN {v} >= {1 << k} THEN {k}" for k in range(_HDR_MAXBITS, 3, -1)
-    )
-    return f"(CASE {whens} ELSE 3 END)"
 
 
 def _hdr_bins_sql(engine: str, orders: str) -> str:

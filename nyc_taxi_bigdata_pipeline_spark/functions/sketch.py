@@ -153,3 +153,42 @@ def cms_lookup(counters: DataFrame, probes: DataFrame, token_col: str) -> DataFr
         .groupBy("tok")
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("bigint").alias("cms_estimate"))
     )
+
+
+HDR_SUB = 16        # HDR histogram: linear sub-bins per power of two
+HDR_MAXBITS = 40    # price-in-cents fits well below 2^40
+
+
+def flog2_case(v: str) -> str:
+    """floor(log2(v)) for 16 ≤ v < 2^40 as a pure integer CASE chain —
+    no float LOG2 (misrounds at power-of-two boundaries). Engine-neutral
+    SQL text shared with benchqueries/sketch_ops."""
+    whens = " ".join(
+        f"WHEN {v} >= {1 << k} THEN {k}" for k in range(HDR_MAXBITS, 3, -1)
+    )
+    return f"(CASE {whens} ELSE 3 END)"
+
+
+def hdr_bin_rows(df: DataFrame, value_col: str) -> DataFrame:
+    """Row-level (bin_id, c=1) projection of a money column onto the
+    log-linear HDR grid — streaming-safe (pure narrow transforms), the
+    quantile-sketch sibling of :func:`cms_hash_rows`. Bin counts merge
+    by SUM, so a streaming quantile sketch is this plus
+    ``streaming/sinks.foreach_batch_agg_maintain(..., keys=["bin_id"],
+    sum_cols=["c"])``; read quantiles back with the cumulative-walk SQL
+    (benchqueries/sketch_ops._hdr_read_sql) over the maintained view."""
+    v = f"CAST(CAST({value_col} AS DECIMAL(18,6)) * 100 AS BIGINT)"
+    b = flog2_case("v")
+    return (
+        df.filter(F.expr(f"{value_col} > 0"))
+        .select(F.expr(v).alias("v"))
+        .filter(F.col("v") >= 16)
+        .select(
+            F.expr(
+                f"CAST({b} * {HDR_SUB}"
+                f" + ((v - shiftleft(CAST(1 AS BIGINT), {b})) * {HDR_SUB})"
+                f"   DIV shiftleft(CAST(1 AS BIGINT), {b}) AS BIGINT)"
+            ).alias("bin_id"),
+            F.lit(1).cast("bigint").alias("c"),
+        )
+    )

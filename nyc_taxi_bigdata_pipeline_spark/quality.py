@@ -8,8 +8,11 @@ plus the schema validation of ``validation.py:16-93``.
 
 from __future__ import annotations
 
+from collections.abc import Mapping, Sequence
+
 from dataclasses import dataclass
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from .schema import ML_REQUIRED_INFER, ML_REQUIRED_TRAIN
@@ -76,3 +79,69 @@ def schema_check(df: DataFrame, mode: str = "train") -> CheckResult:
 def run_gates(*results: CheckResult) -> tuple[bool, list[CheckResult]]:
     """True iff no FAIL among the given checks."""
     return all(r.ok for r in results), list(results)
+
+
+def expectation_report(
+    df: DataFrame,
+    *,
+    not_null: Sequence[str] = (),
+    unique: Sequence[str] = (),
+    ranges: Mapping[str, tuple[float, float]] | None = None,
+    accepted: Mapping[str, Sequence[str]] | None = None,
+    min_rows: int | None = None,
+) -> DataFrame:
+    """Declarative data-quality expectation suite evaluated in ONE pass
+    (a Deequ-style constraint report, extending the reference's scalar
+    gates Q2/Q3 to column-level contracts).
+
+    Every check compiles into the SAME aggregate: violation counters are
+    conditional SUMs (map-side combined), uniqueness is COUNT(DISTINCT)
+    beside them (Catalyst plans multi-distinct via one Expand — still a
+    single scan of the input). The 1-row aggregate is then unpivoted to
+    one row per check: (check, passed, observed) — observed = violation
+    count (or distinct shortfall / row deficit), so 0 always means
+    clean. At 100 TB this is the difference between one table scan and
+    one scan PER RULE.
+    """
+    ranges = dict(ranges or {})
+    accepted = dict(accepted or {})
+    aggs: list[F.Column] = [F.count("*").cast("bigint").alias("__n")]
+    checks: list[tuple[str, str]] = []  # (check name, observed expr over agg row)
+
+    for c in not_null:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint").alias(f"__nn_{c}")
+        )
+        checks.append((f"not_null:{c}", f"__nn_{c}"))
+    for c in unique:
+        aggs.append(F.count_distinct(F.col(c)).cast("bigint").alias(f"__u_{c}"))
+        aggs.append(
+            F.sum(F.when(F.col(c).isNotNull(), 1).otherwise(0))
+            .cast("bigint").alias(f"__un_{c}")
+        )
+        checks.append((f"unique:{c}", f"__un_{c} - __u_{c}"))
+    for c, (lo, hi) in ranges.items():
+        aggs.append(
+            F.sum(
+                F.when(F.col(c).isNotNull() & ~F.col(c).between(lo, hi), 1).otherwise(0)
+            ).cast("bigint").alias(f"__r_{c}")
+        )
+        checks.append((f"in_range:{c}", f"__r_{c}"))
+    for c, vals in accepted.items():
+        aggs.append(
+            F.sum(
+                F.when(F.col(c).isNotNull() & ~F.col(c).isin(list(vals)), 1).otherwise(0)
+            ).cast("bigint").alias(f"__a_{c}")
+        )
+        checks.append((f"accepted_values:{c}", f"__a_{c}"))
+    if min_rows is not None:
+        checks.append((f"min_rows:{min_rows}", f"GREATEST(CAST({min_rows} AS BIGINT) - __n, CAST(0 AS BIGINT))"))
+
+    agg_row = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', CAST({obs} AS BIGINT)" for name, obs in checks
+    )
+    return agg_row.selectExpr(
+        f"stack({len(checks)}, {stack_args}) AS (check, observed)"
+    ).selectExpr("check", "observed = 0 AS passed", "observed")

@@ -116,3 +116,37 @@ def test_approx_aggregates_error_bounds(spark):
     assert row["exact_custs"] > 0
     assert row["cust_rel_err"] <= 0.06   # rsd=0.02 in the query → 3σ
     assert row["median_rel_err"] <= 0.05
+
+
+def test_expectation_report_detects_violations(spark):
+    """Each expectation class must count its violations exactly, in one
+    pass, and pass/fail accordingly."""
+    from nyc_taxi_bigdata_pipeline_spark.quality import expectation_report
+
+    rows = [
+        (1, "F", 10.0),
+        (1, "O", -5.0),       # dup key, below range
+        (2, None, 2000.0),    # null status is NOT an accepted_values violation
+        (None, "X", None),    # null key, bad status, null price ignored by range
+    ]
+    df = spark.createDataFrame(rows, "k long, status string, price double")
+    rep = {
+        r["check"]: (r["passed"], r["observed"])
+        for r in expectation_report(
+            df,
+            not_null=["k"],
+            unique=["k"],
+            ranges={"price": (0.0, 100.0)},
+            accepted={"status": ["F", "O", "P"]},
+            min_rows=10,
+        ).collect()
+    }
+    assert rep["not_null:k"] == (False, 1)
+    assert rep["unique:k"] == (False, 1)       # 3 non-null keys, 2 distinct
+    assert rep["in_range:price"] == (False, 2)  # -5 and 2000; NULL ignored
+    assert rep["accepted_values:status"] == (False, 1)  # only 'X'
+    assert rep["min_rows:10"] == (False, 6)     # 10 - 4 rows short
+    clean = expectation_report(
+        df.filter("k IS NOT NULL AND k = 2"), not_null=["k"], min_rows=1
+    ).collect()
+    assert all(r["passed"] for r in clean)

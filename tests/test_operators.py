@@ -971,3 +971,24 @@ def test_pairwise_cosine_zero_norm_consistent_across_kernels(spark):
     assert fold == arrow
     assert fold[(1, 10)] == 0.0 and fold[(2, 12)] == 0.0
     assert abs(fold[(1, 11)] - 1.0) < 1e-12
+
+
+def test_hdr_bin_rows_matches_sql_twin(spark, sf_dir):
+    """The DataFrame HDR binner (streaming twin) must produce identical
+    (bin_id, cnt) to the oracle-checked SQL formulation."""
+    import pyspark.sql.functions as F
+
+    from nyc_taxi_bigdata_pipeline_spark.benchqueries.sketch_ops import _hdr_bins_sql
+    from nyc_taxi_bigdata_pipeline_spark.benchqueries import dialect as D
+    from nyc_taxi_bigdata_pipeline_spark.functions.sketch import hdr_bin_rows
+    from nyc_taxi_bigdata_pipeline_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    df_bins = (
+        hdr_bin_rows(o, "o_totalprice")
+        .groupBy("bin_id").agg(F.sum("c").cast("bigint").alias("cnt"))
+    )
+    o.createOrReplaceTempView("hdr_twin_orders")
+    sql_bins = spark.sql(_hdr_bins_sql(D.SPARK, "hdr_twin_orders"))
+    assert sorted(map(tuple, df_bins.collect())) == \
+        sorted(map(tuple, sql_bins.collect()))

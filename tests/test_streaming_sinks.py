@@ -181,3 +181,29 @@ def test_cms_counters_via_agg_maintain(spark, events_df, tmp_path):
            sketch.cms_lookup(got, probes, "event_type").collect()}
     for tok, n in truth.items():
         assert est[tok] >= n
+
+
+def test_hdr_bins_via_agg_maintain(spark, events_df, tmp_path):
+    """Streaming quantile sketch: HDR bin rows composed with the generic
+    agg-maintain sink must reproduce the batch bin counts exactly."""
+    import pyspark.sql.functions as F
+
+    from nyc_taxi_bigdata_pipeline_spark.functions import sketch
+
+    view = str(tmp_path / "hdr_view")
+    src = str(tmp_path / "hdr_src")
+    events_df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(ev.EVENT_SCHEMA).parquet(src)
+    q = sinks.foreach_batch_agg_maintain(
+        sketch.hdr_bin_rows(stream.select("value"), "value"),
+        view, ["bin_id"], ["c"], str(tmp_path / "hdrcp"), count_col="n",
+    )
+    q.awaitTermination(180)
+    q.stop()
+    got = sorted(map(tuple, spark.read.parquet(view).select("bin_id", "c").collect()))
+    want = sorted(map(tuple, (
+        sketch.hdr_bin_rows(events_df, "value")
+        .groupBy("bin_id").agg(F.sum("c").cast("bigint").alias("c"))
+        .collect()
+    )))
+    assert got == want and len(got) > 5
