@@ -992,3 +992,38 @@ def test_hdr_bin_rows_matches_sql_twin(spark, sf_dir):
     sql_bins = spark.sql(_hdr_bins_sql(D.SPARK, "hdr_twin_orders"))
     assert sorted(map(tuple, df_bins.collect())) == \
         sorted(map(tuple, sql_bins.collect()))
+
+
+def test_bloom_prefilter_join_equivalence(spark, sf_dir):
+    """Bloom pre-filtering must never drop a true match (superset
+    guarantee), must actually shrink a selective probe, and must plan
+    as broadcast semi-joins with no exchange on the big side."""
+    import pyspark.sql.functions as F
+
+    from nyc_taxi_bigdata_pipeline_spark.operators.bloomjoin import bloom_prefilter
+    from nyc_taxi_bigdata_pipeline_spark.plans.explain import physical_plan
+    from nyc_taxi_bigdata_pipeline_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)   # selective key set
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    filtered = bloom_prefilter(li, keys, "l_orderkey")
+    true_semi = li.join(keys, "l_orderkey", "left_semi")
+    # superset of the true semi-join...
+    assert filtered.join(keys, "l_orderkey", "left_semi").count() == true_semi.count()
+    missed = true_semi.join(filtered.select("l_orderkey").distinct(),
+                            "l_orderkey", "left_anti").count()
+    assert missed == 0
+    # ...and a real reduction on a selective probe
+    n_all, n_filt = li.count(), filtered.count()
+    assert n_filt < n_all * 0.5
+    # the real join over survivors equals the plain join
+    a = true_semi.count()
+    b = filtered.join(keys, "l_orderkey", "left_semi").count()
+    assert a == b
+    plan = physical_plan(filtered)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
