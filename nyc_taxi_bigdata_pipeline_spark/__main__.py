@@ -84,6 +84,29 @@ def cmd_analytics(args) -> dict:
     return {"ok": True, "query": args.query, "rows": rows}
 
 
+def cmd_dq(args) -> dict:
+    from .quality import expectation_report
+
+    spark = _spark()
+    df = spark.read.parquet(args.table)
+    rep = expectation_report(
+        df,
+        not_null=args.not_null or [],
+        unique=args.unique or [],
+        ranges={
+            c: (float(lo), float(hi))
+            for c, lo, hi in (r.split(":") for r in args.range or [])
+        },
+        accepted={
+            c: vals.split(",")
+            for c, vals in (a.split(":", 1) for a in args.accepted or [])
+        },
+        min_rows=args.min_rows,
+    )
+    checks = [r.asDict() for r in rep.collect()]
+    return {"ok": all(c["passed"] for c in checks), "checks": checks}
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="nyc_taxi_bigdata_pipeline_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -108,6 +131,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--year", type=int, required=True)
     p.add_argument("--month", type=int, required=True)
     p.set_defaults(fn=cmd_ml)
+
+    p = sub.add_parser(
+        "dq", help="data-quality expectation report over a parquet table"
+    )
+    p.add_argument("--table", required=True, help="parquet path")
+    p.add_argument("--not-null", nargs="*", dest="not_null", metavar="COL")
+    p.add_argument("--unique", nargs="*", metavar="COL")
+    p.add_argument("--range", nargs="*", metavar="COL:LO:HI")
+    p.add_argument("--accepted", nargs="*", metavar="COL:V1,V2")
+    p.add_argument("--min-rows", type=int, dest="min_rows")
+    p.set_defaults(fn=cmd_dq)
 
     p = sub.add_parser("analytics", help="dashboard query over gold (ex04)")
     p.add_argument("--gold", required=True)

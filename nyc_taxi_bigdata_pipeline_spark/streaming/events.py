@@ -286,3 +286,45 @@ def sessionize_native(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
             "total_value",
         )
     )
+
+
+def purchase_view_join_outer(
+    events: DataFrame,
+    lookback: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT OUTER flavor of :func:`purchase_view_join`: every purchase
+    is emitted, with NULL view columns when no same-user view preceded
+    it within ``lookback`` — the attribution query ("which purchases
+    came cold?") the inner join can't answer.
+
+    Outer stream-stream joins are the semantically tricky family: a
+    purchase's NULL row can only be emitted once the watermark proves
+    no matching view can still arrive, so results trail the inner
+    join's by up to the watermark delay (and the join REQUIRES both
+    watermarks + the time band — Spark rejects an unbounded outer
+    stream-stream join outright). State stays bounded by the same
+    watermark + lookback horizon; matched rows are identical to the
+    inner join's, pinned by the batch-equivalence test.
+    """
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    if events.isStreaming:
+        purchases = purchases.withWatermark("p_ts", watermark)
+        views = views.withWatermark("v_ts", watermark)
+    cond = (
+        (purchases.user_id == views.v_user_id)
+        & (views.v_ts >= purchases.p_ts - F.expr(f"INTERVAL {lookback}"))
+        & (views.v_ts <= purchases.p_ts)
+    )
+    return purchases.join(views, cond, "left_outer").select(
+        "user_id", "purchase_id", "p_ts", "v_ts", "purchase_value"
+    )

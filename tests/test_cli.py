@@ -90,3 +90,23 @@ def test_cli_ml_subcommand(staged, capsys, tmp_path, monkeypatch):
 def test_cli_rejects_unknown_query(staged):
     with pytest.raises(SystemExit):
         main(["analytics", "--gold", str(staged / "gold"), "--query", "nope"])
+
+
+def test_cli_dq_report(staged, capsys):
+    """dq subcommand: one-pass expectation report over a parquet table,
+    failing checks flip ok to false."""
+    raw = str(staged / "raw")
+    code, out = _run(capsys, [
+        "dq", "--table", raw,
+        "--not-null", "VendorID",
+        "--range", "fare_amount:-100:100000",
+        "--min-rows", "100",
+    ])
+    assert code == 0 and out["ok"] is True
+    assert {c["check"] for c in out["checks"]} == {
+        "not_null:VendorID", "in_range:fare_amount", "min_rows:100",
+    }
+    # an impossible contract fails and reports the violation count
+    code, out = _run(capsys, ["dq", "--table", raw, "--min-rows", "10000000"])
+    assert out["ok"] is False
+    assert out["checks"][0]["observed"] > 0

@@ -234,3 +234,45 @@ def test_sessionize_native_matches_sql_twin(spark, sf_dir):
     }
     native = {(u, int(round(s)), int(round(e)), n) for u, s, e, n in native}
     assert native == twin
+
+
+def test_stream_stream_left_outer_join_matches_batch(spark, tmp_path):
+    """Outer stream-stream interval join: matched rows identical to the
+    batch twin, unmatched purchases emitted with NULL view time once the
+    watermark passes (single micro-batch => all state closes)."""
+    events_df = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "ssj_src")
+    events_df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(ev.EVENT_SCHEMA).parquet(src)
+    q = (
+        ev.purchase_view_join_outer(stream)
+        .writeStream.format("memory").queryName("pvout")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180); q.stop()
+    got = spark.sql(
+        "SELECT purchase_id, unix_micros(v_ts) AS v_us FROM pvout"
+    ).collect()
+    # NULL rows for purchases inside the final watermark horizon are
+    # WITHHELD when the stream ends (no-match is not yet provable) —
+    # correct outer semantics, so compare only the provable region
+    horizon = events_df.selectExpr(
+        "unix_micros(MAX(ts)) - 7200000000 AS h"  # 2h in µs (BIGINT literal)
+    ).first()["h"]
+    want = {
+        (r["purchase_id"], r["v_us"])
+        for r in ev.purchase_view_join_outer(events_df)
+        .selectExpr("purchase_id", "unix_micros(v_ts) AS v_us",
+                    "unix_micros(p_ts) AS p_us")
+        .collect()
+        if r["v_us"] is not None or r["p_us"] <= horizon
+    }
+    assert {(r["purchase_id"], r["v_us"]) for r in got} >= want
+    extra = {(r["purchase_id"], r["v_us"]) for r in got} - want
+    assert all(v is None for _, v in extra)  # only late-region NULLs may differ
+    # outer semantics: some purchases really have no preceding view
+    nulls = [r for r in got if r["v_us"] is None]
+    assert nulls, "expected at least one cold purchase"
+    # and every batch-inner match appears identically
+    inner = ev.purchase_view_join(events_df).count()
+    assert len([r for r in got if r["v_us"] is not None]) == inner
