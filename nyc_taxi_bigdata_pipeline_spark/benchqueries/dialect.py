@@ -153,3 +153,12 @@ def epoch_us(ts: str, engine: str) -> str:
     sidesteps the ns/µs parquet precision skew documented in
     sources/tables.load_table)."""
     return f"epoch_us({ts})" if engine == DUCK else f"unix_micros({ts})"
+
+
+def epoch_day(ts: str, engine: str) -> str:
+    """Timestamp/date → integer days since 1970-01-01. Goes through a
+    DATE cast so it works on TIMESTAMP_NTZ parquet columns that
+    ``unix_micros`` rejects (the ns/µs drift pitfall's cousin)."""
+    if engine == DUCK:
+        return f"(CAST({ts} AS DATE) - DATE '1970-01-01')"
+    return f"unix_date(CAST({ts} AS DATE))"

@@ -308,3 +308,55 @@ def daily_series_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("COALESCE(r, CAST(0 AS DOUBLE))").alias("revenue"),
         )
     )
+
+
+# ------------------------------------------------------------- Q12 shape
+
+
+def _ship_delay_sql(engine: str) -> str:
+    """Order→ship delay in whole days via epoch-day indices (DATE-cast
+    based, so TIMESTAMP_NTZ parquet columns work — unix_micros rejects
+    them), bucketed, with Q12's priority-class conditional counts inside
+    each bucket."""
+    from . import dialect as D
+
+    d_ship = D.epoch_day("l_shipdate", engine)
+    d_ord = D.epoch_day("o_orderdate", engine)
+    return f"""
+    WITH delays AS (
+      SELECT ({d_ship}) - ({d_ord}) AS delay_days, o_orderpriority
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT CASE WHEN delay_days < 30 THEN 'lt_30d'
+                WHEN delay_days < 60 THEN 'lt_60d'
+                WHEN delay_days < 90 THEN 'lt_90d'
+                ELSE 'ge_90d' END AS delay_bucket,
+           COUNT(*) AS line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count,
+           CAST(MIN(delay_days) AS BIGINT) AS min_delay,
+           CAST(MAX(delay_days) AS BIGINT) AS max_delay
+    FROM delays GROUP BY 1"""
+
+
+@register(
+    "shipping_delay_profile",
+    _ship_delay_sql("duck"),
+    doc="TPC-H Q12 shape: order→ship delay distribution — integer-day "
+        "delay from epoch-µs day indices (drift-proof across parquet "
+        "timestamp precisions), CASE-bucketed, with urgent/high vs other "
+        "priority conditional counts per bucket. One fact join + one "
+        "map-side-combined hash aggregate; all-integer arithmetic",
+)
+def shipping_delay_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_tables as _lt
+
+    t = _lt(spark, sf_dir, "lineitem", "orders")
+    t["lineitem"].createOrReplaceTempView("bq_q12_lineitem")
+    t["orders"].createOrReplaceTempView("bq_q12_orders")
+    sql = _ship_delay_sql("spark").replace(
+        "FROM lineitem JOIN orders", "FROM bq_q12_lineitem JOIN bq_q12_orders"
+    )
+    return spark.sql(sql)
