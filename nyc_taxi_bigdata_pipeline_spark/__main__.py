@@ -84,6 +84,26 @@ def cmd_analytics(args) -> dict:
     return {"ok": True, "query": args.query, "rows": rows}
 
 
+def _parse_range_spec(spec: str) -> tuple[str, tuple[float, float]]:
+    """COL:LO:HI — split from the RIGHT so column names may contain ':'."""
+    parts = spec.rsplit(":", 2)
+    if len(parts) != 3:
+        raise ValueError(f"--range expects COL:LO:HI, got {spec!r}")
+    c, lo, hi = parts
+    try:
+        return c, (float(lo), float(hi))
+    except ValueError:
+        raise ValueError(f"--range bounds must be numeric in {spec!r}") from None
+
+
+def _parse_accepted_spec(spec: str) -> tuple[str, list[str]]:
+    """COL:v1,v2,… — split from the RIGHT so column names may contain ':'."""
+    parts = spec.rsplit(":", 1)
+    if len(parts) != 2 or not parts[0]:
+        raise ValueError(f"--accepted expects COL:v1,v2,..., got {spec!r}")
+    return parts[0], parts[1].split(",")
+
+
 def cmd_dq(args) -> dict:
     from .quality import expectation_report
 
@@ -93,14 +113,8 @@ def cmd_dq(args) -> dict:
         df,
         not_null=args.not_null or [],
         unique=args.unique or [],
-        ranges={
-            c: (float(lo), float(hi))
-            for c, lo, hi in (r.split(":") for r in args.range or [])
-        },
-        accepted={
-            c: vals.split(",")
-            for c, vals in (a.split(":", 1) for a in args.accepted or [])
-        },
+        ranges=dict(_parse_range_spec(r) for r in args.range or []),
+        accepted=dict(_parse_accepted_spec(a) for a in args.accepted or []),
         min_rows=args.min_rows,
     )
     checks = [r.asDict() for r in rep.collect()]
@@ -154,6 +168,15 @@ def main(argv: list[str] | None = None) -> int:
     p.set_defaults(fn=cmd_analytics)
 
     args = ap.parse_args(argv)
+    if args.fn is cmd_dq:
+        # fail with a usage message BEFORE a SparkSession spins up
+        try:
+            for r in args.range or []:
+                _parse_range_spec(r)
+            for a in args.accepted or []:
+                _parse_accepted_spec(a)
+        except ValueError as exc:
+            ap.error(str(exc))
     out = args.fn(args)
     print(json.dumps(out, default=str))
     return 0 if out.get("ok") else 1

@@ -96,6 +96,7 @@ def _retention(engine: str, table: str) -> str:
         "per-user week set (no aggregate+self-join: measured 3.1 s → 0.8 s "
         "at 12.5M events, scripts/bench_behavior_scale.py); weeks are "
         "already distinct per user so COUNT(*) is the user count",
+    bench=True,
 )
 def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("bq_ret_events")

@@ -5,9 +5,10 @@ contracts evaluated in ONE table scan)."""
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..quality import expectation_report
+from ..quality import expectation_report, tag_violations
 from ..sources.tables import load_table
 from .registry import register
 
@@ -57,3 +58,51 @@ def dq_orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_rows=100,
     )
     return rep.withColumnRenamed("check", "check_name")
+
+
+# Quarantine routing twin: the same row-level rules quality.tag_violations
+# compiles, expressed as NULL-skipping concat_ws(CASE…) in shared SQL —
+# concat_ws drops NULL arguments identically in Spark and DuckDB, so the
+# fixed rule order makes the tag string engine-exact.
+_QUARANTINE_ORACLE = """
+SELECT tags, CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM (
+  SELECT concat_ws(';',
+    CASE WHEN o_custkey IS NULL THEN 'not_null:o_custkey' END,
+    CASE WHEN o_totalprice IS NOT NULL
+          AND NOT (o_totalprice BETWEEN 1000.0 AND 200000.0)
+         THEN 'in_range:o_totalprice' END,
+    CASE WHEN o_orderpriority IS NOT NULL
+          AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+         THEN 'accepted_values:o_orderpriority' END) AS tags
+  FROM orders) t
+GROUP BY tags
+ORDER BY tags"""
+
+
+@register(
+    "dq_quarantine_tags",
+    _QUARANTINE_ORACLE,
+    doc="§2.12 extension: row-level DQ quarantine routing — "
+        "quality.tag_violations compiles not-null/range/accepted rules "
+        "into per-row violation-tag arrays (codegen'd conditionals, no "
+        "shuffle, rides the existing scan); this query pins the tag "
+        "distribution against a concat_ws(CASE…) oracle. The sink twin "
+        "(quality.quarantine_split) writes clean + quarantined rows in "
+        "ONE partitioned pass with Observation-counted stats — the "
+        "no-double-scan routing the reference only has at its JSONL "
+        "parse boundary (sources/jsonl.py)",
+)
+def dq_quarantine_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tagged = tag_violations(
+        load_table(spark, sf_dir, "orders"),
+        not_null=["o_custkey"],
+        ranges={"o_totalprice": (1000.0, 200000.0)},
+        accepted={"o_orderpriority": ["1-URGENT", "2-HIGH", "3-MEDIUM"]},
+    )
+    return (
+        tagged.select(F.concat_ws(";", "dq_violations").alias("tags"))
+        .groupBy("tags")
+        .agg(F.count("*").cast("bigint").alias("n_rows"))
+        .orderBy("tags")
+    )

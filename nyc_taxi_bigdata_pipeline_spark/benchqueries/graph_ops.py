@@ -84,7 +84,13 @@ def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst"))
         .agg(F.count("*").alias("w"))
     )
-    ranks = pagerank_fixed_point(edges, iterations=_ITER, damping_pct=_DAMP)
+    # nation keys bound the node count at 25 AT ANY DATA SCALE, so the
+    # hint is honest at 100 TB: it skips the count() strategy probe (a
+    # full edge-build materialization barrier) — the whole query is one
+    # job of broadcast joins + the rank chain
+    ranks = pagerank_fixed_point(
+        edges, iterations=_ITER, damping_pct=_DAMP, n_nodes_hint=25
+    )
     return ranks.join(F.broadcast(nat), ranks["n"] == nat["n_nationkey"]).select(
         "n_name",
         F.col("r").alias("rank_fp"),

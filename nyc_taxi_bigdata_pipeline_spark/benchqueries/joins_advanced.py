@@ -147,6 +147,7 @@ FROM upd JOIN cur ON cur.c_custkey = upd.c_custkey"""
         "validity intervals + current flags after one update batch; beyond "
         "the reference's insert-if-absent (dw_load_incremental.sql:54-94). "
         "One key join + key-window, no MERGE statement",
+    bench=True,
 )
 def scd2_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.scd import scd2_apply, scd2_init

@@ -341,8 +341,10 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "image_phash_dedup",
     None,
     doc="training-data ext (rows-only): perceptual-hash IMAGE dedup — "
-        "deterministic pseudo-random PPM payloads (exact + perturbed "
-        "duplicates planted every 20 ids) are decoded and 63-bit "
+        "deterministic pseudo-random payloads (exact + perturbed "
+        "duplicates planted every 20 ids; even ids encode PNG via the "
+        "stdlib-zlib codec, odd ids PPM, so every planted pair ALSO pins "
+        "cross-format decode parity) are decoded and 63-bit "
         "average-hashed per partition (operators/multimodal.phash_images, "
         "only the 8-byte hash shuffles), then Hamming-near pairs come from "
         "the same 4×16-bit pigeonhole blocking as text SimHash "
@@ -354,7 +356,7 @@ def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from ..operators.dedup import hamming_near_pairs
-    from ..operators.multimodal import encode_ppm, phash_images
+    from ..operators.multimodal import encode_png, encode_ppm, phash_images
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
@@ -388,7 +390,11 @@ def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     a = img[:4, :4, :].copy()
                     img[:4, :4, :] = img[4:8, 4:8, :]
                     img[4:8, 4:8, :] = a
-                out.append((str(d), "image", encode_ppm(img)))
+                # even ids PNG (zlib codec, Paeth-filtered), odd ids PPM:
+                # every planted dup pair spans formats, so the query
+                # recovering them pins PNG↔PPM decode parity end-to-end
+                enc = encode_png(img, filter_type=4) if d % 2 == 0 else encode_ppm(img)
+                out.append((str(d), "image", enc))
             yield pd.DataFrame(out, columns=["media_id", "kind", "content"])
 
     media = docs.mapInPandas(

@@ -347,6 +347,7 @@ def _hdr_read_sql(engine: str, bins: str) -> str:
         "the cumulative bin walk with all-integer boundary decisions. "
         "Completes the sketch family: distinct (HLL), frequency (CMS), "
         "membership (Bloom), quantile (HDR)",
+    bench=True,
 )
 def hdr_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark inlines CTEs, so the naive single-SQL form rescans orders

@@ -20,9 +20,10 @@ is broadcast ONLY while the node count stays under
 ``broadcast_nodes_max`` — web-scale graphs (10⁸–10⁹ nodes) exceed any
 driver's broadcast budget, so past the threshold both per-step joins
 fall back to shuffle equi-joins (one extra exchange per step, same
-bit-exact result). The rank frame is re-persisted per iteration, the
-previous one unpersisted once the new one is materialized, and e/nodes
-are unpersisted on exit — no cache leak, no unbounded lineage.
+bit-exact result). The rank frame is eagerly localCheckpointed per
+iteration on the eager path (persist() would bound recompute but NOT
+plan depth — the nested-plan stringification OOMs past ~10 steps), and
+e/nodes are unpersisted on exit — no cache leak, no unbounded lineage.
 """
 
 from __future__ import annotations
@@ -48,6 +49,7 @@ def pagerank_fixed_point(
     weight: str = "w",
     broadcast_nodes_max: int = BROADCAST_NODES_MAX,
     reinject_dangling: bool = False,
+    n_nodes_hint: int | None = None,
 ) -> DataFrame:
     """Weighted PageRank over (src, dst, w) with integer fixed-point
     ranks; returns (node, rank) after ``iterations`` synchronous steps.
@@ -61,8 +63,18 @@ def pagerank_fixed_point(
     per iteration (the default False matches the simplified formulation
     the DuckDB oracle unrolls).
 
-    The returned frame is persisted (it is the loop's own materialized
-    state); callers that keep it long-term own the unpersist.
+    The returned frame is materialized (persisted on the lazy path,
+    localCheckpointed on the eager one); callers that keep a persisted
+    result long-term own the unpersist.
+
+    ``n_nodes_hint``: a caller-known UPPER BOUND on the node count
+    (e.g. 25 for a nation-keyed graph at any data scale). It only picks
+    the join strategy, so a correct bound cannot change results — but it
+    removes the ``nodes.count()`` strategy probe, collapsing the whole
+    small-graph query into ONE job (the probe is a full edge-build
+    materialization barrier, ~30% of wall time on the 25-node bench
+    graph). Ignored when ``reinject_dangling`` needs the exact count as
+    an arithmetic operand.
     """
     # persist the raw edge frame FIRST: deg aggregates it and e joins it
     # back, so without this the caller's edge build (often an expensive
@@ -82,9 +94,13 @@ def pagerank_fixed_point(
     dangling = None
     ranks = nodes.withColumn("r", F.lit(scale).cast("bigint"))
     try:
-        # materializes the caches AND decides the join strategy: ranks /
-        # contrib both have ≤ n_nodes rows
-        n_nodes = nodes.count()
+        # decides the join strategy (ranks / contrib both have ≤ n_nodes
+        # rows) and, absent a hint, materializes the caches; dangling
+        # reinjection divides by n_nodes, so it always counts exactly
+        if n_nodes_hint is not None and not reinject_dangling:
+            n_nodes = n_nodes_hint
+        else:
+            n_nodes = nodes.count()
         small = n_nodes <= broadcast_nodes_max
 
         def rank_side(df: DataFrame) -> DataFrame:
@@ -100,15 +116,19 @@ def pagerank_fixed_point(
         # is pure scheduler overhead: the rank chain is a linear lineage
         # over the CACHED edge frame, so one final job (the count before
         # return) evaluates all iterations while the caches still exist.
-        # Past the threshold every step persists+counts — bounded lineage
-        # and no recompute on failure matter more than job count there.
+        # Past the threshold every step localCheckpoints — persist()
+        # bounds RECOMPUTE but not the logical plan, and at depth ≳ 10
+        # the nested InMemoryRelation chain blows up AQE's per-job plan
+        # stringification (measured: OutOfMemoryError in explainString at
+        # 12 iterations on a 3-node graph). Only an eager localCheckpoint
+        # truncates lineage — the same fix as dedup cluster collapse.
         # Dangling reinjection collects a scalar per step, which would
         # re-evaluate the whole lazy chain each iteration (quadratic) —
-        # it always takes the eager path.
-        lazy = small and not reinject_dangling
+        # it always takes the eager path; so do deep iteration counts on
+        # small graphs (the lazy chain's planning cost grows with depth).
+        lazy = small and not reinject_dangling and iterations <= 10
         if not lazy:
-            ranks = ranks.persist()
-            ranks.count()
+            ranks = ranks.localCheckpoint(eager=True)
         for _ in range(iterations):
             contrib = (
                 e.join(rank_side(ranks), e["src"] == ranks["n"])
@@ -137,12 +157,11 @@ def pagerank_fixed_point(
                 )
             )
             if not lazy:
-                # materialize each step: bounds lineage depth and makes
-                # the next join read a small cached rank vector, then
-                # drop the now-dead previous vector
-                new_ranks = new_ranks.persist()
-                new_ranks.count()
-                ranks.unpersist()
+                # materialize AND truncate each step: the next join reads
+                # a small checkpointed rank vector with an O(1) plan; the
+                # previous step's checkpoint blocks are freed by the
+                # ContextCleaner once the old frame is unreferenced
+                new_ranks = new_ranks.localCheckpoint(eager=True)
             ranks = new_ranks
         if lazy:
             # evaluate the whole chain NOW, before the finally drops the

@@ -62,13 +62,14 @@ def default_fake_decoder(payload: bytes) -> np.ndarray:
 
 
 def real_decoder_unavailable(payload: bytes) -> np.ndarray:
-    """Decode path for COMPRESSED formats (JPEG/PNG/MP4/MP3) — requires
-    codec libraries this container doesn't ship. Raw PPM/WAV payloads
+    """Decode path for formats needing EXTERNAL codec libraries
+    (JPEG/MP4/MP3) this container doesn't ship. PPM/WAV/PNG payloads
     decode for real via :func:`media_decoder`."""
     raise NotImplementedError(
         "compressed-media codecs (PIL/librosa/ffmpeg) are not installed "
-        "in this environment; PPM/WAV decode for real via media_decoder, "
-        "otherwise inject a decoder or use default_fake_decoder"
+        "in this environment; PPM/WAV/PNG decode for real via "
+        "media_decoder, otherwise inject a decoder or use "
+        "default_fake_decoder"
     )
 
 
@@ -112,6 +113,160 @@ def decode_ppm(payload: bytes) -> np.ndarray:
         raise ValueError(f"only maxval 255 supported, got {maxval}")
     raster = np.frombuffer(payload, dtype=np.uint8, count=h * w * 3, offset=i)
     return raster.reshape(h, w, 3)
+
+
+# --------------------------------------------- real codec: PNG (zlib)
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor (PNG spec §9.4), vectorized over int32 lanes."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """(h, w, 3) uint8 → truecolor 8-bit PNG. Stdlib ``zlib`` + numpy —
+    no codec library. ``filter_type`` applies one scanline filter
+    (0 None / 1 Sub / 2 Up / 3 Average / 4 Paeth) to every row so
+    decode tests can exercise each unfilter path."""
+    import struct
+    import zlib
+
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+    bpp = 3
+    rows = img.reshape(h, w * bpp).astype(np.int32)
+    zero = np.zeros(w * bpp, dtype=np.int32)
+    out = bytearray()
+    for y in range(h):
+        cur, prev = rows[y], (rows[y - 1] if y else zero)
+        left = np.concatenate([np.zeros(bpp, dtype=np.int32), cur[:-bpp]])
+        ul = np.concatenate([np.zeros(bpp, dtype=np.int32), prev[:-bpp]])
+        if filter_type == 0:
+            filt = cur
+        elif filter_type == 1:
+            filt = cur - left
+        elif filter_type == 2:
+            filt = cur - prev
+        elif filter_type == 3:
+            filt = cur - (left + prev) // 2
+        elif filter_type == 4:
+            filt = cur - _paeth(left, prev, ul)
+        else:
+            raise ValueError(f"unknown PNG filter {filter_type}")
+        out += bytes([filter_type]) + (filt % 256).astype(np.uint8).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit truecolor
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG → (h, w, 3) uint8, stdlib ``zlib`` + numpy (no PIL).
+
+    Supports 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette),
+    4 (gray+alpha), 6 (RGBA); all five scanline filters. Gray expands
+    to 3 channels, alpha is dropped — the phash/feature kernels see the
+    same array a PPM of the image would produce. Adam7 interlace and
+    sub-8-bit depths raise (rare in ML corpora; re-encode upstream).
+    """
+    import struct
+    import zlib
+
+    if not payload.startswith(PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat, plte = len(PNG_SIG), None, bytearray(), None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # skip CRC
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color_type, _comp, _filt, interlace = ihdr
+    if depth != 8:
+        raise ValueError(f"only 8-bit PNG supported, got depth {depth}")
+    if interlace:
+        raise ValueError("Adam7-interlaced PNG not supported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"unknown PNG color type {color_type}")
+
+    stride = w * channels
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if raw.size != h * (stride + 1):
+        raise ValueError("PNG raster size mismatch")
+    raw = raw.reshape(h, stride + 1)
+    bpp = channels
+    recon = np.empty((h, stride), dtype=np.int32)
+    zero = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = int(raw[y, 0])
+        cur = raw[y, 1:].astype(np.int32)
+        prev = recon[y - 1] if y else zero
+        if f == 0:
+            recon[y] = cur
+        elif f == 1:  # Sub: per-lane prefix sum mod 256
+            recon[y] = np.cumsum(cur.reshape(-1, bpp), axis=0).ravel() % 256
+        elif f == 2:  # Up
+            recon[y] = (cur + prev) % 256
+        elif f in (3, 4):  # Average / Paeth: sequential in x, lane-vectorized
+            row = recon[y]
+            for px in range(w):
+                i = px * bpp
+                a = row[i - bpp : i] if px else np.zeros(bpp, dtype=np.int32)
+                b = prev[i : i + bpp]
+                c = prev[i - bpp : i] if px else np.zeros(bpp, dtype=np.int32)
+                pred = (a + b) // 2 if f == 3 else _paeth(a, b, c)
+                row[i : i + bpp] = (cur[i : i + bpp] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG scanline filter {f}")
+    px = recon.astype(np.uint8).reshape(h, w, channels)
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        return plte[px[:, :, 0]]
+    if color_type in (4, 6):
+        px = px[:, :, :-1]  # drop alpha
+    if px.shape[2] == 1:
+        px = np.repeat(px, 3, axis=2)  # gray → RGB
+    return px
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Magic-byte-sniffed image decode: P6 PPM or PNG → (h, w, 3) uint8.
+    Anything else (JPEG &c.) raises via :func:`real_decoder_unavailable`."""
+    if payload.startswith(b"P6"):
+        return decode_ppm(payload)
+    if payload.startswith(PNG_SIG):
+        return decode_png(payload)
+    return real_decoder_unavailable(payload)
 
 
 def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
@@ -186,12 +341,13 @@ def audio_features(samples: np.ndarray, rate: int) -> np.ndarray:
 
 def media_decoder(payload: bytes) -> np.ndarray:
     """Real decode+featurize for stdlib-decodable formats, sniffed from
-    magic bytes: ``P6`` → PPM image, ``RIFF…WAVE`` → PCM WAV. Compressed
-    formats raise — the honest answer in a codec-less container."""
+    magic bytes: ``P6`` → PPM image, PNG signature → PNG image,
+    ``RIFF…WAVE`` → PCM WAV. Externally-coded formats (JPEG/MP4) raise —
+    the honest answer in a codec-less container."""
     if payload is None or len(payload) == 0:
         return np.zeros(FEATURE_DIM, dtype=np.float64)
-    if payload.startswith(b"P6"):
-        return image_features(decode_ppm(payload))
+    if payload.startswith(b"P6") or payload.startswith(PNG_SIG):
+        return image_features(decode_image(payload))
     if payload.startswith(b"RIFF") and payload[8:12] == b"WAVE":
         return audio_features(*decode_wav(payload))
     return real_decoder_unavailable(payload)
@@ -288,7 +444,8 @@ def phash63(img: np.ndarray) -> int:
 
 
 def phash_images(media: DataFrame, batch_limit: int = 256) -> DataFrame:
-    """PPM image payloads → (media_id, phash BIGINT) via mapInPandas.
+    """Image payloads (PPM or PNG, magic-sniffed per payload) →
+    (media_id, phash BIGINT) via mapInPandas.
 
     The decode stays per-partition (Arrow batches, blob dropped on
     output); the hash column is what shuffles — 8 bytes per image, so
@@ -301,11 +458,14 @@ def phash_images(media: DataFrame, batch_limit: int = 256) -> DataFrame:
         for pdf in batches:
             for start in range(0, len(pdf), batch_limit):
                 chunk = pdf.iloc[start: start + batch_limit]
-                hashes = [phash63(decode_ppm(p)) for p in chunk["content"]]
+                hashes = [phash63(decode_image(p)) for p in chunk["content"]]
                 yield pd.DataFrame(
                     {"media_id": chunk["media_id"].values, "phash": hashes}
                 )
 
+    # media_id keeps its incoming type (a hardcoded `string` would
+    # Arrow-fail on integer ids — same fix as similarity._pairwise_cosine)
+    id_type = dict(media.dtypes)["media_id"]
     return media.filter(F.col("kind") == "image").mapInPandas(
-        run, "media_id string, phash long"
+        run, f"media_id {id_type}, phash long"
     )

@@ -138,6 +138,11 @@ def expectation_report(
     if min_rows is not None:
         checks.append((f"min_rows:{min_rows}", f"GREATEST(CAST({min_rows} AS BIGINT) - __n, CAST(0 AS BIGINT))"))
 
+    if not checks:
+        raise ValueError(
+            "no expectations specified: pass at least one of "
+            "not_null/unique/ranges/accepted/min_rows"
+        )
     agg_row = df.agg(*aggs)
     stack_args = ", ".join(
         f"'{name}', CAST({obs} AS BIGINT)" for name, obs in checks
@@ -145,3 +150,95 @@ def expectation_report(
     return agg_row.selectExpr(
         f"stack({len(checks)}, {stack_args}) AS (check, observed)"
     ).selectExpr("check", "observed = 0 AS passed", "observed")
+
+
+def tag_violations(
+    df: DataFrame,
+    *,
+    not_null: Sequence[str] = (),
+    ranges: Mapping[str, tuple[float, float]] | None = None,
+    accepted: Mapping[str, Sequence[str]] | None = None,
+    tag_col: str = "dq_violations",
+) -> DataFrame:
+    """Row-level rule tagging: adds ``tag_col`` (array<string>) holding
+    the name of every ROW-ATTRIBUTABLE rule the row violates, in fixed
+    rule order (empty array = clean). Table-level rules (unique,
+    min_rows) have no single offending row and stay in
+    :func:`expectation_report`.
+
+    Pure conditional column expressions — whole-stage-codegen'd, no
+    shuffle, no extra scan; the tagging cost rides the scan the caller
+    was already doing."""
+    ranges = dict(ranges or {})
+    accepted = dict(accepted or {})
+    whens: list[F.Column] = []
+    for c in not_null:
+        whens.append(F.when(F.col(c).isNull(), F.lit(f"not_null:{c}")))
+    for c, (lo, hi) in ranges.items():
+        whens.append(
+            F.when(
+                F.col(c).isNotNull() & ~F.col(c).between(lo, hi),
+                F.lit(f"in_range:{c}"),
+            )
+        )
+    for c, vals in accepted.items():
+        whens.append(
+            F.when(
+                F.col(c).isNotNull() & ~F.col(c).isin(list(vals)),
+                F.lit(f"accepted_values:{c}"),
+            )
+        )
+    if not whens:
+        raise ValueError(
+            "no row-level expectations specified: pass at least one of "
+            "not_null/ranges/accepted"
+        )
+    return df.withColumn(tag_col, F.array_compact(F.array(*whens)))
+
+
+def quarantine_split(
+    df: DataFrame,
+    path: str,
+    *,
+    not_null: Sequence[str] = (),
+    ranges: Mapping[str, tuple[float, float]] | None = None,
+    accepted: Mapping[str, Sequence[str]] | None = None,
+    status_col: str = "dq_status",
+    tag_col: str = "dq_violations",
+) -> dict:
+    """Quarantine sink: ONE pass routes clean and failing rows to the
+    same parquet root, partitioned by ``status_col`` ∈ {clean,
+    quarantined}; quarantined rows carry their rule tags. The single
+    partitioned write IS the "two outputs, no double scan" shape —
+    consumers read ``path/dq_status=clean`` (partition-pruned, tag
+    column dropped at read) while the quarantine side keeps full rows +
+    tags for triage/replay. Row counts come from ``Observation`` on the
+    same job — zero extra actions.
+
+    Extends the reference's corrupt-record quarantine (which exists
+    only at the JSONL parse boundary, sources/jsonl.py) to declarative
+    rule-based routing on any table."""
+    from pyspark.sql import Observation
+
+    tagged = tag_violations(
+        df, not_null=not_null, ranges=ranges, accepted=accepted, tag_col=tag_col
+    )
+    obs = Observation()
+    out = tagged.withColumn(
+        status_col,
+        F.when(F.size(tag_col) > 0, F.lit("quarantined")).otherwise(F.lit("clean")),
+    ).observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.sum((F.size(tag_col) > 0).cast("bigint")).alias("quarantined"),
+    )
+    out.write.mode("overwrite").partitionBy(status_col).parquet(path)
+    stats = obs.get
+    quarantined = int(stats["quarantined"] or 0)
+    return {
+        "rows": int(stats["rows"]),
+        "quarantined": quarantined,
+        "clean": int(stats["rows"]) - quarantined,
+        "clean_path": f"{path.rstrip('/')}/{status_col}=clean",
+        "quarantine_path": f"{path.rstrip('/')}/{status_col}=quarantined",
+    }

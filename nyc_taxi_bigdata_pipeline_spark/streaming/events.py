@@ -292,21 +292,28 @@ def purchase_view_join_outer(
     events: DataFrame,
     lookback: str = "30 minutes",
     watermark: str = "2 hours",
+    how: str = "left_outer",
 ) -> DataFrame:
-    """LEFT OUTER flavor of :func:`purchase_view_join`: every purchase
-    is emitted, with NULL view columns when no same-user view preceded
-    it within ``lookback`` — the attribution query ("which purchases
-    came cold?") the inner join can't answer.
+    """OUTER flavors of :func:`purchase_view_join` — ``how`` is
+    ``left_outer`` (every purchase, NULL view columns when none preceded
+    it within ``lookback`` — "which purchases came cold?"),
+    ``right_outer`` (every view, NULL purchase columns when it converted
+    nothing — "which views never converted?"), or ``full_outer`` (both).
 
     Outer stream-stream joins are the semantically tricky family: a
-    purchase's NULL row can only be emitted once the watermark proves
-    no matching view can still arrive, so results trail the inner
-    join's by up to the watermark delay (and the join REQUIRES both
-    watermarks + the time band — Spark rejects an unbounded outer
-    stream-stream join outright). State stays bounded by the same
-    watermark + lookback horizon; matched rows are identical to the
-    inner join's, pinned by the batch-equivalence test.
+    NULL-padded row can only be emitted once the watermark proves no
+    matching row can still arrive, so results trail the inner join's by
+    up to the watermark delay (and the join REQUIRES both watermarks +
+    the time band — Spark rejects an unbounded outer stream-stream join
+    outright). State stays bounded by the same watermark + lookback
+    horizon; matched rows are identical to the inner join's, pinned by
+    the batch-equivalence tests (one per outer mode).
+
+    ``user_id`` is coalesced across sides so view-only rows keep their
+    user; ``v_user_id`` would otherwise be lost on the right/full paths.
     """
+    if how not in ("left_outer", "right_outer", "full_outer"):
+        raise ValueError(f"how must be an outer mode, got {how!r}")
     purchases = events.filter(F.col("event_type") == "purchase").select(
         F.col("user_id"),
         F.col("event_id").alias("purchase_id"),
@@ -325,6 +332,7 @@ def purchase_view_join_outer(
         & (views.v_ts >= purchases.p_ts - F.expr(f"INTERVAL {lookback}"))
         & (views.v_ts <= purchases.p_ts)
     )
-    return purchases.join(views, cond, "left_outer").select(
-        "user_id", "purchase_id", "p_ts", "v_ts", "purchase_value"
+    return purchases.join(views, cond, how).select(
+        F.coalesce(purchases.user_id, views.v_user_id).alias("user_id"),
+        "purchase_id", "p_ts", "v_ts", "purchase_value",
     )

@@ -88,10 +88,12 @@ def foreach_batch_agg_maintain(
     cardinality outgrows state-store comfort.
 
     Atomic per batch: merge to a temp dir, then swap — a crash
-    mid-write leaves the previous view intact, and the checkpoint
-    replays the batch (the merge is NOT idempotent under re-delivery of
-    rows ALREADY merged; upstream effectively-once via
-    dedup_within_watermark / foreach_batch_upsert covers that).
+    mid-write leaves the previous view intact. Replay-safe too: the
+    last applied batch_id is stored INSIDE the view directory (a
+    ``_last_batch_id`` marker, invisible to parquet readers) so it
+    swaps atomically with the data — when a crash lands after the swap
+    but before the streaming checkpoint commits, the re-delivered
+    batch is recognized and skipped instead of double-SUMmed.
     Crash recovery: the swap is two renames (view→__prev, tmp→view);
     a crash between them leaves the old view parked at __prev, so every
     batch first restores __prev→view before reading — the prior
@@ -109,7 +111,8 @@ def foreach_batch_agg_maintain(
                 view, batch, keys, sum_cols=sum_cols, count_col=count_col
             )
 
-        _merge_view_crash_safe(batch.sparkSession, view_path, build)
+        _merge_view_crash_safe(batch.sparkSession, view_path, build,
+                               batch_id=batch_id)
 
     return (
         stream.writeStream.foreachBatch(merge)
@@ -119,12 +122,21 @@ def foreach_batch_agg_maintain(
     )
 
 
-def _merge_view_crash_safe(spark, view_path: str, build) -> None:
+def _merge_view_crash_safe(spark, view_path: str, build,
+                           batch_id: int | None = None) -> None:
     """Read-merge-swap for materialized views: recover a half-finished
     swap, read the current view (None on first batch), write
     ``build(view)`` to a temp dir, then swap via two renames. A crash
     between the renames parks the old view at ``__prev`` and the next
-    call restores it, so prior state is never silently discarded."""
+    call restores it, so prior state is never silently discarded.
+
+    When ``batch_id`` is given, it is persisted as a ``_last_batch_id``
+    marker file inside the view directory (underscore-prefixed files
+    are invisible to parquet scans, same convention as ``_SUCCESS``),
+    so the id travels atomically with the swapped data; a replayed
+    batch with id ≤ the marker is a no-op. This makes non-idempotent
+    merges (SUM/COUNT views) exactly-once under the foreachBatch
+    at-least-once contract."""
     import shutil
     from pathlib import Path
 
@@ -137,10 +149,19 @@ def _merge_view_crash_safe(spark, view_path: str, build) -> None:
         else:
             # crashed between view→prev and tmp→view: restore the view
             prev.rename(vp)
+    marker = vp / "_last_batch_id"
+    if batch_id is not None and marker.exists():
+        try:
+            if batch_id <= int(marker.read_text().strip()):
+                return  # replayed batch: already merged into the view
+        except ValueError:
+            pass  # unreadable marker: fall through and re-merge
     view = spark.read.parquet(view_path) if vp.exists() else None
     new_view = build(view)
     tmp = view_path.rstrip("/") + "__merging"
     new_view.write.mode("overwrite").parquet(tmp)
+    if batch_id is not None:
+        (Path(tmp) / "_last_batch_id").write_text(str(batch_id))
     if vp.exists():
         vp.rename(prev)
     Path(tmp).rename(vp)
@@ -182,7 +203,10 @@ def foreach_batch_sketch_maintain(
                 count_col=None, max_cols=["rho"],
             )
 
-        _merge_view_crash_safe(batch.sparkSession, view_path, build)
+        # MAX-merge is idempotent so replay is CORRECT either way; the
+        # batch_id marker just skips the wasted re-merge job
+        _merge_view_crash_safe(batch.sparkSession, view_path, build,
+                               batch_id=batch_id)
 
     return (
         stream.writeStream.foreachBatch(merge)

@@ -27,7 +27,16 @@ def main() -> None:
 
     spark = get_spark("dump-plans")
     os.makedirs(args.out, exist_ok=True)
-    names = sorted(n for n, q in REGISTRY.items() if q.bench)
+    # bench-flagged queries, plus the plan-risk family whose failure
+    # class is invisible in timings alone (CTE-inlining rescans,
+    # nested-loop decorrelation): recursive CTE, LATERAL, the four
+    # sketches, the deterministic epoch shuffle
+    plan_risk = {
+        "recursive_hierarchy_depth", "lateral_top_orders",
+        "cms_heavy_hitters", "hll_distinct_by_type", "bloom_membership",
+        "hdr_quantile_sketch", "dataset_global_shuffle",
+    }
+    names = sorted({n for n, q in REGISTRY.items() if q.bench} | plan_risk)
     for name in names:
         plan = physical_plan(REGISTRY[name].spark_fn(spark, args.sf_dir))
         with open(os.path.join(args.out, f"{name}.txt"), "w") as f:

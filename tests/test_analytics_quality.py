@@ -150,3 +150,55 @@ def test_expectation_report_detects_violations(spark):
         df.filter("k IS NOT NULL AND k = 2"), not_null=["k"], min_rows=1
     ).collect()
     assert all(r["passed"] for r in clean)
+
+
+def test_quarantine_split_one_pass_routing(spark, tmp_path):
+    """quarantine_split: one partitioned write routes clean vs failing
+    rows; quarantined rows carry their rule tags; Observation stats
+    match the written partitions; clean side reads back rule-clean."""
+    from nyc_taxi_bigdata_pipeline_spark.quality import quarantine_split
+
+    df = spark.createDataFrame(
+        [
+            (1, 50.0, "A"),    # clean
+            (2, None, "A"),    # range rule skips NULL -> clean
+            (3, 500.0, "A"),   # in_range violation
+            (4, 50.0, "X"),    # accepted violation
+            (5, 500.0, "X"),   # both
+            (None, 50.0, "A"), # not_null violation
+        ],
+        "id bigint, price double, cat string",
+    )
+    out = str(tmp_path / "routed")
+    stats = quarantine_split(
+        df, out,
+        not_null=["id"],
+        ranges={"price": (0.0, 100.0)},
+        accepted={"cat": ["A", "B"]},
+    )
+    assert stats["rows"] == 6
+    assert stats["quarantined"] == 4 and stats["clean"] == 2
+    clean = spark.read.parquet(stats["clean_path"])
+    assert {r["id"] for r in clean.collect()} == {1, 2}
+    quar = spark.read.parquet(stats["quarantine_path"])
+    tags = {r["id"]: list(r["dq_violations"]) for r in quar.collect()}
+    assert tags[3] == ["in_range:price"]
+    assert tags[4] == ["accepted_values:cat"]
+    assert tags[5] == ["in_range:price", "accepted_values:cat"]
+    assert tags[None] == ["not_null:id"]
+    # the partition column reads back on the union scan
+    both = spark.read.parquet(out)
+    assert both.count() == 6
+    assert set(both.select("dq_status").distinct().toPandas()["dq_status"]) == {
+        "clean", "quarantined"
+    }
+
+
+def test_tag_violations_requires_row_level_rule(spark):
+    import pytest as _pytest
+
+    from nyc_taxi_bigdata_pipeline_spark.quality import tag_violations
+
+    df = spark.range(3)
+    with _pytest.raises(ValueError, match="row-level"):
+        tag_violations(df)

@@ -110,3 +110,29 @@ def test_cli_dq_report(staged, capsys):
     code, out = _run(capsys, ["dq", "--table", raw, "--min-rows", "10000000"])
     assert out["ok"] is False
     assert out["checks"][0]["observed"] > 0
+
+
+def test_cli_dq_malformed_specs_are_argparse_errors(staged, capsys):
+    """Malformed --range / --accepted must exit with a usage error (2),
+    not a bare traceback; column names containing ':' parse via rsplit."""
+    for bad in (["--range", "fare"], ["--range", "fare:1:x"],
+                ["--accepted", "novalues"]):
+        with pytest.raises(SystemExit) as exc:
+            main(["dq", "--table", str(staged / "silver"), *bad])
+        assert exc.value.code == 2
+    capsys.readouterr()
+
+    from nyc_taxi_bigdata_pipeline_spark.__main__ import (
+        _parse_accepted_spec,
+        _parse_range_spec,
+    )
+
+    assert _parse_range_spec("ns:col:0:5") == ("ns:col", (0.0, 5.0))
+    assert _parse_accepted_spec("ns:col:a,b") == ("ns:col", ["a", "b"])
+
+
+def test_cli_dq_no_checks_is_clear_error(staged):
+    """dq with no expectation flags raises the explicit ValueError, not
+    an opaque stack(0,) AnalysisException."""
+    with pytest.raises(ValueError, match="no expectations specified"):
+        main(["dq", "--table", str(staged / "silver")])

@@ -1027,3 +1027,117 @@ def test_bloom_prefilter_join_equivalence(spark, sf_dir):
     plan = physical_plan(filtered)
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_phash_images_preserves_id_type(spark):
+    """phash_images derives media_id's Arrow schema from the input —
+    integer ids must survive (the hardcoded-string regression class
+    fixed earlier in similarity._pairwise_cosine)."""
+    import numpy as np
+
+    from nyc_taxi_bigdata_pipeline_spark.operators.multimodal import (
+        encode_ppm,
+        phash63,
+        phash_images,
+    )
+
+    img = (np.arange(32 * 32 * 3, dtype=np.int64) % 256).astype(np.uint8)
+    img = img.reshape(32, 32, 3)
+    media = spark.createDataFrame(
+        [(7, "image", bytearray(encode_ppm(img)))],
+        "media_id bigint, kind string, content binary",
+    )
+    out = phash_images(media)
+    assert dict(out.dtypes)["media_id"] == "bigint"
+    row = out.first()
+    assert row["media_id"] == 7 and row["phash"] == phash63(img)
+
+
+def test_pagerank_deep_iterations_bounded_planning(spark):
+    """iterations > 10 on a small graph must take the eager
+    persist-per-step path (bounded lineage — the lazy chain's planning
+    cost is superlinear in depth) and stay bit-identical to the
+    shuffle-join path at the same depth."""
+    from nyc_taxi_bigdata_pipeline_spark.operators.graph import pagerank_fixed_point
+
+    edges = spark.createDataFrame(
+        [("A", "B", 1), ("A", "C", 1), ("B", "A", 1), ("C", "A", 1)],
+        "src string, dst string, w bigint",
+    )
+    deep = {
+        r["n"]: r["r"]
+        for r in pagerank_fixed_point(edges, iterations=12).collect()
+    }
+    via_shuffle = {
+        r["n"]: r["r"]
+        for r in pagerank_fixed_point(
+            edges, iterations=12, broadcast_nodes_max=0
+        ).collect()
+    }
+    assert deep == via_shuffle
+    # converged by depth 12: B and C split A's mass equally
+    assert deep["B"] == deep["C"]
+
+
+def test_png_codec_roundtrip_and_parity():
+    """Stdlib-zlib PNG codec: encode→decode is exact under every
+    scanline filter; decode_image dispatches on magic bytes and a PNG
+    of an image phashes/featurizes identically to its PPM twin."""
+    import numpy as np
+
+    from nyc_taxi_bigdata_pipeline_spark.operators.multimodal import (
+        decode_image,
+        decode_png,
+        encode_png,
+        encode_ppm,
+        image_features,
+        media_decoder,
+        phash63,
+    )
+
+    rng = np.random.default_rng(42)
+    img = rng.integers(0, 256, (37, 29, 3), dtype=np.uint8)  # odd dims
+    for ft in range(5):
+        assert np.array_equal(decode_png(encode_png(img, filter_type=ft)), img)
+    assert phash63(decode_image(encode_png(img))) == phash63(
+        decode_image(encode_ppm(img))
+    )
+    assert np.allclose(media_decoder(encode_png(img)), image_features(img))
+
+
+def test_png_decode_gray_rgba_palette():
+    """Non-truecolor PNGs normalize to (h, w, 3): gray expands, alpha
+    drops, palette indexes resolve through PLTE."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from nyc_taxi_bigdata_pipeline_spark.operators.multimodal import (
+        PNG_SIG,
+        _png_chunk,
+        decode_png,
+    )
+
+    def build(w, h, ctype, raster, plte=None):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        parts = PNG_SIG + _png_chunk(b"IHDR", ihdr)
+        if plte is not None:
+            parts += _png_chunk(b"PLTE", plte)
+        return parts + _png_chunk(b"IDAT", zlib.compress(raster)) + _png_chunk(b"IEND", b"")
+
+    rng = np.random.default_rng(7)
+    g = rng.integers(0, 256, (4, 5), dtype=np.uint8)
+    raster = b"".join(b"\x00" + g[y].tobytes() for y in range(4))
+    assert np.array_equal(
+        decode_png(build(5, 4, 0, raster)), np.repeat(g[:, :, None], 3, axis=2)
+    )
+    rgba = rng.integers(0, 256, (4, 5, 4), dtype=np.uint8)
+    raster = b"".join(b"\x00" + rgba[y].tobytes() for y in range(4))
+    assert np.array_equal(decode_png(build(5, 4, 6, raster)), rgba[:, :, :3])
+    pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    idxs = rng.integers(0, 8, (4, 5), dtype=np.uint8)
+    raster = b"".join(b"\x00" + idxs[y].tobytes() for y in range(4))
+    assert np.array_equal(
+        decode_png(build(5, 4, 3, raster, pal.tobytes())), pal[idxs]
+    )

@@ -4,6 +4,8 @@ whole-stage codegen presence (SURVEY §4)."""
 
 from __future__ import annotations
 
+import pytest
+
 from nyc_taxi_bigdata_pipeline_spark.benchqueries import REGISTRY
 from nyc_taxi_bigdata_pipeline_spark.plans import (
     assert_broadcast_join,
@@ -156,3 +158,40 @@ def test_no_cartesian_products_across_registry(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
         if name not in _SCALAR_ANCHOR_OK:
             assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def _parquet_scan_count(plan: str) -> int:
+    import re
+
+    return sum(
+        1
+        for line in plan.splitlines()
+        if re.search(r"\(\d+\)\s+Scan parquet", line)
+    )
+
+
+@pytest.mark.parametrize(
+    "name,max_scans",
+    [
+        # sketch family: the one-shot WITH text would rescan the base
+        # table once per downstream CTE reference (Spark INLINES
+        # non-recursive CTEs — the hdr regression planned 8 FileScans);
+        # the localCheckpoint-materialized sketch relation caps it
+        ("hll_distinct_by_type", 1),
+        ("cms_heavy_hitters", 1),
+        ("hdr_quantile_sketch", 1),
+        # bloom: orders build scan + customer probe/accounting scans —
+        # the designed shape; inlining regression would double these
+        ("bloom_membership", 4),
+        ("recursive_hierarchy_depth", 1),
+        ("lateral_top_orders", 2),
+        ("dataset_global_shuffle", 1),
+    ],
+)
+def test_plan_risk_queries_scan_counts(spark, sf_dir, name, max_scans):
+    """CTE-inlining rescan regression gate: the plan-risk queries must
+    not re-read their parquet inputs more than the designed number of
+    times (counts measured at the fixed plans; any increase means an
+    inlined relation fanned out into repeated FileScans)."""
+    plan = physical_plan(REGISTRY[name].spark_fn(spark, sf_dir))
+    assert _parquet_scan_count(plan) <= max_scans, plan

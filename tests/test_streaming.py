@@ -276,3 +276,125 @@ def test_stream_stream_left_outer_join_matches_batch(spark, tmp_path):
     # and every batch-inner match appears identically
     inner = ev.purchase_view_join(events_df).count()
     assert len([r for r in got if r["v_us"] is not None]) == inner
+
+
+def _run_outer_stream(spark, tmp_path, name, how, **read_opts):
+    events_df = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / f"{name}_src")
+    events_df.write.mode("overwrite").parquet(src)
+    reader = spark.readStream.schema(ev.EVENT_SCHEMA)
+    for k, v in read_opts.items():
+        reader = reader.option(k, v)
+    stream = reader.parquet(src)
+    q = (
+        ev.purchase_view_join_outer(stream, how=how)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+    return events_df, spark.sql(
+        "SELECT user_id, purchase_id, unix_micros(v_ts) AS v_us,"
+        " unix_micros(p_ts) AS p_us FROM " + name
+    ).collect()
+
+
+def test_stream_stream_right_outer_join_matches_batch(spark, tmp_path):
+    """Right-outer stream-stream interval join: every matched pair
+    identical to the batch inner twin; views that converted nothing
+    appear with NULL purchase columns once the watermark proves no
+    purchase can still arrive (v_ts + lookback behind the watermark)."""
+    events_df, got = _run_outer_stream(spark, tmp_path, "pv_right", "right_outer")
+    # matched region must equal the batch inner join exactly
+    inner = {
+        (r["user_id"], r["purchase_id"], r["v_us"])
+        for r in ev.purchase_view_join(events_df)
+        .selectExpr("user_id", "purchase_id", "unix_micros(v_ts) AS v_us")
+        .collect()
+    }
+    matched = {(r["user_id"], r["purchase_id"], r["v_us"])
+               for r in got if r["purchase_id"] is not None}
+    assert matched == inner
+    # unmatched views: NULL purchase columns, user_id survives the
+    # coalesce, and the batch right-outer twin agrees on the provable
+    # region (view's match window fully behind the final watermark)
+    horizon = events_df.selectExpr(
+        "unix_micros(MAX(ts)) - 7200000000 - 1800000000 AS h"
+    ).first()["h"]
+    want_nulls = {
+        (r["user_id"], r["v_us"])
+        for r in ev.purchase_view_join_outer(events_df, how="right_outer")
+        .selectExpr("user_id", "purchase_id", "unix_micros(v_ts) AS v_us")
+        .collect()
+        if r["purchase_id"] is None and r["v_us"] <= horizon
+    }
+    got_nulls = {(r["user_id"], r["v_us"]) for r in got if r["purchase_id"] is None}
+    assert got_nulls >= want_nulls
+    assert all(u is not None for u, _ in got_nulls)
+    assert want_nulls, "expected at least one non-converting view"
+
+
+def test_stream_stream_full_outer_join_matches_batch(spark, tmp_path):
+    """Full-outer stream-stream interval join: matched pairs = batch
+    inner twin; BOTH unmatched families appear NULL-padded (cold
+    purchases and non-converting views) in the provable region."""
+    events_df, got = _run_outer_stream(spark, tmp_path, "pv_full", "full_outer")
+    inner = {
+        (r["user_id"], r["purchase_id"], r["v_us"])
+        for r in ev.purchase_view_join(events_df)
+        .selectExpr("user_id", "purchase_id", "unix_micros(v_ts) AS v_us")
+        .collect()
+    }
+    matched = {(r["user_id"], r["purchase_id"], r["v_us"])
+               for r in got if r["purchase_id"] is not None and r["v_us"] is not None}
+    assert matched == inner
+    p_horizon = events_df.selectExpr(
+        "unix_micros(MAX(ts)) - 7200000000 AS h"
+    ).first()["h"]
+    batch_full = ev.purchase_view_join_outer(events_df, how="full_outer").selectExpr(
+        "user_id", "purchase_id", "unix_micros(v_ts) AS v_us",
+        "unix_micros(p_ts) AS p_us"
+    ).collect()
+    want_cold = {
+        (r["user_id"], r["purchase_id"])
+        for r in batch_full
+        if r["v_us"] is None and r["p_us"] is not None and r["p_us"] <= p_horizon
+    }
+    got_cold = {(r["user_id"], r["purchase_id"])
+                for r in got if r["v_us"] is None and r["purchase_id"] is not None}
+    assert got_cold >= want_cold and want_cold
+    v_horizon = p_horizon - 1800000000
+    want_views = {
+        (r["user_id"], r["v_us"])
+        for r in batch_full
+        if r["purchase_id"] is None and r["v_us"] <= v_horizon
+    }
+    got_views = {(r["user_id"], r["v_us"])
+                 for r in got if r["purchase_id"] is None}
+    assert got_views >= want_views and want_views
+
+
+def test_stream_stream_outer_join_late_data_subset(spark, tmp_path):
+    """Single-file micro-batches over unordered files: the watermark
+    races ahead, late matches are DROPPED (bounded-state contract, see
+    CLAUDE.md) — matched rows must be a SUBSET of the batch inner twin,
+    never invented."""
+    events_df, got = _run_outer_stream(
+        spark, tmp_path, "pv_left_late", "left_outer", maxFilesPerTrigger=1
+    )
+    inner = {
+        (r["user_id"], r["purchase_id"], r["v_us"])
+        for r in ev.purchase_view_join(events_df)
+        .selectExpr("user_id", "purchase_id", "unix_micros(v_ts) AS v_us")
+        .collect()
+    }
+    matched = {(r["user_id"], r["purchase_id"], r["v_us"])
+               for r in got if r["v_us"] is not None}
+    assert matched <= inner
+    # every emitted purchase id is real (no row invention under replayed
+    # or out-of-order arrival)
+    purchase_ids = {
+        r["event_id"]
+        for r in events_df.filter("event_type = 'purchase'").collect()
+    }
+    assert {r["purchase_id"] for r in got} <= purchase_ids

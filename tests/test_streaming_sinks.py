@@ -207,3 +207,76 @@ def test_hdr_bins_via_agg_maintain(spark, events_df, tmp_path):
         .collect()
     )))
     assert got == want and len(got) > 5
+
+
+def test_merge_view_batch_id_replay_skipped(spark, tmp_path):
+    """A replayed batch_id (crash after swap, before checkpoint commit)
+    must NOT double-add into a SUM/COUNT view: the _last_batch_id
+    marker swaps atomically with the data and gates the merge."""
+    import pyspark.sql.functions as F
+
+    from nyc_taxi_bigdata_pipeline_spark.streaming.sinks import (
+        _merge_view_crash_safe,
+    )
+
+    view = str(tmp_path / "view")
+    batch = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v bigint")
+
+    def build(existing):
+        agg = batch.groupBy("k").agg(F.sum("v").alias("v"))
+        if existing is None:
+            return agg
+        return (
+            existing.unionByName(agg)
+            .groupBy("k").agg(F.sum("v").alias("v"))
+        )
+
+    _merge_view_crash_safe(spark, view, build, batch_id=0)
+    # replay of batch 0: skipped, view unchanged
+    _merge_view_crash_safe(spark, view, build, batch_id=0)
+    got = {r["k"]: r["v"] for r in spark.read.parquet(view).collect()}
+    assert got == {"a": 1, "b": 2}
+    # genuinely new batch merges
+    _merge_view_crash_safe(spark, view, build, batch_id=1)
+    got = {r["k"]: r["v"] for r in spark.read.parquet(view).collect()}
+    assert got == {"a": 2, "b": 4}
+
+
+def test_agg_maintain_checkpoint_replay_no_double_sum(spark, tmp_path):
+    """End-to-end replay: wiping the streaming checkpoint re-delivers
+    every file as batch 0 — the batch-id marker must absorb it."""
+    import shutil
+
+    from nyc_taxi_bigdata_pipeline_spark.streaming import sinks
+
+    src = tmp_path / "src"
+    view = str(tmp_path / "view")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k string, v bigint"
+
+    def run(rows, part):
+        spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+            str(src / part)
+        )
+        stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+        q = sinks.foreach_batch_agg_maintain(
+            stream, view, ["k"], ["v"], ckpt, count_col="cnt"
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    run([("a", 1), ("b", 5)], "p1")
+    run([("a", 10)], "p2")
+    want = {"a": (11, 2), "b": (5, 1)}
+    got = {r["k"]: (r["v"], r["cnt"]) for r in spark.read.parquet(view).collect()}
+    assert got == want
+    # simulate lost checkpoint: the SAME data replays as batch 0
+    shutil.rmtree(ckpt)
+    stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+    q = sinks.foreach_batch_agg_maintain(
+        stream, view, ["k"], ["v"], ckpt, count_col="cnt"
+    )
+    q.awaitTermination(120)
+    q.stop()
+    got = {r["k"]: (r["v"], r["cnt"]) for r in spark.read.parquet(view).collect()}
+    assert got == want, "replayed batch was double-summed into the view"
