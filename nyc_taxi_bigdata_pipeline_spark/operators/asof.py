@@ -78,6 +78,49 @@ def asof_join(
     return out.drop("__side", "__t", "__rt")
 
 
+def keyed_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    lookback: int,
+) -> DataFrame:
+    """left ⋈ right ON same key AND right_time ∈ [left_time − lookback,
+    left_time], via TIME-BUCKETED equi-join (inner only).
+
+    The naive formulation — equi-join on the key with the band as a
+    residual — materializes ALL same-key pairs before filtering, which
+    is quadratic in the hot key's row count: a zipfian key holding 10%
+    of 15M rows yields ~10¹² intermediate pairs, and no AQE skew split
+    can save it (splitting a partition cannot shrink the join's
+    intermediate output). Bucketing by ⌊time/lookback⌋ makes time part
+    of the JOIN KEY: each right row lands in exactly one bucket, each
+    left row probes its own bucket and the previous one (2-row
+    explode — the band spans at most two buckets), so per-(key, bucket)
+    micro-joins are bounded by the key's arrival rate × lookback, not
+    its total history. Same output set as the naive join — a
+    (left, right) pair matches in exactly one probed bucket.
+
+    Time columns must be NUMERIC (e.g. epoch-µs), ``lookback`` in the
+    same unit. Inner-only: the 2-bucket explode would double
+    null-extended rows under outer modes.
+    """
+    lb = F.lit(lookback)
+    lbk = F.floor(F.col(left_time) / lb).cast("long")
+    l = left.withColumn("__b", F.explode(F.array(lbk - 1, lbk)))
+    r = right.withColumn(
+        "__b", F.floor(F.col(right_time) / lb).cast("long")
+    ).withColumnRenamed(on, "__rk")
+    cond = (
+        (l[on] == r["__rk"])
+        & (l["__b"] == r["__b"])
+        & (F.col(right_time) >= F.col(left_time) - lb)
+        & (F.col(right_time) <= F.col(left_time))
+    )
+    return l.join(r, cond, "inner").drop("__b", "__rk")
+
+
 def range_join_binned(
     points: DataFrame,
     intervals: DataFrame,

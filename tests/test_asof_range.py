@@ -99,3 +99,60 @@ def test_range_join_left_how(spark):
     intervals = spark.createDataFrame([("a", 0.0, 10.0)], "tag string, lo double, hi double")
     inner = range_join_binned(points, intervals, "v", "lo", "hi", bin_width=10.0)
     assert [r["id"] for r in inner.collect()] == [1]
+
+
+def test_keyed_interval_join_matches_naive(spark, sf_dir):
+    """Time-bucketed interval join must produce EXACTLY the naive
+    key-equi-join + band residual's pair set (each pair matches in
+    exactly one probed bucket — no dups, no misses at bucket edges)."""
+    import pyspark.sql.functions as F
+
+    from nyc_taxi_bigdata_pipeline_spark.operators.asof import keyed_interval_join
+    from nyc_taxi_bigdata_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("t"), "event_id", "event_type"
+    )
+    lookback = 30 * 60 * 1_000_000
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("t").alias("p_ts"), F.col("event_id").alias("pid")
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("vu"), F.col("t").alias("v_ts")
+    )
+    naive = {
+        (r["pid"], r["v_ts"])
+        for r in p.join(
+            v,
+            (p["user_id"] == v["vu"])
+            & (v["v_ts"] >= p["p_ts"] - F.lit(lookback))
+            & (v["v_ts"] <= p["p_ts"]),
+        ).collect()
+    }
+    bucketed = {
+        (r["pid"], r["v_ts"])
+        for r in keyed_interval_join(
+            p, v.withColumnRenamed("vu", "user_id"), "user_id",
+            "p_ts", "v_ts", lookback,
+        ).collect()
+    }
+    assert bucketed == naive and naive
+
+
+def test_keyed_interval_join_bucket_edges(spark):
+    """Hand-built edge cases: right rows exactly AT the band bounds and
+    across a bucket boundary must resolve inclusively/exclusively as the
+    contract says (t-lookback and t both inclusive)."""
+    from nyc_taxi_bigdata_pipeline_spark.operators.asof import keyed_interval_join
+
+    left = spark.createDataFrame([(1, 1000)], "k long, lt long")
+    right = spark.createDataFrame(
+        [(1, 0), (1, 1), (1, 500), (1, 999), (1, 1000), (1, 1001)],
+        "k long, rt long",
+    )
+    got = sorted(
+        r["rt"]
+        for r in keyed_interval_join(left, right, "k", "lt", "rt", 999).collect()
+    )
+    # band = [1000-999, 1000] = [1, 1000]: 0 and 1001 excluded
+    assert got == [1, 500, 999, 1000]

@@ -1141,3 +1141,22 @@ def test_png_decode_gray_rgba_palette():
     assert np.array_equal(
         decode_png(build(5, 4, 3, raster, pal.tobytes())), pal[idxs]
     )
+
+
+def test_minhash_estimate_prefilter_preserves_results(spark, sf_dir):
+    """The signature-estimate prefilter (scale path) must return the
+    SAME confirmed near-dup pair set as the exact-only chain on the
+    planted-dup corpus — estimates gate candidates, never results."""
+    from nyc_taxi_bigdata_pipeline_spark.operators.dedup import minhash_dedup
+    from nyc_taxi_bigdata_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_dedup(docs).collect()
+    }
+    filtered = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_dedup(docs, estimate_prefilter=True).collect()
+    }
+    assert filtered == exact and exact
