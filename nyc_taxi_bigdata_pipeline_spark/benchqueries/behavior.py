@@ -164,7 +164,10 @@ def _interval_join(engine: str, table: str, window_minutes: int = 30) -> str:
         "user views within the preceding 30 min. Batch twin of the "
         "watermarked stream-stream join (streaming/events.py); planned as a "
         "user_id equi-join with the time band as a residual predicate, so "
-        "it shuffles once on the join key and never nested-loops",
+        "it shuffles once on the join key and never nested-loops. Under "
+        "a zipfian hot key the residual form's intermediate output goes "
+        "quadratic — operators/asof.keyed_interval_join is the "
+        "time-bucketed skew-proof twin (same pair set, pinned by test)",
     bench=True,
 )
 def interval_join_views(spark: SparkSession, sf_dir: str) -> DataFrame:

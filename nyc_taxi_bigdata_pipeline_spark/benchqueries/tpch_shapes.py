@@ -360,3 +360,287 @@ def shipping_delay_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM lineitem JOIN orders", "FROM bq_q12_lineitem JOIN bq_q12_orders"
     )
     return spark.sql(sql)
+
+
+# ------------------------------------------------------------- Q13 shape
+
+_CUSTDIST_ORACLE = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey) t
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC"""
+
+
+@register(
+    "customer_order_distribution",
+    _CUSTDIST_ORACLE,
+    doc="TPC-H Q13 shape: group-by ON an aggregate — per-customer order "
+        "count through a CONDITIONAL left outer join (the predicate "
+        "rides the join condition, not a post-filter, so customers whose "
+        "only orders are urgent still count as zero), then the "
+        "distribution of those counts. Two hash aggregates, one outer "
+        "shuffle join; COUNT(o_orderkey) counts matches, not rows",
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    per_cust = (
+        t["customer"]
+        .join(
+            t["orders"],
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").cast("bigint").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# ------------------------------------------------------------- Q17 shape
+
+_SMALL_QTY_ORACLE = f"""
+SELECT p_brand,
+       {C.sum_exact(C.money('l_extendedprice'), 'small_qty_revenue')},
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN (SELECT l_partkey AS pk, SUM(l_quantity) AS sq, COUNT(*) AS cq
+      FROM lineitem GROUP BY l_partkey) a
+  ON l.l_partkey = a.pk
+WHERE p.p_brand IN ('Brand#2', 'Brand#4')
+  AND l.l_quantity * 5 * a.cq < a.sq
+GROUP BY p_brand
+ORDER BY p_brand"""
+
+
+@register(
+    "small_quantity_revenue",
+    _SMALL_QTY_ORACLE,
+    doc="TPC-H Q17 shape: correlated per-part average threshold "
+        "(qty < 0.2·avg) restructured DIVISION-FREE as "
+        "5·qty·cnt < sum — integral doubles stay exact in both engines "
+        "where 0.2·AVG(decimal) would widen differently (Spark decimal "
+        "avg adds scale 4, DuckDB differs — the compat.py discipline). "
+        "Per-part aggregate joins back to the fact on the SAME key, so "
+        "the two scans co-partition; brand dim filter broadcasts",
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    per_part = (
+        t["lineitem"].groupBy(F.col("l_partkey").alias("pk"))
+        .agg(F.sum("l_quantity").alias("sq"), F.count("*").alias("cq"))
+    )
+    brands = t["part"].filter(F.col("p_brand").isin("Brand#2", "Brand#4"))
+    return (
+        t["lineitem"]
+        .join(broadcast(brands), F.col("l_partkey") == F.col("p_partkey"))
+        .join(per_part, F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("l_quantity") * 5 * F.col("cq") < F.col("sq"))
+        .groupBy("p_brand")
+        .agg(
+            sx(C.sum_exact(C.money("l_extendedprice"), "small_qty_revenue")),
+            F.count("*").cast("bigint").alias("n_lines"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# -------------------------------------------------------------- Q4 shape
+
+_PRIORITY_WAIT_ORACLE = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE year(CAST(o_orderdate AS DATE)) = 1995
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + INTERVAL 30 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority"""
+
+
+@register(
+    "late_ship_priorities",
+    _PRIORITY_WAIT_ORACLE,
+    doc="TPC-H Q4 shape (adapted to this schema's dates: ship > order "
+        "+ 30 days stands in for receipt > commit): EXISTS decorrelates "
+        "to a left-semi join on orderkey with the date comparison as a "
+        "residual — the year filter prunes orders BEFORE the semi join, "
+        "and no lineitem columns survive it, so the join carries keys "
+        "and two dates only",
+)
+def late_ship_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    o = t["orders"].filter(F.expr("year(CAST(o_orderdate AS DATE)) = 1995"))
+    li = t["lineitem"].select("l_orderkey", "l_shipdate")
+    cond = (F.col("o_orderkey") == F.col("l_orderkey")) & F.expr(
+        "CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + INTERVAL 30 DAY"
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ------------------------------------------------------------- Q16 shape
+
+_SUPPLIER_CNT_ORACLE = """
+SELECT p_brand, CAST(p_size AS INT) AS p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size IN (1, 2, 3, 4, 5)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_size"""
+
+
+@register(
+    "supplier_part_counts",
+    _SUPPLIER_CNT_ORACLE,
+    doc="TPC-H Q16 shape (partsupp stood in by lineitem's supplier-part "
+        "pairs): COUNT(DISTINCT) per group behind a NOT IN exclusion "
+        "subquery — NOT IN is NULL-AWARE (one NULL in the subquery "
+        "empties the result), which Spark plans as a broadcast "
+        "null-aware anti join (the exclusion set is tiny); the distinct "
+        "agg is one Expand + two-level hash aggregate",
+)
+def supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "lineitem", "part", "supplier")
+    t["lineitem"].createOrReplaceTempView("bq_q16_lineitem")
+    t["part"].createOrReplaceTempView("bq_q16_part")
+    t["supplier"].createOrReplaceTempView("bq_q16_supplier")
+    # the NOT IN null-aware semantics are exactly what SQL expresses;
+    # hand-rolling them as DataFrame ops would re-implement NAAJ —
+    # shared text, dialect-neutral
+    return spark.sql(
+        _SUPPLIER_CNT_ORACLE.replace(" lineitem", " bq_q16_lineitem")
+        .replace(" part ", " bq_q16_part ")
+        .replace(" supplier ", " bq_q16_supplier ")
+    )
+
+
+# ------------------------------------------------------------- Q20 shape
+
+_EXCESS_SUPPLIER_ORACLE = """
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+WHERE s.s_suppkey IN (
+  SELECT sp.l_suppkey
+  FROM (SELECT l_suppkey, l_partkey, SUM(l_quantity) AS spq
+        FROM lineitem GROUP BY l_suppkey, l_partkey) sp
+  JOIN (SELECT l_partkey AS pk, SUM(l_quantity) AS pq
+        FROM lineitem GROUP BY l_partkey) p
+    ON sp.l_partkey = p.pk
+  WHERE sp.spq * 2 > p.pq)
+ORDER BY s.s_suppkey"""
+
+
+@register(
+    "dominant_part_suppliers",
+    _EXCESS_SUPPLIER_ORACLE,
+    doc="TPC-H Q20 shape: nested-aggregate semi-join chain — suppliers "
+        "shipping over half of any part's total quantity. Two aggregates "
+        "over the SAME scan share their shuffle key prefix "
+        "(l_partkey ⊂ (l_suppkey, l_partkey)); the threshold is "
+        "division-free (spq·2 > pq — integral doubles stay exact where "
+        "a fraction would round differently per engine); IN decorrelates "
+        "to a left-semi join against the tiny winner set",
+)
+def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "lineitem", "supplier")
+    sp = (
+        t["lineitem"].groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("spq"))
+    )
+    per_part = (
+        t["lineitem"].groupBy(F.col("l_partkey").alias("pk"))
+        .agg(F.sum("l_quantity").alias("pq"))
+    )
+    winners = (
+        sp.join(per_part, F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("spq") * 2 > F.col("pq"))
+        .select("l_suppkey")
+    )
+    return (
+        t["supplier"]
+        .join(winners, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+# ------------------------------------------------------------- Q21 shape
+
+_SOLE_LATE_ORACLE = """
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND CAST(l1.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND CAST(l3.l_shipdate AS DATE)
+                        > CAST(o.o_orderdate AS DATE) + INTERVAL 60 DAY)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name"""
+
+
+@register(
+    "sole_late_suppliers",
+    _SOLE_LATE_ORACLE,
+    doc="TPC-H Q21 shape (ship > order + 60 days stands in for receipt "
+        "> commit): EXISTS + doubly-correlated NOT EXISTS. The oracle "
+        "keeps the textbook correlated form; the Spark side decomposes "
+        "it into ONE per-order aggregate (distinct suppliers, distinct "
+        "LATE suppliers — conditional COUNT(DISTINCT) in the same pass) "
+        "joined back to the late rows: a row qualifies iff its order has "
+        ">1 supplier and exactly 1 late one. Same row multiset, no "
+        "correlated-subquery re-scans of lineitem",
+)
+def sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "lineitem", "orders", "supplier")
+    o = t["orders"].filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = (
+        t["lineitem"].select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn(
+            "late",
+            F.expr(
+                "CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + INTERVAL 60 DAY"
+            ),
+        )
+    )
+    per_order = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
+    )
+    qualifying = (
+        li.filter(F.col("late"))
+        .join(per_order, F.col("l_orderkey") == F.col("ok"))
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    )
+    return (
+        qualifying.join(
+            broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )

@@ -37,8 +37,14 @@ def main() -> None:
         "hdr_quantile_sketch", "dataset_global_shuffle",
     }
     names = sorted({n for n, q in REGISTRY.items() if q.bench} | plan_risk)
+    cap = 100_000
     for name in names:
         plan = physical_plan(REGISTRY[name].spark_fn(spark, args.sf_dir))
+        if len(plan) > cap:
+            # iterative queries returning a persisted frame print the
+            # whole nested InMemoryRelation chain — the evidence (join
+            # strategies, scan shapes) is all in the head
+            plan = plan[:cap] + f"\n... [truncated {len(plan) - cap} chars]"
         with open(os.path.join(args.out, f"{name}.txt"), "w") as f:
             f.write(f"== {name} (sf_dir={args.sf_dir}) ==\n{plan}\n")
         print(name, file=sys.stderr)
