@@ -264,3 +264,60 @@ def _global_shuffle(engine: str, table: str) -> str:
 )
 def dataset_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_rendered(spark, sf_dir, "documents", _global_shuffle, "bq_shuf_docs")
+
+
+_MIX_SEED = 13
+# lang mixture weights (en-heavy pretraining-style mix); vt multiplier =
+# LCM(weights)/weight, kept INTEGER so the merge key is engine-exact
+_MIX_VT = {"en": 1, "de": 2, "fr": 2, "es": 4, "zh": 4}
+_MIX_HEAD = 400
+
+
+def _interleave(engine: str, table: str) -> str:
+    """Weighted deterministic source interleaving: each group's docs get
+    a content-stable within-group order, then merge by integer virtual
+    time vt = rn · (LCM/weight) — a group with weight w appears w×
+    as often per unit of stream position as a weight-1 group, and the
+    whole order is reproducible (no RNG, engine-exact integers). The
+    oracle inspects the mixture realized in the stream's head. At scale
+    the same vt key interleaves WITHIN each shard of the epoch shuffle
+    (no global sort); the one-window global pos here is the
+    oracle-inspectable miniature."""
+    h = D.seeded_h64("CAST(doc_id AS STRING)", _MIX_SEED, engine)
+    vt_case = " ".join(f"WHEN '{k}' THEN {v}" for k, v in _MIX_VT.items())
+    return f"""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY {h}, doc_id)
+                  AS BIGINT) AS rn
+      FROM {table}
+    ), merged AS (
+      SELECT doc_id, lang, rn * CASE lang {vt_case} ELSE 8 END AS vt
+      FROM ranked
+    ), ordered AS (
+      SELECT lang,
+             CAST(ROW_NUMBER() OVER (ORDER BY vt, lang, doc_id) AS BIGINT) AS pos
+      FROM merged
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS docs_in_head,
+           CAST(MIN(pos) AS BIGINT) AS first_pos,
+           CAST(MAX(pos) AS BIGINT) AS last_pos
+    FROM ordered
+    WHERE pos <= {_MIX_HEAD}
+    GROUP BY lang
+    ORDER BY lang"""
+
+
+@register(
+    "dataset_interleave_sources",
+    _interleave(D.DUCK, "documents"),
+    doc="training-data ext: weighted deterministic corpus interleaving — "
+        "per-language content-stable order merged by integer virtual "
+        "time (rn·LCM/weight), so the training stream realizes the "
+        "target mixture at every prefix, reproducibly (no RNG, no "
+        "engine drift). Head-of-stream mixture audited per language; "
+        "at scale the merge key works shard-local inside the epoch "
+        "shuffle — no global sort",
+)
+def dataset_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_rendered(spark, sf_dir, "documents", _interleave, "bq_mix_docs")

@@ -235,6 +235,7 @@ def jaccard_verify(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.8,
+    materialize_shingles: bool = False,
 ) -> DataFrame:
     """Exact shingle-Jaccard on candidates only, computed RELATIONALLY:
     shingle sets stay exploded as (doc, hash) rows, |A∩B| is a pair ×
@@ -242,16 +243,25 @@ def jaccard_verify(
     end to end, no interpreted array_intersect walking string arrays.
     Shingle identity is the 64-bit hash (collision odds negligible next
     to the minhash banding error). Pairs sharing zero shingles drop out
-    of the inner join — correct for any threshold > 0."""
+    of the inner join — correct for any threshold > 0.
+
+    ``materialize_shingles``: the shingle frame is referenced three
+    times under DIFFERENT join keys (per-doc sizes, id_a side,
+    (id_b, hash) side), so exchange reuse cannot dedup them and the
+    explode+hash runs three times. The flag eagerly localCheckpoints
+    the candidate-doc shingles once — results identical; turn it on
+    when candidates × shingles is the dominant cost (the 1000×-tier
+    probe's long pole). Default off so registry/bench query BUILDERS
+    stay side-effect-free (eager work belongs inside the timed
+    action, not query construction)."""
     ids = (
         pairs.select(F.col("id_a").alias(id_col))
         .union(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    # sh is referenced three times (sizes + both join sides); shingling is
-    # cheap codegen over the semi-joined candidate docs, and Spark's
-    # exchange reuse dedups the shuffles — no persist, stays fully lazy
     sh = hashed_shingles(docs.join(ids, id_col, "left_semi"), id_col, text_col)
+    if materialize_shingles:
+        sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("__sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "__h")
     b = sh.select(F.col(id_col).alias("id_b"), "__h")

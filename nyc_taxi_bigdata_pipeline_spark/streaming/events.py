@@ -7,7 +7,11 @@ streaming semantics on the same data model:
 - tumbling / sliding window aggregations with watermarked late-data
   handling (``withWatermark`` + ``window``),
 - a stateful sessionization operator via ``applyInPandasWithState``
-  (the Spark-native custom-stateful-operator escape hatch),
+  (the Spark-native custom-stateful-operator escape hatch; its 4.x
+  successor ``transformWithStateInPandas`` was probed and its Python
+  driver worker crashes in this container even on a minimal processor —
+  "TransformWithStateInPySpark driver worker exited unexpectedly" —
+  so the stable API remains the right choice here),
 - file/memory sinks for tests; the transformations are sink-agnostic.
 
 Batch/stream unification: ``windowed_counts`` accepts either a static

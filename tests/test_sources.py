@@ -216,3 +216,59 @@ def test_jsonl_roundtrip_and_malformed_capture(spark, tmp_path):
     assert parsed.count() == 2
     assert parsed.filter("_corrupt_record IS NOT NULL").count() == 1
     assert parsed.filter("doc_id = 1 AND _corrupt_record IS NULL").count() == 1
+
+
+def test_orc_roundtrip_pushdown_and_partition_pruning(spark, tmp_path):
+    """ORC sink/source: values and schema survive the round-trip,
+    predicate pushdown reaches the ORC scan (PushedFilters), and a
+    partition filter prunes directories (PartitionFilters)."""
+    import pyspark.sql.functions as F
+
+    from nyc_taxi_bigdata_pipeline_spark.plans.explain import physical_plan
+    from nyc_taxi_bigdata_pipeline_spark.sources.orc import read_orc, write_orc
+    from nyc_taxi_bigdata_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = str(tmp_path / "docs_orc")
+    write_orc(docs, out, partition_by=["lang"])
+
+    back = read_orc(spark, out)
+    want = {r["doc_id"]: r["text"] for r in docs.collect()}
+    got = {r["doc_id"]: r["text"] for r in back.collect()}
+    assert got == want
+    # partitioning column survives (moved to directory, read back)
+    assert set(back.columns) == set(docs.columns)
+
+    pruned = back.filter(F.col("lang") == "en").filter(F.col("doc_id") < 100).select(
+        "doc_id", "text"
+    )
+    plan = physical_plan(pruned)
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)]" in plan or (
+        "PushedFilters" in plan and "LessThan(doc_id,100)" in plan
+    ), plan
+    assert "PartitionFilters" in plan and "lang" in plan
+    assert pruned.count() == docs.filter("lang = 'en' AND doc_id < 100").count()
+
+
+def test_text_corpus_line_and_whole_file_modes(spark, tmp_path):
+    from nyc_taxi_bigdata_pipeline_spark.sources.text import read_text_corpus
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.txt").write_text("alpha\nbeta\ngamma\n")
+    (d / "b.txt").write_text("delta\n")
+    lines = read_text_corpus(spark, str(d)).collect()
+    by_file = {}
+    for r in lines:
+        by_file.setdefault(r["file"].rsplit("/", 1)[-1], []).append(
+            (r["line_no"], r["text"])
+        )
+    assert sorted(by_file["a.txt"]) == [(1, "alpha"), (2, "beta"), (3, "gamma")]
+    assert by_file["b.txt"] == [(1, "delta")]
+
+    whole = {
+        r["file"].rsplit("/", 1)[-1]: r["text"]
+        for r in read_text_corpus(spark, str(d), whole_files=True).collect()
+    }
+    assert whole["a.txt"] == "alpha\nbeta\ngamma\n"
+    assert whole["b.txt"] == "delta\n"
