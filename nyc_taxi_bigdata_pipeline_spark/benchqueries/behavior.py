@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..functions import compat as C
 from ..sources.tables import load_table
 from . import dialect as D
-from .registry import register
+from .registry import register, sx
 
 _US_PER_DAY = 86_400_000_000
 
@@ -173,6 +173,39 @@ def _interval_join(engine: str, table: str, window_minutes: int = 30) -> str:
 def interval_join_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("bq_ij_events")
     return spark.sql(_interval_join(D.SPARK, "bq_ij_events"))
+
+
+@register(
+    "interval_join_views_bucketed",
+    _interval_join(D.DUCK, "events"),
+    doc="the SKEW-PROOF twin of interval_join_views: same 30-min "
+        "purchase←view band computed via operators/asof."
+        "keyed_interval_join — time buckets join as part of the key, so "
+        "per-(user, bucket) micro-joins stay bounded by arrival rate × "
+        "lookback instead of going quadratic on a hot user (measured "
+        "linear at 15M zipf rows where the residual form is 28× "
+        "superlinear, scripts/bench_r4_skew.py). Identical oracle: the "
+        "bucketing provably changes no pair",
+)
+def interval_join_views_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import keyed_interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts")).alias("p_t"),
+        F.coalesce("value", F.lit(0.0)).alias("v"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.unix_micros(F.col("ts")).alias("v_t")
+    )
+    pairs = keyed_interval_join(p, v, "user_id", "p_t", "v_t", 30 * 60 * 1_000_000)
+    return pairs.groupBy("user_id").agg(
+        F.count("*").alias("pairs"),
+        F.count_distinct("event_id").alias("purchases_with_view"),
+        F.sum(F.col("p_t") - F.col("v_t")).cast("bigint").alias("total_lag_us"),
+        sx(C.sum_exact(C.money("v"), "paired_value")),
+    )
 
 
 def _transitions(engine: str, table: str) -> str:

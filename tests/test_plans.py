@@ -195,3 +195,19 @@ def test_plan_risk_queries_scan_counts(spark, sf_dir, name, max_scans):
     inlined relation fanned out into repeated FileScans)."""
     plan = physical_plan(REGISTRY[name].spark_fn(spark, sf_dir))
     assert _parquet_scan_count(plan) <= max_scans, plan
+
+
+def test_grouped_topk_plans_window_group_limit(spark):
+    """Per-key top-k must plan Spark 4's WindowGroupLimit (partial rank-k
+    cut below the exchange) — what keeps a zipfian hot key from sorting
+    all its rows in one task (scripts/bench_r4_skew.py: 1.8 s at 15M
+    rows with a 12.9% hot key)."""
+    import pyspark.sql.functions as F
+
+    from nyc_taxi_bigdata_pipeline_spark.operators.topk import grouped_topk
+
+    df = spark.range(1000).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("v")
+    )
+    plan = physical_plan(grouped_topk(df, ["k"], [F.col("v").desc()], 5))
+    assert "WindowGroupLimit" in plan, plan
