@@ -644,3 +644,294 @@ def sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
     )
+
+
+# -------------------------------------------------------------- Q7 shape
+
+_TRADE_VOLUME_ORACLE = f"""
+SELECT supp_nation, cust_nation, yr,
+       {C.sum_exact('vol', 'volume')},
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(CAST(o.o_orderdate AS DATE)) AS INT) AS yr,
+         {_DISC} AS vol
+  FROM lineitem l
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+  JOIN customer c ON o.o_custkey  = c.c_custkey
+  JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+  JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) shipping
+GROUP BY supp_nation, cust_nation, yr
+ORDER BY supp_nation, cust_nation, yr"""
+
+
+@register(
+    "nation_trade_volume",
+    _TRADE_VOLUME_ORACLE,
+    doc="TPC-H Q7 shape: bilateral trade volume between two named "
+        "nations by year — the disjunctive two-sided nation predicate "
+        "rides the (broadcast) nation joins, so the fact tables are "
+        "pruned to the two nations' rows BEFORE the yearly aggregate; "
+        "exact-decimal volume",
+)
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "lineitem", "orders", "supplier",
+                    "customer", "nation")
+    n1 = t["nation"].select(F.col("n_nationkey").alias("n1k"),
+                            F.col("n_name").alias("supp_nation"))
+    n2 = t["nation"].select(F.col("n_nationkey").alias("n2k"),
+                            F.col("n_name").alias("cust_nation"))
+    joined = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(n1), F.col("s_nationkey") == F.col("n1k"))
+        .join(broadcast(n2), F.col("c_nationkey") == F.col("n2k"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .select(
+            "supp_nation", "cust_nation",
+            F.expr("CAST(year(CAST(o_orderdate AS DATE)) AS INT)").alias("yr"),
+            F.expr(_DISC).alias("vol"),
+        )
+    )
+    return (
+        joined.groupBy("supp_nation", "cust_nation", "yr")
+        .agg(
+            sx(C.sum_exact("vol", "volume")),
+            F.count("*").cast("bigint").alias("n_lines"),
+        )
+        .orderBy("supp_nation", "cust_nation", "yr")
+    )
+
+
+# -------------------------------------------------------------- Q9 shape
+
+_PROFIT_ORACLE = f"""
+SELECT nation, yr, {C.sum_exact('amount', 'sum_profit')}
+FROM (
+  SELECT n.n_name AS nation,
+         CAST(year(CAST(o.o_orderdate AS DATE)) AS INT) AS yr,
+         {_DISC} - {C.money('p.p_retailprice')} * {C.rate('0.01')}
+           * CAST(l.l_quantity AS DECIMAL(12, 2)) AS amount
+  FROM lineitem l
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN part p     ON l.l_partkey  = p.p_partkey
+  JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+  JOIN nation n   ON s.s_nationkey = n.n_nationkey
+  WHERE p.p_name LIKE '%5%') profit
+GROUP BY nation, yr
+ORDER BY nation, yr"""
+
+
+@register(
+    "nation_profit_rollup",
+    _PROFIT_ORACLE,
+    doc="TPC-H Q9 shape (partsupp's supplycost stood in by 1% of "
+        "p_retailprice — same expression class: revenue minus quantity-"
+        "scaled cost, all exact DECIMAL so the mixed product can't drift "
+        "per engine): five-table join with a LIKE-filtered part dim and "
+        "a per-(nation, year) profit rollup. Part/supplier/nation "
+        "broadcast; the fact shuffles once for the aggregate",
+)
+def nation_profit_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "lineitem", "orders", "part",
+                    "supplier", "nation")
+    amount = (
+        f"{_DISC} - {C.money('p_retailprice')} * {C.rate('0.01')}"
+        " * CAST(l_quantity AS DECIMAL(12, 2))"
+    )
+    joined = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(t["part"].filter(F.col("p_name").like("%5%"))),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.expr("CAST(year(CAST(o_orderdate AS DATE)) AS INT)").alias("yr"),
+            F.expr(amount).alias("amount"),
+        )
+    )
+    return (
+        joined.groupBy("nation", "yr")
+        .agg(sx(C.sum_exact("amount", "sum_profit")))
+        .orderBy("nation", "yr")
+    )
+
+
+# -------------------------------------------------------------- Q6 shape
+
+_FORECAST_ORACLE = f"""
+SELECT {C.sum_exact(f"{C.money('l_extendedprice')} * {C.rate('l_discount')}", 'revenue')},
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE year(CAST(l_shipdate AS DATE)) = 1995
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24"""
+
+
+@register(
+    "forecast_revenue_change",
+    _FORECAST_ORACLE,
+    doc="TPC-H Q6 shape: pure scan-filter-aggregate — the year/discount/"
+        "quantity conjunction pushes to the parquet scan and the "
+        "exact-decimal product SUMs map-side; the canonical 'how fast "
+        "can you burn through the fact table' probe",
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.expr("year(CAST(l_shipdate AS DATE))") == 1995)
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            sx(C.sum_exact(
+                f"{C.money('l_extendedprice')} * {C.rate('l_discount')}",
+                "revenue",
+            )),
+            F.count("*").cast("bigint").alias("n_lines"),
+        )
+    )
+
+
+# -------------------------------------------------------------- Q8 shape
+
+_MARKET_SHARE_ORACLE = f"""
+SELECT yr,
+       ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol
+                           ELSE {_DISC_ZERO} END) AS DOUBLE)
+             / CAST(SUM(vol) AS DOUBLE), 6) AS mkt_share,
+       {C.sum_exact('vol', 'total_volume')}
+FROM (
+  SELECT CAST(year(CAST(o.o_orderdate AS DATE)) AS INT) AS yr,
+         n1.n_name AS supp_nation,
+         {_DISC} AS vol
+  FROM lineitem l
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+  JOIN customer c ON o.o_custkey  = c.c_custkey
+  JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+  JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+  JOIN region r   ON n2.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE') all_sales
+GROUP BY yr
+ORDER BY yr"""
+
+
+@register(
+    "nation_market_share",
+    _MARKET_SHARE_ORACLE,
+    doc="TPC-H Q8 shape: one nation's market share inside one region's "
+        "customer base by year — conditional share numerator over the "
+        "same exact-decimal volume as the denominator (CASE arms share "
+        "one decimal type so neither engine widens differently), ratio "
+        "taken once in double at the end",
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("lineitem", "orders", "supplier", "customer", "nation", "region"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"bq_q8_{t}")
+    sql = _MARKET_SHARE_ORACLE
+    for t in ("lineitem", "orders", "supplier", "customer"):
+        sql = sql.replace(f" {t} ", f" bq_q8_{t} ")
+    sql = sql.replace(" nation n1", " bq_q8_nation n1").replace(
+        " nation n2", " bq_q8_nation n2"
+    ).replace(" region r ", " bq_q8_region r ")
+    return spark.sql(sql)
+
+
+# ------------------------------------------------------------- Q10 shape
+
+_RETURNED_ORACLE = f"""
+SELECT c.c_custkey, c.c_name,
+       {C.sum_exact(_DISC, 'revenue')},
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_returnflag = 'R'
+  AND year(CAST(o.o_orderdate AS DATE)) = 1995
+GROUP BY c.c_custkey, c.c_name
+ORDER BY CAST(SUM({_DISC}) AS DOUBLE) DESC, c.c_custkey
+LIMIT 20"""
+
+
+@register(
+    "returned_item_customers",
+    _RETURNED_ORACLE,
+    doc="TPC-H Q10 shape: top-20 customers by RETURNED revenue in one "
+        "year — selective fact filters feed a grouped decimal sum, then "
+        "TakeOrderedAndProject keeps the top slice (custkey tiebreak "
+        "makes the LIMIT deterministic across engines)",
+)
+def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
+    joined = (
+        t["lineitem"].filter(F.col("l_returnflag") == "R")
+        .join(t["orders"].filter(
+            F.expr("year(CAST(o_orderdate AS DATE)) = 1995")),
+            F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+    )
+    agg = joined.groupBy("c_custkey", "c_name").agg(
+        F.expr(f"SUM({_DISC})").alias("rev_dec"),
+        F.count("*").cast("bigint").alias("n_lines"),
+    )
+    return (
+        agg.select(
+            "c_custkey", "c_name",
+            F.expr("CAST(rev_dec AS DOUBLE)").alias("revenue"),
+            "n_lines",
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# ------------------------------------------------------------- Q19 shape
+
+_BRACKET_ORACLE = f"""
+SELECT {C.sum_exact(_DISC, 'revenue')}, CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 20
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 30
+       AND l.l_quantity BETWEEN 20 AND 30)"""
+
+
+@register(
+    "bracket_predicate_revenue",
+    _BRACKET_ORACLE,
+    doc="TPC-H Q19 shape: disjunction of conjunctive brackets spanning "
+        "BOTH join sides — Catalyst extracts the common p_partkey "
+        "equi-key so it still plans a hash join (broadcast part side) "
+        "with the OR-of-ANDs as a residual, never a nested loop",
+)
+def bracket_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    joined = t["lineitem"].join(
+        broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey")
+    )
+    bracket = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 10)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 20)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 30)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return joined.filter(bracket).agg(
+        sx(C.sum_exact(_DISC, "revenue")),
+        F.count("*").cast("bigint").alias("n_lines"),
+    )
