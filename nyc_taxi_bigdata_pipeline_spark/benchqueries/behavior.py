@@ -167,8 +167,9 @@ def _interval_join(engine: str, table: str, window_minutes: int = 30) -> str:
         "it shuffles once on the join key and never nested-loops. Under "
         "a zipfian hot key the residual form's intermediate output goes "
         "quadratic — operators/asof.keyed_interval_join is the "
-        "time-bucketed skew-proof twin (same pair set, pinned by test)",
-    bench=True,
+        "time-bucketed skew-proof twin (same pair set, pinned by test). "
+        "Kept oracle-pinned as documentation of the anti-pattern; the "
+        "bucketed twin is the bench headline (r4 verdict finding #2)",
 )
 def interval_join_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("bq_ij_events")
@@ -186,6 +187,7 @@ def interval_join_views(spark: SparkSession, sf_dir: str) -> DataFrame:
         "linear at 15M zipf rows where the residual form is 28× "
         "superlinear, scripts/bench_r4_skew.py). Identical oracle: the "
         "bucketing provably changes no pair",
+    bench=True,
 )
 def interval_join_views_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.asof import keyed_interval_join

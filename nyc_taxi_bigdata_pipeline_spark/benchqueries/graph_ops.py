@@ -145,12 +145,15 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     e1 = e.alias("e1")
     e2 = e.select(F.col("a").alias("b2a"), F.col("b").alias("b2b"))
     e3 = e.select(F.col("a").alias("c3a"), F.col("b").alias("c3b"))
+    # stay LAZY (registry-builder discipline): both scalars are 1-row
+    # aggregates cross-joined into the result frame, so all the work —
+    # including the shared lazy checkpoint of e — runs inside the
+    # caller's single action, not at build time. The crossJoin is a
+    # 1×1-row broadcast nested loop: free.
     tri = (
         e1.join(e2, F.col("e1.b") == F.col("b2a"))
         .join(e3, (F.col("c3a") == F.col("e1.a")) & (F.col("c3b") == F.col("b2b")))
-        .count()
+        .agg(F.count("*").cast("bigint").alias("triangles"))
     )
-    n_edges = e.count()
-    return spark.createDataFrame(
-        [(n_edges, tri)], "edges bigint, triangles bigint"
-    )
+    edges = e.agg(F.count("*").cast("bigint").alias("edges"))
+    return edges.crossJoin(tri)

@@ -110,16 +110,22 @@ def semi_join_active(spark: SparkSession, sf_dir: str) -> DataFrame:
     "anti_join_inactive",
     """SELECT n_name, COUNT(*) AS cnt FROM customer c
        JOIN nation ON c_nationkey = n_nationkey
-       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+       WHERE NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND CAST(o.o_orderdate AS DATE) >= DATE '1998-06-01')
        GROUP BY n_name""",
     doc="J6 idempotent-insert core: left-anti join against existing keys "
-        "(dw_load_incremental.sql:54-94 ON CONFLICT DO NOTHING)",
+        "(dw_load_incremental.sql:54-94 ON CONFLICT DO NOTHING). The "
+        "recency window makes the anti side NON-empty on the synthetic "
+        "fixtures (every customer has *some* order, so the unconditional "
+        "form was a vacuous 0-row parity check — r4 verdict finding #1)",
 )
 def anti_join_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "customer", "orders", "nation")
+    recent = t["orders"].filter(F.to_date("o_orderdate") >= "1998-06-01")
     return (
         t["customer"]
-        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .join(broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(sx(C.count_star()))

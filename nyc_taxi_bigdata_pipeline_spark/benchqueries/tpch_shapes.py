@@ -541,7 +541,7 @@ WHERE s.s_suppkey IN (
   JOIN (SELECT l_partkey AS pk, SUM(l_quantity) AS pq
         FROM lineitem GROUP BY l_partkey) p
     ON sp.l_partkey = p.pk
-  WHERE sp.spq * 2 > p.pq)
+  WHERE sp.spq * 5 > p.pq)
 ORDER BY s.s_suppkey"""
 
 
@@ -549,10 +549,13 @@ ORDER BY s.s_suppkey"""
     "dominant_part_suppliers",
     _EXCESS_SUPPLIER_ORACLE,
     doc="TPC-H Q20 shape: nested-aggregate semi-join chain — suppliers "
-        "shipping over half of any part's total quantity. Two aggregates "
+        "shipping over a fifth of any part's total quantity (threshold "
+        "tuned to the synthetic fixture: max share is 0.37/0.245 at "
+        "sf0.001/0.01, so the classic >1/2 was a vacuous 0-row check — "
+        "r4 verdict finding #1). Two aggregates "
         "over the SAME scan share their shuffle key prefix "
         "(l_partkey ⊂ (l_suppkey, l_partkey)); the threshold is "
-        "division-free (spq·2 > pq — integral doubles stay exact where "
+        "division-free (spq·5 > pq — integral doubles stay exact where "
         "a fraction would round differently per engine); IN decorrelates "
         "to a left-semi join against the tiny winner set",
 )
@@ -568,7 +571,7 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     winners = (
         sp.join(per_part, F.col("l_partkey") == F.col("pk"))
-        .filter(F.col("spq") * 2 > F.col("pq"))
+        .filter(F.col("spq") * 5 > F.col("pq"))
         .select("l_suppkey")
     )
     return (
@@ -725,7 +728,7 @@ FROM (
   JOIN part p     ON l.l_partkey  = p.p_partkey
   JOIN supplier s ON l.l_suppkey  = s.s_suppkey
   JOIN nation n   ON s.s_nationkey = n.n_nationkey
-  WHERE p.p_name LIKE '%5%') profit
+  WHERE p.p_name LIKE '%gear%') profit
 GROUP BY nation, yr
 ORDER BY nation, yr"""
 
@@ -737,7 +740,9 @@ ORDER BY nation, yr"""
         "p_retailprice — same expression class: revenue minus quantity-"
         "scaled cost, all exact DECIMAL so the mixed product can't drift "
         "per engine): five-table join with a LIKE-filtered part dim and "
-        "a per-(nation, year) profit rollup. Part/supplier/nation "
+        "a per-(nation, year) profit rollup (pattern '%gear%' matches the "
+        "synthetic color-noun part names — '%5%' matched nothing, a "
+        "vacuous 0-row check, r4 verdict finding #1). Part/supplier/nation "
         "broadcast; the fact shuffles once for the aggregate",
 )
 def nation_profit_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -750,7 +755,7 @@ def nation_profit_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = (
         t["lineitem"]
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(broadcast(t["part"].filter(F.col("p_name").like("%5%"))),
+        .join(broadcast(t["part"].filter(F.col("p_name").like("%gear%"))),
               F.col("l_partkey") == F.col("p_partkey"))
         .join(broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))

@@ -102,16 +102,24 @@ def keyed_interval_join(
     its total history. Same output set as the naive join — a
     (left, right) pair matches in exactly one probed bucket.
 
-    Time columns must be NUMERIC (e.g. epoch-µs), ``lookback`` in the
-    same unit. Inner-only: the 2-bucket explode would double
-    null-extended rows under outer modes.
+    Time columns must be INTEGRAL (e.g. epoch-µs or epoch-ns),
+    ``lookback`` in the same unit. Bucket ids are computed with pure
+    BIGINT arithmetic (``(t - pmod(t, lb)) DIV lb`` — an exact floor
+    even for negative times): the earlier ``floor(t / lb)`` promoted to
+    DOUBLE division, which is exact for epoch-µs (< 2⁵³) but at epoch-ns
+    magnitudes (~1.7e18, ulp 256) would silently misassign boundary
+    buckets and drop matching pairs. Inner-only: the 2-bucket explode
+    would double null-extended rows under outer modes.
     """
+
+    def bucket(tcol: str):
+        t = f"CAST({tcol} AS BIGINT)"
+        return F.expr(f"({t} - pmod({t}, {lookback})) DIV {lookback}")
+
     lb = F.lit(lookback)
-    lbk = F.floor(F.col(left_time) / lb).cast("long")
+    lbk = bucket(left_time)
     l = left.withColumn("__b", F.explode(F.array(lbk - 1, lbk)))
-    r = right.withColumn(
-        "__b", F.floor(F.col(right_time) / lb).cast("long")
-    ).withColumnRenamed(on, "__rk")
+    r = right.withColumn("__b", bucket(right_time)).withColumnRenamed(on, "__rk")
     cond = (
         (l[on] == r["__rk"])
         & (l["__b"] == r["__b"])

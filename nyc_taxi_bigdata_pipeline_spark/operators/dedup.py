@@ -291,6 +291,7 @@ def minhash_dedup(
     threshold: float = 0.8,
     bucket_cap: int = 256,
     estimate_prefilter: bool = False,
+    materialize_shingles: bool = True,
 ) -> DataFrame:
     """Full near-dup pipeline: signatures → LSH candidates →
     [signature-estimate prefilter →] exact verify. Returns confirmed
@@ -299,7 +300,14 @@ def minhash_dedup(
     ``estimate_prefilter`` inserts :func:`minhash_estimate_filter`
     (cut at threshold − 3.5σ of the 32-hash estimator) — the scale path
     for corpora whose band collisions outnumber true near-dups; exact
-    verification still decides every returned pair."""
+    verification still decides every returned pair.
+
+    ``materialize_shingles`` defaults ON here (unlike bare
+    :func:`jaccard_verify`): the verify stage re-derives the candidate
+    docs' shingles under three different join keys, and the eager
+    checkpoint that deduplicates that work (measured 2.2× at the
+    100×-tier) lands inside the OPERATOR — callers time the whole
+    chain, so there's no builder-side-effect honesty concern."""
     sigs = add_minhash(docs.select(id_col, text_col), text_col, num_hashes, id_col)
     pairs = lsh_candidate_pairs(sigs, id_col, num_hashes, bands, bucket_cap)
     if estimate_prefilter:
@@ -310,7 +318,8 @@ def minhash_dedup(
             pairs, sigs, id_col, num_hashes,
             min_estimate=max(threshold - 3.5 * sigma, 0.0),
         )
-    return jaccard_verify(pairs, docs, id_col, text_col, threshold)
+    return jaccard_verify(pairs, docs, id_col, text_col, threshold,
+                          materialize_shingles=materialize_shingles)
 
 
 # ------------------------------------------------- near-dup clustering

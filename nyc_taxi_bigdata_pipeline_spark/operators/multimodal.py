@@ -4,10 +4,11 @@ Images/audio/video ride through the engine as opaque ``binary`` columns
 with typed metadata structs. The Spark-side machinery — schema,
 partition-size-aware batching, Arrow-batched Pandas UDF signatures —
 is real and tested. Decode is real for the stdlib-decodable formats:
-PPM (P6) images and PCM WAV audio go payload → numpy array → feature
-vector with no external codec (``media_decoder`` sniffs the magic
-bytes); compressed formats (JPEG/MP4) still require PIL/ffmpeg, which
-this container lacks, and stay behind ``real_decoder_unavailable``.
+PPM (P6), PNG, and baseline JPEG images plus PCM WAV audio go payload
+→ numpy array → feature vector with no external codec
+(``media_decoder`` sniffs the magic bytes); video/lossy-audio formats
+(MP4/MP3) still require ffmpeg and stay behind
+``real_decoder_unavailable``.
 
 Scale notes: binary payloads dominate partition size, so callers should
 keep ``spark.sql.files.maxPartitionBytes`` at/below 128 MB and avoid
@@ -63,12 +64,12 @@ def default_fake_decoder(payload: bytes) -> np.ndarray:
 
 def real_decoder_unavailable(payload: bytes) -> np.ndarray:
     """Decode path for formats needing EXTERNAL codec libraries
-    (JPEG/MP4/MP3) this container doesn't ship. PPM/WAV/PNG payloads
-    decode for real via :func:`media_decoder`."""
+    (MP4/MP3/WebP &c.) this container doesn't ship. PPM/WAV/PNG and
+    baseline JPEG payloads decode for real via :func:`media_decoder`."""
     raise NotImplementedError(
-        "compressed-media codecs (PIL/librosa/ffmpeg) are not installed "
-        "in this environment; PPM/WAV/PNG decode for real via "
-        "media_decoder, otherwise inject a decoder or use "
+        "video/lossy-audio codecs (ffmpeg/librosa) are not installed "
+        "in this environment; PPM/WAV/PNG/baseline-JPEG decode for real "
+        "via media_decoder, otherwise inject a decoder or use "
         "default_fake_decoder"
     )
 
@@ -259,13 +260,494 @@ def decode_png(payload: bytes) -> np.ndarray:
     return px
 
 
+# ------------------------------------ real codec: baseline JPEG (DCT)
+
+JPEG_SIG = b"\xff\xd8"
+
+# JPEG Annex K example quantization tables (the de-facto standard the
+# quality dial scales) — these are DATA tables from the public spec,
+# not a borrowed implementation.
+_JPEG_QLUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32).reshape(8, 8)
+_JPEG_QCHROM = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int32).reshape(8, 8)
+
+
+def _zigzag() -> np.ndarray:
+    """Flat (row*8+col) indices in JPEG zigzag scan order: anti-diagonals
+    d = i+j, odd diagonals top→bottom, even bottom→top."""
+    out = []
+    for d in range(15):
+        pts = [(i, d - i) for i in range(max(0, d - 7), min(d, 7) + 1)]
+        if d % 2 == 0:
+            pts.reverse()
+        out.extend(pts)
+    return np.array([i * 8 + j for i, j in out], dtype=np.int64)
+
+
+_ZZ = _zigzag()
+
+# orthonormal 8-point DCT-II matrix: dct(B) = M @ B @ M.T, idct = M.T @ C @ M
+_DCT_M = np.array([
+    [(np.sqrt(1 / 8) if u == 0 else 0.5)
+     * np.cos((2 * x + 1) * u * np.pi / 16) for x in range(8)]
+    for u in range(8)
+])
+
+
+def _bit_size(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+class _BitWriter:
+    """MSB-first bit accumulator with JPEG 0xFF→0xFF00 byte stuffing."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.put((1 << (8 - self.nbits)) - 1, 8 - self.nbits)  # pad with 1s
+        return bytes(self.out)
+
+
+def _fixed_huffman(symbols: set[int]) -> tuple[list[int], list[int], dict[int, tuple[int, int]]]:
+    """Degenerate-but-valid Huffman table: every used symbol gets the
+    same code length L = ceil(log2(n+1)), codes 0..n-1 — the all-ones
+    code (forbidden by the spec) is then provably unused. The encoder
+    writes THESE tables into DHT, so decode correctness never depends
+    on transcribing Annex K's example code tables; compression ratio is
+    the only casualty, and this codec's job is plumbing, not ratio.
+    Returns (bits[1..16], values, symbol → (code, length))."""
+    vals = sorted(symbols)
+    n = max(len(vals), 1)
+    length = max((n + 1 - 1).bit_length(), 1)  # 2^L ≥ n+1
+    bits = [0] * 16
+    bits[length - 1] = len(vals)
+    return bits, vals, {s: (i, length) for i, s in enumerate(vals)}
+
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    q = min(max(int(quality), 1), 100)
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    out = []
+    for base in (_JPEG_QLUM, _JPEG_QCHROM):
+        t = (base * scale + 50) // 100
+        out.append(np.clip(t, 1, 255).astype(np.int32))
+    return out[0], out[1]
+
+
+def _rgb_to_ycbcr(img: np.ndarray) -> np.ndarray:
+    x = img.astype(np.float64)
+    r, g, b = x[:, :, 0], x[:, :, 1], x[:, :, 2]
+    return np.stack(
+        [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ],
+        axis=2,
+    )
+
+
+def _component_symbols_and_coefs(
+    plane: np.ndarray, qtab: np.ndarray
+) -> list[np.ndarray]:
+    """8×8-block DCT + quantization of one padded component plane →
+    per-block zigzag coefficient vectors (row-major block order)."""
+    h, w = plane.shape
+    shifted = plane - 128.0
+    blocks = []
+    for by in range(0, h, 8):
+        for bx in range(0, w, 8):
+            B = shifted[by : by + 8, bx : bx + 8]
+            coef = _DCT_M @ B @ _DCT_M.T
+            q = np.round(coef / qtab).astype(np.int64)
+            blocks.append(q.ravel()[_ZZ])
+    return blocks
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
+    """(h, w, 3) uint8 (or (h, w) grayscale) → baseline JFIF JPEG
+    (SOF0, 4:4:4 / single-component, 8-bit).
+
+    Stdlib + numpy: RGB→YCbCr, per-8×8 DCT-II, Annex-K quantization
+    scaled by ``quality``, DC-difference + run-length symbols entropy-
+    coded with self-emitted fixed-length Huffman tables (see
+    :func:`_fixed_huffman` — the file carries its own DHT, as the
+    format requires, so any conformant decoder reads it back)."""
+    import struct
+
+    gray = img.ndim == 2
+    assert img.dtype == np.uint8 and (gray or img.shape[2] == 3)
+    h, w = img.shape[:2]
+    n_comp = 1 if gray else 3
+    qlum, qchrom = _quality_tables(quality)
+    ycc = img[:, :, None].astype(np.float64) if gray else _rgb_to_ycbcr(img)
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(ycc, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
+
+    comp_blocks = [
+        _component_symbols_and_coefs(padded[:, :, ci], qlum if ci == 0 else qchrom)
+        for ci in range(n_comp)
+    ]
+
+    # symbol pass: gather every (run, size) + DC category per table class
+    dc_syms: list[set[int]] = [set(), set()]
+    ac_syms: list[set[int]] = [set(), set()]
+    mcus = len(comp_blocks[0])
+
+    def _ac_symbols(coefs: np.ndarray):
+        """Yield (symbol, value) AC pairs for one block's zigzag coefs."""
+        ac = coefs[1:]
+        nz = np.nonzero(ac)[0]
+        prev = -1
+        for i in nz:
+            run = i - prev - 1
+            while run >= 16:
+                yield 0xF0, 0
+                run -= 16
+            yield (run << 4) | _bit_size(int(ac[i])), int(ac[i])
+            prev = i
+        if prev != len(ac) - 1:
+            yield 0x00, 0  # EOB
+
+    for ci in range(n_comp):
+        cls = 0 if ci == 0 else 1
+        prev_dc = 0
+        for coefs in comp_blocks[ci]:
+            diff = int(coefs[0]) - prev_dc
+            prev_dc = int(coefs[0])
+            dc_syms[cls].add(_bit_size(diff))
+            for sym, _v in _ac_symbols(coefs):
+                ac_syms[cls].add(sym)
+
+    dc_tabs = [_fixed_huffman(s) for s in dc_syms]
+    ac_tabs = [_fixed_huffman(s) for s in ac_syms]
+
+    # entropy-coded segment: interleaved MCU = Y, Cb, Cr block (4:4:4)
+    bw = _BitWriter()
+    prev_dcs = [0, 0, 0]
+    for m in range(mcus):
+        for ci in range(n_comp):
+            cls = 0 if ci == 0 else 1
+            coefs = comp_blocks[ci][m]
+            diff = int(coefs[0]) - prev_dcs[ci]
+            prev_dcs[ci] = int(coefs[0])
+            s = _bit_size(diff)
+            code, ln = dc_tabs[cls][2][s]
+            bw.put(code, ln)
+            if s:
+                bw.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+            for sym, v in _ac_symbols(coefs):
+                code, ln = ac_tabs[cls][2][sym]
+                bw.put(code, ln)
+                sz = sym & 0x0F
+                if sz:
+                    bw.put(v if v > 0 else v + (1 << sz) - 1, sz)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    def dht(cls: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
+        return seg(
+            0xFFC4,
+            bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals),
+        )
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + bytes(qlum.ravel()[_ZZ].astype(np.uint8)))
+    if n_comp == 3:
+        out += seg(0xFFDB, b"\x01" + bytes(qchrom.ravel()[_ZZ].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, n_comp)
+    for cid, tq in ((1, 0), (2, 1), (3, 1))[:n_comp]:
+        sof += bytes([cid, 0x11, tq])  # sampling 1×1 each: 4:4:4
+    out += seg(0xFFC0, sof)
+    for cls, tabs in ((0, dc_tabs), (1, ac_tabs)):
+        for tid in range(min(n_comp, 2)):
+            bits, vals, _ = tabs[tid]
+            out += dht(cls, tid, bits, vals)
+    sos = bytes([n_comp])
+    for cid, tid in ((1, 0), (2, 1), (3, 1))[:n_comp]:
+        sos += bytes([cid, (tid << 4) | tid])
+    sos += b"\x00\x3f\x00"  # spectral selection 0..63, baseline
+    out += seg(0xFFDA, sos)
+    out += bw.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """MSB-first reader over the entropy-coded segment; un-stuffs
+    0xFF00 and stops at any other marker (leaving it for the caller)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:  # RSTn handled by caller via sync()
+                raise _RestartMarker(nxt)
+            else:
+                raise EOFError("marker inside entropy segment")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def sync_to_restart(self) -> None:
+        """Byte-align and consume the RSTn marker just hit."""
+        self.acc, self.nbits = 0, 0
+        self.pos += 2
+
+
+class _RestartMarker(Exception):
+    def __init__(self, marker: int) -> None:
+        self.marker = marker
+
+
+def _huff_decode_map(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """Canonical (length, code) → symbol map from a DHT payload."""
+    table: dict[tuple[int, int], int] = {}
+    code, k = 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _read_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, ln = 0, 0
+    while ln <= 16:
+        code = (code << 1) | br.bit()
+        ln += 1
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in JPEG stream")
+
+
+def _extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JPEG (SOF0) → (h, w, 3) uint8, stdlib + numpy.
+
+    General baseline decoder: any Huffman tables from DHT, 1- or
+    3-component, arbitrary sampling factors (chroma planes upsampled
+    nearest-neighbor), restart intervals. Progressive (SOF2) and
+    arithmetic coding raise — re-encode upstream (rare in ML corpora
+    relative to baseline)."""
+    import struct
+
+    if not payload.startswith(JPEG_SIG):
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None
+    restart_interval = 0
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (ln,) = struct.unpack(">H", payload[pos : pos + 2])
+        seg = payload[pos + 2 : pos + ln]
+        if marker == 0xDB:  # DQT (may hold several tables)
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables not supported")
+                flat = np.frombuffer(seg[i + 1 : i + 65], dtype=np.uint8)
+                t = np.zeros(64, dtype=np.int32)
+                t[_ZZ] = flat
+                qtabs[tq] = t.reshape(8, 8)
+                i += 65
+        elif marker == 0xC4:  # DHT (may hold several tables)
+            i = 0
+            while i < len(seg):
+                cls, tid = seg[i] >> 4, seg[i] & 0x0F
+                bits = list(seg[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(seg[i + 17 : i + 17 + n])
+                htabs[(cls, tid)] = _huff_decode_map(bits, vals)
+                i += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1: baseline
+            prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = seg[6 + ci * 3 : 9 + ci * 3]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            frame = (fh, fw, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("progressive/extended JPEG not supported")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS: entropy data follows the header
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            scan = {}
+            for ci in range(ns):
+                cid, tids = seg[1 + ci * 2 : 3 + ci * 2]
+                scan[cid] = (tids >> 4, tids & 0x0F)
+            fh, fw, comps = frame
+            hmax = max(cp[1] for cp in comps)
+            vmax = max(cp[2] for cp in comps)
+            mcux = -(-fw // (8 * hmax))
+            mcuy = -(-fh // (8 * vmax))
+            planes = {
+                cid: np.zeros((mcuy * v * 8, mcux * hh * 8))
+                for cid, hh, v, _ in comps
+            }
+            br = _BitReader(payload, pos + ln)
+            preds = {cid: 0 for cid, *_ in comps}
+            mcu = 0
+            while mcu < mcux * mcuy:
+                try:
+                    my, mx = divmod(mcu, mcux)
+                    for cid, hh, v, tq in comps:
+                        dct, act = scan[cid]
+                        dtab, atab = htabs[(0, dct)], htabs[(1, act)]
+                        q = qtabs[tq]
+                        for vy in range(v):
+                            for hx in range(hh):
+                                coefs = np.zeros(64, dtype=np.int64)
+                                s = _read_symbol(br, dtab)
+                                diff = _extend(br.receive(s), s) if s else 0
+                                preds[cid] += diff
+                                coefs[0] = preds[cid]
+                                k = 1
+                                while k < 64:
+                                    sym = _read_symbol(br, atab)
+                                    if sym == 0x00:
+                                        break
+                                    run, sz = sym >> 4, sym & 0x0F
+                                    if sz == 0:
+                                        if run != 15:
+                                            raise ValueError("bad AC symbol")
+                                        k += 16
+                                        continue
+                                    k += run
+                                    if k > 63:
+                                        raise ValueError("AC index overrun")
+                                    coefs[k] = _extend(br.receive(sz), sz)
+                                    k += 1
+                                block = np.zeros(64)
+                                block[_ZZ] = coefs * q.ravel()[_ZZ]
+                                px = _DCT_M.T @ block.reshape(8, 8) @ _DCT_M
+                                py0 = (my * v + vy) * 8
+                                px0 = (mx * hh + hx) * 8
+                                planes[cid][py0 : py0 + 8, px0 : px0 + 8] = px
+                    mcu += 1
+                    if restart_interval and mcu % restart_interval == 0 \
+                            and mcu < mcux * mcuy:
+                        # byte-align; the RSTn surfaces on the next fill
+                        try:
+                            br.acc, br.nbits = 0, 0
+                            while payload[br.pos] != 0xFF or not (
+                                0xD0 <= payload[br.pos + 1] <= 0xD7
+                            ):
+                                br.pos += 1
+                            br.pos += 2
+                        except IndexError as exc:
+                            raise ValueError("missing restart marker") from exc
+                        preds = {cid: 0 for cid in preds}
+                except _RestartMarker:
+                    br.sync_to_restart()
+                    preds = {cid: 0 for cid in preds}
+            # assemble: per-component planes → full-size via nearest rep
+            out = []
+            for cid, hh, v, _ in comps:
+                p = planes[cid] + 128.0
+                ph, pw = p.shape
+                if hh != hmax or v != vmax:
+                    p = np.repeat(np.repeat(p, vmax // v, axis=0), hmax // hh, axis=1)
+                out.append(p[:fh, :fw])
+            if len(out) == 1:
+                y = np.clip(out[0], 0, 255)
+                return np.repeat(y[:, :, None], 3, axis=2).astype(np.uint8)
+            y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+            rgb = np.stack(
+                [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+                axis=2,
+            )
+            return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+        pos += ln
+    raise ValueError("JPEG had no scan data")
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """Magic-byte-sniffed image decode: P6 PPM or PNG → (h, w, 3) uint8.
-    Anything else (JPEG &c.) raises via :func:`real_decoder_unavailable`."""
+    """Magic-byte-sniffed image decode: P6 PPM, PNG, or baseline JPEG →
+    (h, w, 3) uint8. Anything else raises via
+    :func:`real_decoder_unavailable`."""
     if payload.startswith(b"P6"):
         return decode_ppm(payload)
     if payload.startswith(PNG_SIG):
         return decode_png(payload)
+    if payload.startswith(JPEG_SIG):
+        return decode_jpeg(payload)
     return real_decoder_unavailable(payload)
 
 
@@ -341,12 +823,17 @@ def audio_features(samples: np.ndarray, rate: int) -> np.ndarray:
 
 def media_decoder(payload: bytes) -> np.ndarray:
     """Real decode+featurize for stdlib-decodable formats, sniffed from
-    magic bytes: ``P6`` → PPM image, PNG signature → PNG image,
-    ``RIFF…WAVE`` → PCM WAV. Externally-coded formats (JPEG/MP4) raise —
-    the honest answer in a codec-less container."""
+    magic bytes: ``P6`` → PPM image, PNG signature → PNG image, JPEG
+    SOI → baseline JPEG image, ``RIFF…WAVE`` → PCM WAV. Externally-
+    coded formats (MP4/MP3) raise — the honest answer in a
+    codec-less container."""
     if payload is None or len(payload) == 0:
         return np.zeros(FEATURE_DIM, dtype=np.float64)
-    if payload.startswith(b"P6") or payload.startswith(PNG_SIG):
+    if (
+        payload.startswith(b"P6")
+        or payload.startswith(PNG_SIG)
+        or payload.startswith(JPEG_SIG)
+    ):
         return image_features(decode_image(payload))
     if payload.startswith(b"RIFF") and payload[8:12] == b"WAVE":
         return audio_features(*decode_wav(payload))
@@ -444,7 +931,7 @@ def phash63(img: np.ndarray) -> int:
 
 
 def phash_images(media: DataFrame, batch_limit: int = 256) -> DataFrame:
-    """Image payloads (PPM or PNG, magic-sniffed per payload) →
+    """Image payloads (PPM, PNG, or baseline JPEG — magic-sniffed) →
     (media_id, phash BIGINT) via mapInPandas.
 
     The decode stays per-partition (Arrow batches, blob dropped on

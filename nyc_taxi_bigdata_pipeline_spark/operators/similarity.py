@@ -21,11 +21,20 @@ from pyspark.sql import DataFrame, Window
 
 def _collect_queries(queries: DataFrame, id_col: str, vec_col: str) -> tuple[np.ndarray, np.ndarray]:
     rows = queries.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    # keep the ids' natural dtype (object array for string ids) — forcing
+    # int64 would crash or miscast non-bigint id columns
+    ids = np.array([r[0] for r in rows])
     mat = np.array([r[1] for r in rows], dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1)
     norms[norms == 0] = 1.0
     return ids, mat / norms[:, None]
+
+
+def _id_dtype(df: DataFrame, col: str) -> str:
+    """The Spark dtype string of an id column, for mapInPandas return
+    schemas: hardcoding `long` fails at Arrow conversion (or silently
+    miscasts) for corpora with string/non-bigint ids."""
+    return dict(df.dtypes)[col]
 
 
 def cosine_topk(
@@ -63,7 +72,9 @@ def cosine_topk(
             yield pd.DataFrame(out)
 
     scored = corpus.select(id_col, vec_col).mapInPandas(
-        score, "query_id long, neighbor_id long, cos_sim double"
+        score,
+        f"query_id {_id_dtype(queries, id_col)},"
+        f" neighbor_id {_id_dtype(corpus, id_col)}, cos_sim double",
     )
     scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -187,7 +198,11 @@ def ivf_topk(
 
     scored = (
         assigned.filter(F.col("cell").isin([int(c) for c in probe_map]))
-        .mapInPandas(score, "query_id long, neighbor_id long, cos_sim double")
+        .mapInPandas(
+            score,
+            f"query_id {_id_dtype(queries, id_col)},"
+            f" neighbor_id {_id_dtype(assigned, 'neighbor_id')}, cos_sim double",
+        )
         .filter(F.col("neighbor_id") != F.col("query_id"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -455,7 +470,7 @@ def pq_encode(
             )
 
     return corpus.select(id_col, vec_col).mapInPandas(
-        encode, "vec_id long, codes array<int>"
+        encode, f"vec_id {_id_dtype(corpus, id_col)}, codes array<int>"
     )
 
 
@@ -503,7 +518,9 @@ def pq_topk_adc(
             )
 
     scored = corpus_codes.mapInPandas(
-        score, "query_id long, neighbor_id long, approx_sim double"
+        score,
+        f"query_id {_id_dtype(queries, id_col)},"
+        f" neighbor_id {_id_dtype(corpus_codes, 'vec_id')}, approx_sim double",
     )
     scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
     w = Window.partitionBy("query_id").orderBy(F.desc("approx_sim"), F.asc("neighbor_id"))
@@ -531,7 +548,12 @@ def pq_topk_rerank(
         id_col=id_col, vec_col=vec_col,
     ).select("query_id", "neighbor_id")
     q_ids, q_mat = _collect_queries(queries, id_col, vec_col)
-    q_lookup = {int(q): q_mat[i] for i, q in enumerate(q_ids)}
+    # numpy scalars hash-equal their python counterparts, so the lookup
+    # works for int AND string ids without forcing a cast
+    q_lookup = {
+        (q.item() if hasattr(q, "item") else q): q_mat[i]
+        for i, q in enumerate(q_ids)
+    }
     vecs = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
@@ -545,7 +567,7 @@ def pq_topk_rerank(
             norms = np.linalg.norm(mat, axis=1)
             norms[norms == 0] = 1.0
             mat = mat / norms[:, None]
-            qm = np.array([q_lookup[int(q)] for q in pdf["query_id"]])
+            qm = np.array([q_lookup[q] for q in pdf["query_id"]])
             yield pd.DataFrame(
                 {
                     "query_id": pdf["query_id"].to_numpy(),
@@ -554,7 +576,12 @@ def pq_topk_rerank(
                 }
             )
 
-    scored = cand.mapInPandas(rerank, "query_id long, neighbor_id long, cos_sim double")
+    cand_dtypes = dict(cand.dtypes)
+    scored = cand.mapInPandas(
+        rerank,
+        f"query_id {cand_dtypes['query_id']},"
+        f" neighbor_id {cand_dtypes['neighbor_id']}, cos_sim double",
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
 

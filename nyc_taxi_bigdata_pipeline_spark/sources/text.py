@@ -18,6 +18,16 @@ def read_text_corpus(
     for document-per-file corpora where a file must stay one training
     document — files are the parallelism unit there, so shard many
     small files per directory rather than one giant file.
+
+    ``line_no`` caveat: it is derived by ranking on
+    ``monotonically_increasing_id()`` within each file, which encodes
+    the PARTITION INDEX in its high bits — correct on a fresh scan
+    because the text reader assigns split indexes in byte-offset order,
+    but that ordering is an implementation detail, not a documented
+    Spark guarantee. Treat ``line_no`` as scan-stable, not durable: if
+    line numbers must survive reader/version changes, persist them at
+    ingest (write this frame out) rather than re-deriving on re-read,
+    or use whole-file mode and split lines yourself.
     """
     import pyspark.sql.functions as F
     from pyspark.sql import Window

@@ -112,7 +112,8 @@ def foreach_batch_agg_maintain(
             )
 
         _merge_view_crash_safe(batch.sparkSession, view_path, build,
-                               batch_id=batch_id)
+                               batch_id=batch_id,
+                               run_id=_checkpoint_query_id(checkpoint))
 
     return (
         stream.writeStream.foreachBatch(merge)
@@ -122,8 +123,29 @@ def foreach_batch_agg_maintain(
     )
 
 
+def _checkpoint_query_id(checkpoint: str) -> str | None:
+    """The streaming query id recorded in ``{checkpoint}/metadata``.
+
+    Batch ids are only monotonic WITHIN one checkpoint's lifetime: a
+    wiped/reset checkpoint restarts at batch 0, so a bare ``id <=
+    marker`` replay guard against a RETAINED view would silently swallow
+    all the genuinely new batches of the fresh run. Binding the marker
+    to the query id (which a fresh checkpoint regenerates) lets the sink
+    tell replay (same id, smaller batch) from a new run (different id).
+    """
+    import json
+    from pathlib import Path
+
+    meta = Path(checkpoint) / "metadata"
+    try:
+        return json.loads(meta.read_text())["id"]
+    except (OSError, ValueError, KeyError):
+        return None
+
+
 def _merge_view_crash_safe(spark, view_path: str, build,
-                           batch_id: int | None = None) -> None:
+                           batch_id: int | None = None,
+                           run_id: str | None = None) -> None:
     """Read-merge-swap for materialized views: recover a half-finished
     swap, read the current view (None on first batch), write
     ``build(view)`` to a temp dir, then swap via two renames. A crash
@@ -134,9 +156,13 @@ def _merge_view_crash_safe(spark, view_path: str, build,
     marker file inside the view directory (underscore-prefixed files
     are invisible to parquet scans, same convention as ``_SUCCESS``),
     so the id travels atomically with the swapped data; a replayed
-    batch with id ≤ the marker is a no-op. This makes non-idempotent
-    merges (SUM/COUNT views) exactly-once under the foreachBatch
-    at-least-once contract."""
+    batch with id ≤ the marker is a no-op. ``run_id`` (the streaming
+    query id from the checkpoint metadata) is stored alongside: batch
+    ids restart at 0 when a checkpoint is wiped, so the skip only
+    applies when the marker's run id matches — a NEW run against a
+    retained view merges normally instead of being swallowed as
+    replay. This makes non-idempotent merges (SUM/COUNT views)
+    exactly-once under the foreachBatch at-least-once contract."""
     import shutil
     from pathlib import Path
 
@@ -152,16 +178,21 @@ def _merge_view_crash_safe(spark, view_path: str, build,
     marker = vp / "_last_batch_id"
     if batch_id is not None and marker.exists():
         try:
-            if batch_id <= int(marker.read_text().strip()):
+            lines = marker.read_text().splitlines()
+            marker_batch = int(lines[0].strip())
+            marker_run = lines[1].strip() if len(lines) > 1 else None
+            same_run = run_id is None or marker_run is None or run_id == marker_run
+            if same_run and batch_id <= marker_batch:
                 return  # replayed batch: already merged into the view
-        except ValueError:
+        except (ValueError, IndexError):
             pass  # unreadable marker: fall through and re-merge
     view = spark.read.parquet(view_path) if vp.exists() else None
     new_view = build(view)
     tmp = view_path.rstrip("/") + "__merging"
     new_view.write.mode("overwrite").parquet(tmp)
     if batch_id is not None:
-        (Path(tmp) / "_last_batch_id").write_text(str(batch_id))
+        text = str(batch_id) if run_id is None else f"{batch_id}\n{run_id}"
+        (Path(tmp) / "_last_batch_id").write_text(text)
     if vp.exists():
         vp.rename(prev)
     Path(tmp).rename(vp)

@@ -32,7 +32,7 @@ def main() -> int:
     failed = 0
     for r in results:
         mark = "OK  " if r.ok else "FAIL"
-        extra = "" if r.ok else f"\n      {r.detail}"
+        extra = "" if r.ok and not r.detail.startswith("WARNING") else f"\n      {r.detail}"
         print(f"{mark} {r.name} ({r.spark_rows} rows){extra}")
         failed += not r.ok
     print(f"\n{len(results) - failed}/{len(results)} matched in {time.time() - t0:.0f}s")

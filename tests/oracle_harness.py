@@ -99,6 +99,12 @@ def compare_frames(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> ParityRes
             f"  cols   {s_cols}\n  spark  {a!r}\n  oracle {b!r}",
             len(s_rows), len(o_rows),
         )
+    if not s_rows:
+        # empty==empty proves nothing about the query logic (a sign-flipped
+        # predicate would be invisible) — still "ok", but flag it loudly so
+        # a vacuous parity row can't hide (r4 verdict finding #1).
+        return ParityResult(name, True, "WARNING: 0-row oracle — vacuous match",
+                            0, 0)
     return ParityResult(name, True, "", len(s_rows), len(o_rows))
 
 

@@ -156,3 +156,44 @@ def test_keyed_interval_join_bucket_edges(spark):
     )
     # band = [1000-999, 1000] = [1, 1000]: 0 and 1001 excluded
     assert got == [1, 500, 999, 1000]
+
+
+def test_keyed_interval_join_epoch_ns_exact(spark):
+    """Epoch-ns magnitudes (~1.7e18): DOUBLE division has ulp 256 there,
+    so a float-derived bucket id can misassign rows sitting exactly on a
+    bucket boundary. The BIGINT pmod/DIV path must keep them."""
+    from nyc_taxi_bigdata_pipeline_spark.operators.asof import keyed_interval_join
+
+    base = 1_700_000_000_000_000_000  # plausible epoch-ns, > 2**60
+    lb = 1_800_000_000_000  # 30 min in ns
+    # left event exactly at a bucket boundary; right rows at the band
+    # edges ±1 ns around it
+    lt = (base // lb + 1) * lb
+    left = spark.createDataFrame([(1, lt)], "k long, lt long")
+    right = spark.createDataFrame(
+        [(1, lt - lb - 1), (1, lt - lb), (1, lt - 1), (1, lt), (1, lt + 1)],
+        "k long, rt long",
+    )
+    got = sorted(
+        r["rt"] - lt
+        for r in keyed_interval_join(left, right, "k", "lt", "rt", lb).collect()
+    )
+    assert got == [-lb, -1, 0]
+
+
+def test_keyed_interval_join_negative_times(spark):
+    """Pre-epoch (negative) integral times: pmod-based floor-div must
+    still bucket consistently (DIV alone truncates toward zero)."""
+    from nyc_taxi_bigdata_pipeline_spark.operators.asof import keyed_interval_join
+
+    left = spark.createDataFrame([(1, -1000)], "k long, lt long")
+    right = spark.createDataFrame(
+        [(1, -2001), (1, -2000), (1, -1500), (1, -1000), (1, -999)],
+        "k long, rt long",
+    )
+    got = sorted(
+        r["rt"]
+        for r in keyed_interval_join(left, right, "k", "lt", "rt", 1000).collect()
+    )
+    # band = [-2000, -1000] inclusive
+    assert got == [-2000, -1500, -1000]

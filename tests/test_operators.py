@@ -389,6 +389,7 @@ def test_media_decoder_real_decode_in_spark(spark):
     samples = ((np.arange(1600) * 91) % 4096 - 2048).astype(np.int16)
     rows = [
         ("ppm1", "image", multimodal.encode_ppm(img), 16, 16, None, "ppm"),
+        ("jpg1", "image", multimodal.encode_jpeg(img, 95), 16, 16, None, "jpeg"),
         ("wav1", "audio", multimodal.encode_wav(samples), None, None, 100, "wav"),
     ]
     media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
@@ -407,8 +408,13 @@ def test_media_decoder_real_decode_in_spark(spark):
     # luminance quadrants + histogram are genuine image statistics
     assert 0.0 < feats["ppm1"][6] < 1.0
     assert abs(sum(feats["ppm1"][12:16]) - 1.0) < 1e-9
+    # JPEG decodes for real now — features computed from its own decode
+    assert feats["jpg1"] == multimodal.image_features(
+        multimodal.decode_jpeg(multimodal.encode_jpeg(img, 95))
+    ).tolist()
+    # externally-coded video is still the honest stub
     with pytest.raises(NotImplementedError):
-        multimodal.media_decoder(b"\xff\xd8\xff\xe0 jpeg-ish")
+        multimodal.media_decoder(b"\x00\x00\x00\x18ftypmp42 video-ish")
 
 
 def test_hll_sketch_accuracy(spark, sf_dir):
@@ -1160,3 +1166,264 @@ def test_minhash_estimate_prefilter_preserves_results(spark, sf_dir):
         for r in minhash_dedup(docs, estimate_prefilter=True).collect()
     }
     assert filtered == exact and exact
+
+
+def test_similarity_string_ids(emb):
+    """ANN entry points must derive id dtypes from the input frame
+    (r4 ADVICE finding): a string-id corpus used to fail at Arrow
+    conversion against the hardcoded `long` mapInPandas schemas."""
+    sd = emb.limit(200).select(
+        F.concat(F.lit("doc-"), F.col("vec_id")).alias("vec_id"), "embedding"
+    ).cache()
+    queries = sd.limit(3)
+    dim = len(sd.first()["embedding"])
+
+    bf = similarity.cosine_topk(sd, queries, k=5)
+    assert dict(bf.dtypes)["neighbor_id"] == "string"
+    rows = bf.collect()
+    assert len(rows) == 15 and all(r["neighbor_id"].startswith("doc-") for r in rows)
+
+    ivf = similarity.ivf_topk(sd, queries, k=5, n_cells=4, n_probe=4).collect()
+    assert {(r["query_id"], r["neighbor_id"]) for r in ivf} == {
+        (r["query_id"], r["neighbor_id"]) for r in rows
+    }
+
+    lsh = similarity.ann_topk_lsh(sd, queries, dim=dim, k=5, probe_radius=2)
+    assert dict(lsh.dtypes)["query_id"] == "string"
+    assert lsh.count() > 0
+
+    cb = similarity.pq_train_codebooks(sd, dim=dim, n_subvectors=4, n_codes=8)
+    codes = similarity.pq_encode(sd, cb)
+    assert dict(codes.dtypes)["vec_id"] == "string"
+    rr = similarity.pq_topk_rerank(sd, codes, queries, cb, k=5)
+    assert rr.count() == 15
+
+
+def _smooth_test_image(h=48, w=64):
+    import numpy as np
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [xx * 255 / w, yy * 255 / h, (xx + yy) * 255 / (h + w)], axis=2
+    ).astype(np.uint8)
+    img[10:20, 10:30] = [200, 30, 40]
+    return img
+
+
+def test_jpeg_codec_roundtrip_and_parity():
+    """Stdlib+numpy baseline JPEG: lossy round-trip stays within
+    quantization error (PSNR gate), odd dims pad correctly, quality
+    dial monotonically trades bytes for error, decode_image sniffs the
+    SOI marker, grayscale single-component decodes, and — the r4
+    verdict's 'done' bar — the JPEG of an image phashes identically to
+    its PNG twin."""
+    import numpy as np
+
+    from nyc_taxi_bigdata_pipeline_spark.operators.multimodal import (
+        decode_image,
+        decode_jpeg,
+        decode_png,
+        encode_jpeg,
+        encode_png,
+        media_decoder,
+        phash63,
+    )
+
+    img = _smooth_test_image()
+    sizes, errs = [], []
+    for q in (95, 85, 50):
+        payload = encode_jpeg(img, quality=q)
+        assert payload.startswith(b"\xff\xd8") and payload.endswith(b"\xff\xd9")
+        dec = decode_jpeg(payload)
+        assert dec.shape == img.shape and dec.dtype == np.uint8
+        mse = np.mean((dec.astype(float) - img) ** 2)
+        psnr = 10 * np.log10(255**2 / mse)
+        sizes.append(len(payload))
+        errs.append(mse)
+        assert psnr > (40 if q >= 85 else 30), (q, psnr)
+    assert sizes[0] > sizes[1] > sizes[2]
+    assert errs[0] < errs[1] < errs[2]
+
+    # odd dims exercise the edge-replication pad
+    rng = np.random.default_rng(7)
+    odd = rng.integers(0, 256, (17, 23, 3), dtype=np.uint8)
+    assert decode_jpeg(encode_jpeg(odd, 95)).shape == (17, 23, 3)
+
+    # grayscale: 1-component scan, expands to (h, w, 3)
+    g = _smooth_test_image()[:, :, 0]
+    dg = decode_jpeg(encode_jpeg(g, 90))
+    assert dg.shape == (48, 64, 3)
+    assert (dg[:, :, 0] == dg[:, :, 1]).all()
+    # step edges ring (normal JPEG behavior) — gate on PSNR, not maxerr
+    gp = 10 * np.log10(255**2 / np.mean((dg[:, :, 0].astype(float) - g) ** 2))
+    assert gp > 35, gp
+
+    # sniff + cross-format phash parity with the lossless PNG twin
+    assert phash63(decode_image(encode_jpeg(img, 85))) == phash63(
+        decode_png(encode_png(img))
+    )
+    feats = media_decoder(encode_jpeg(img, 95))
+    assert feats.shape == (16,) and np.isfinite(feats).all()
+
+
+def _encode_jpeg_420_with_restarts(img, quality=90, restart_interval=2):
+    """Test-local writer for what our encoder deliberately doesn't emit:
+    a 4:2:0-subsampled, restart-interval stream — exercises the general
+    MCU loop (2×2 Y blocks per MCU), nearest-neighbor chroma upsampling,
+    and RST handling in decode_jpeg."""
+    import struct
+
+    import numpy as np
+
+    from nyc_taxi_bigdata_pipeline_spark.operators import multimodal as M
+
+    h, w, _ = img.shape
+    assert h % 16 == 0 and w % 16 == 0, "test helper: multiple-of-16 dims"
+    qlum, qchrom = M._quality_tables(quality)
+    ycc = M._rgb_to_ycbcr(img)
+    y = ycc[:, :, 0]
+    # 2×2 mean downsample for chroma
+    cb = ycc[:, :, 1].reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+    cr = ycc[:, :, 2].reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+
+    def blocks(plane, qtab):
+        return M._component_symbols_and_coefs(plane, qtab)
+
+    # block grids: Y is (h/8 × w/8) row-major; chroma (h/16 × w/16)
+    yb, cbb, crb = blocks(y, qlum), blocks(cb, qchrom), blocks(cr, qchrom)
+    ybw = w // 8  # Y blocks per row
+    cw = w // 16
+
+    # per-MCU emission order: Y(2×2 raster) then Cb, Cr
+    mcux, mcuy = w // 16, h // 16
+
+    def mcu_coef_stream():
+        for my in range(mcuy):
+            for mx in range(mcux):
+                ys = []
+                for vy in range(2):
+                    for hx in range(2):
+                        ys.append(yb[(my * 2 + vy) * ybw + mx * 2 + hx])
+                yield ys, cbb[my * cw + mx], crb[my * cw + mx]
+
+    # symbol collection (classes: 0=luma, 1=chroma)
+    dc_syms, ac_syms = [set(), set()], [set(), set()]
+
+    def sym_pass():
+        preds = [0, 0, 0]
+        n = 0
+        for ys, cbc, crc in mcu_coef_stream():
+            if restart_interval and n and n % restart_interval == 0:
+                preds = [0, 0, 0]
+            n += 1
+            for ci, coef_list in ((0, ys), (1, [cbc]), (2, [crc])):
+                cls = 0 if ci == 0 else 1
+                for coefs in coef_list:
+                    diff = int(coefs[0]) - preds[ci]
+                    preds[ci] = int(coefs[0])
+                    dc_syms[cls].add(M._bit_size(diff))
+                    ac = coefs[1:]
+                    nz = np.nonzero(ac)[0]
+                    prev = -1
+                    for i in nz:
+                        run = i - prev - 1
+                        while run >= 16:
+                            ac_syms[cls].add(0xF0)
+                            run -= 16
+                        ac_syms[cls].add((run << 4) | M._bit_size(int(ac[i])))
+                        prev = i
+                    if prev != len(ac) - 1:
+                        ac_syms[cls].add(0x00)
+
+    sym_pass()
+    dc_tabs = [M._fixed_huffman(s) for s in dc_syms]
+    ac_tabs = [M._fixed_huffman(s) for s in ac_syms]
+
+    def write_block(bw, coefs, ci, preds):
+        cls = 0 if ci == 0 else 1
+        diff = int(coefs[0]) - preds[ci]
+        preds[ci] = int(coefs[0])
+        s = M._bit_size(diff)
+        code, ln = dc_tabs[cls][2][s]
+        bw.put(code, ln)
+        if s:
+            bw.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+        ac = coefs[1:]
+        nz = np.nonzero(ac)[0]
+        prev = -1
+        for i in nz:
+            run = i - prev - 1
+            while run >= 16:
+                c2, l2 = ac_tabs[cls][2][0xF0]
+                bw.put(c2, l2)
+                run -= 16
+            v = int(ac[i])
+            sz = M._bit_size(v)
+            c2, l2 = ac_tabs[cls][2][(run << 4) | sz]
+            bw.put(c2, l2)
+            bw.put(v if v > 0 else v + (1 << sz) - 1, sz)
+            prev = i
+        if prev != len(ac) - 1:
+            c2, l2 = ac_tabs[cls][2][0x00]
+            bw.put(c2, l2)
+
+    # entropy stream with RST markers between restart intervals
+    chunks = []
+    bw = M._BitWriter()
+    preds = [0, 0, 0]
+    n = 0
+    rst = 0
+    for ys, cbc, crc in mcu_coef_stream():
+        if restart_interval and n and n % restart_interval == 0:
+            chunks.append(bw.flush())
+            chunks.append(bytes([0xFF, 0xD0 + rst]))
+            rst = (rst + 1) % 8
+            bw = M._BitWriter()
+            preds = [0, 0, 0]
+        n += 1
+        for coefs in ys:
+            write_block(bw, coefs, 0, preds)
+        write_block(bw, cbc, 1, preds)
+        write_block(bw, crc, 2, preds)
+    chunks.append(bw.flush())
+
+    def seg(marker, payload):
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFDB, b"\x00" + bytes(qlum.ravel()[M._ZZ].astype(np.uint8)))
+    out += seg(0xFFDB, b"\x01" + bytes(qchrom.ravel()[M._ZZ].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    sof += bytes([1, 0x22, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    out += seg(0xFFC0, sof)
+    for cls, tabs in ((0, dc_tabs), (1, ac_tabs)):
+        for tid in (0, 1):
+            bits, vals, _ = tabs[tid]
+            out += seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11]) + b"\x00\x3f\x00"
+    out += seg(0xFFDA, sos)
+    out += b"".join(chunks)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_decode_subsampled_with_restarts():
+    """decode_jpeg's GENERAL paths — 4:2:0 sampling (2×2 Y blocks per
+    MCU + chroma upsampling) and restart markers — against a
+    test-local conformant writer our encoder deliberately omits."""
+    import numpy as np
+
+    from nyc_taxi_bigdata_pipeline_spark.operators.multimodal import decode_jpeg
+
+    img = _smooth_test_image(48, 64)
+    payload = _encode_jpeg_420_with_restarts(img, quality=90, restart_interval=2)
+    dec = decode_jpeg(payload)
+    assert dec.shape == img.shape
+    # chroma is quarter-res; luma carries the detail — PSNR stays high
+    psnr = 10 * np.log10(255**2 / np.mean((dec.astype(float) - img) ** 2))
+    assert psnr > 28, psnr
+    # no-restart variant must agree with itself through the RST path
+    plain = decode_jpeg(_encode_jpeg_420_with_restarts(img, 90, restart_interval=0))
+    assert np.abs(plain.astype(int) - dec.astype(int)).max() <= 1

@@ -31,6 +31,11 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
     odf = duck.execute(q.oracle).fetchdf()
     res: ParityResult = compare_frames(name, sdf, odf)
     assert res.ok, f"{name}: {res.detail}"
+    if sf_dir.rstrip("/").endswith("sf0.01"):
+        # empty==empty is a vacuous match (r4 verdict finding #1): at the
+        # driver's correctness SF every oracle-backed query must exercise
+        # real rows so a sign-flipped predicate can't hide behind 0==0.
+        assert res.oracle_rows > 0, f"{name}: vacuous 0-row oracle at sf0.01"
 
 
 def test_entry_smoke(spark):

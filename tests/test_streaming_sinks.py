@@ -243,8 +243,16 @@ def test_merge_view_batch_id_replay_skipped(spark, tmp_path):
 
 
 def test_agg_maintain_checkpoint_replay_no_double_sum(spark, tmp_path):
-    """End-to-end replay: wiping the streaming checkpoint re-delivers
-    every file as batch 0 — the batch-id marker must absorb it."""
+    """End-to-end replay semantics of the _last_batch_id marker:
+
+    - same-run crash replay (same query id, batch id ≤ marker) is
+      absorbed — covered by test_merge_view_batch_id_replay_skipped and
+      the same-run restart below;
+    - a WIPED checkpoint is a NEW run (fresh query id): its batches
+      restart at 0 and must NOT be swallowed as replay, or genuinely
+      new data would silently never merge (r4 ADVICE finding). The
+      documented cost: wiping the checkpoint but keeping the view
+      re-merges the re-delivered old files — reset both together."""
     import shutil
 
     from nyc_taxi_bigdata_pipeline_spark.streaming import sinks
@@ -270,8 +278,9 @@ def test_agg_maintain_checkpoint_replay_no_double_sum(spark, tmp_path):
     want = {"a": (11, 2), "b": (5, 1)}
     got = {r["k"]: (r["v"], r["cnt"]) for r in spark.read.parquet(view).collect()}
     assert got == want
-    # simulate lost checkpoint: the SAME data replays as batch 0
-    shutil.rmtree(ckpt)
+    # same-run restart with NO new files: availableNow re-lists the same
+    # sources; the checkpoint (and, if a post-swap crash re-delivered a
+    # batch, the marker) prevents any double-sum
     stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
     q = sinks.foreach_batch_agg_maintain(
         stream, view, ["k"], ["v"], ckpt, count_col="cnt"
@@ -279,4 +288,16 @@ def test_agg_maintain_checkpoint_replay_no_double_sum(spark, tmp_path):
     q.awaitTermination(120)
     q.stop()
     got = {r["k"]: (r["v"], r["cnt"]) for r in spark.read.parquet(view).collect()}
-    assert got == want, "replayed batch was double-summed into the view"
+    assert got == want, "same-run replay was double-summed into the view"
+    # wiped checkpoint = NEW run (fresh query id), restarting at batch 0:
+    # new data must MERGE, not be swallowed by the stale marker
+    shutil.rmtree(ckpt)
+    run([("c", 7)], "p3")
+    got = {r["k"]: (r["v"], r["cnt"]) for r in spark.read.parquet(view).collect()}
+    assert got.get("c") == (7, 1), (
+        "new run's batches were swallowed as replay by the stale marker"
+    )
+    # the old files re-delivered by the fresh run re-merge into the
+    # retained view — the documented cost of resetting only one of
+    # (checkpoint, view)
+    assert got["a"] == (22, 4) and got["b"] == (10, 2)
