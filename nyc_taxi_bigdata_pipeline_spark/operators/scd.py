@@ -82,6 +82,12 @@ def scd2_apply(
             ),
         )
         .filter(~upd_attrs.eqNullSafe(F.col("__basis")))
+        # referenced twice below (version chain + first-change agg) with
+        # no exchange boundary at the shared frontier — without this the
+        # update⋈current join and the dedup window run once PER consumer
+        # (measured 25.3 → 4.5 s at 1.5M zipf updates). Lazy: the
+        # materialization happens inside the caller's first action.
+        .localCheckpoint(eager=False)
     )
 
     # version chain per key: each update row ends where the next begins
