@@ -260,3 +260,47 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return token_rarity_features(docs, id_col="doc_id", col="text")
+
+
+# ------------------------------------------- unigram-LM quality scoring
+
+
+def _unigram_logprob(engine: str, table: str) -> str:
+    unnest = D.unnest_col(D.split_ws("lower(trim(text))", engine), engine)
+    return f"""
+    WITH toks AS (SELECT doc_id, {unnest} AS tok FROM {table}),
+    freq AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS vocab_size FROM freq),
+    den AS (SELECT CAST(FLOOR(LN(CAST(total_tokens + vocab_size AS DOUBLE))
+                              * 1000000.0 + 0.5) AS BIGINT) AS fp_den FROM tot),
+    fp AS (SELECT t.doc_id,
+                  CAST(FLOOR(LN(CAST(f.cnt + 1 AS DOUBLE)) * 1000000.0 + 0.5)
+                       AS BIGINT) AS fp_log
+           FROM toks t JOIN freq f ON t.tok = f.tok),
+    per_doc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                       SUM(fp_log) AS fp_sum
+                FROM fp GROUP BY doc_id)
+    SELECT doc_id, n_tokens,
+           CAST(fp_sum - n_tokens * fp_den AS DOUBLE)
+             / (CAST(n_tokens AS DOUBLE) * 1000000.0) AS avg_logprob,
+           fp_sum - n_tokens * fp_den < -7000000 * n_tokens AS low_quality
+    FROM per_doc CROSS JOIN den"""
+
+
+@register(
+    "text_unigram_logprob",
+    _unigram_logprob(D.DUCK, "documents"),
+    doc="training-data ext: CCNet-style unigram-LM quality score "
+        "(operators/text.unigram_logprob_features) — avg token "
+        "log-probability under the corpus's own add-one unigram model. "
+        "Each token's ln(cnt+1) snaps to fixed-point micro-nats (FLOOR "
+        "half-up → BIGINT) so the per-doc SUM is exact-integer and "
+        "order-independent across engines; only the final division is "
+        "float. low_quality is an integer comparison in micro-nats",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import unigram_logprob_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_logprob_features(docs, id_col="doc_id", col="text")

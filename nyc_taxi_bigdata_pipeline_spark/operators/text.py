@@ -96,6 +96,71 @@ def token_rarity_features(
     )
 
 
+def unigram_logprob_features(
+    df: DataFrame, id_col: str = "doc_id", col: str = "text",
+    low_quality_cutoff_fp: int = -7_000_000,
+) -> DataFrame:
+    """CCNet-style unigram language-model quality score per document:
+    the average log-probability of the doc's tokens under the corpus's
+    own add-one-smoothed unigram LM (low = the doc is made of tokens
+    the corpus itself considers improbable — OCR noise, boilerplate
+    mutations, wrong-language fragments).
+
+    avg_logprob = (Σ_tok ln(cnt(tok)+1) − n·ln(N+V)) / n with N total
+    tokens, V vocabulary size. Cross-engine determinism: a float
+    SUM(ln(...)) is accumulation-order-dependent, so each token's log is
+    first snapped to FIXED-POINT micro-nats — FLOOR(ln(cnt+1)·1e6 + 0.5)
+    AS BIGINT, half-up rounding both engines — and the per-doc
+    aggregation is an exact integer SUM; only the final single division
+    is floating point. (A last-ulp libm disagreement would need ln() to
+    land within 1e-6/2 of a rounding boundary to flip one token's fixed
+    point — parity-tested at both SFs.)
+
+    Same two-pass shape as :func:`token_rarity_features`: vocabulary-
+    sized frequency dim broadcast back onto the exploded tokens, corpus
+    shuffles once on the doc id. ``low_quality`` is an exact integer
+    comparison in micro-nats (default cutoff −7.0 nats/token).
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.lower(F.trim(F.col(col))), " ")).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    totals = freq.agg(
+        F.sum("cnt").alias("total_tokens"), F.count("*").alias("vocab_size")
+    )
+    den = totals.select(
+        F.floor(
+            F.log((F.col("total_tokens") + F.col("vocab_size")).cast("double"))
+            * 1_000_000.0
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("fp_den")
+    )
+    fp = toks.join(F.broadcast(freq), "tok").select(
+        id_col,
+        F.floor(F.log((F.col("cnt") + 1).cast("double")) * 1_000_000.0 + 0.5)
+        .cast("bigint")
+        .alias("fp_log"),
+    )
+    per_doc = fp.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.sum("fp_log").alias("__fp_sum"),
+    )
+    return per_doc.join(F.broadcast(den)).select(
+        id_col,
+        "n_tokens",
+        (
+            (F.col("__fp_sum") - F.col("n_tokens") * F.col("fp_den")).cast("double")
+            / (F.col("n_tokens").cast("double") * 1_000_000.0)
+        ).alias("avg_logprob"),
+        (
+            F.col("__fp_sum") - F.col("n_tokens") * F.col("fp_den")
+            < F.lit(low_quality_cutoff_fp) * F.col("n_tokens")
+        ).alias("low_quality"),
+    )
+
+
 def tfidf_vectors(
     df: DataFrame,
     col: str = "text",

@@ -1427,3 +1427,44 @@ def test_jpeg_decode_subsampled_with_restarts():
     # no-restart variant must agree with itself through the RST path
     plain = decode_jpeg(_encode_jpeg_420_with_restarts(img, 90, restart_interval=0))
     assert np.abs(plain.astype(int) - dec.astype(int)).max() <= 1
+
+
+def test_unigram_logprob_features(spark):
+    """Hand-computed add-one unigram LM on a 2-doc corpus: tokens a:2,
+    b:1, c:1 → N=4, V=3, denominator ln(7); d1 = (2·ln(3)+ln(2))/3 −
+    ln(7), d2 = ln(2) − ln(7). Fixed-point snapping keeps results within
+    1e-6 of the closed form."""
+    import math
+
+    import numpy as np
+
+    from nyc_taxi_bigdata_pipeline_spark.operators.text import (
+        unigram_logprob_features,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "c")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in unigram_logprob_features(docs).collect()}
+    d1 = (2 * math.log(3) + math.log(2)) / 3 - math.log(7)
+    d2 = math.log(2) - math.log(7)
+    assert got[1]["n_tokens"] == 3 and got[2]["n_tokens"] == 1
+    assert abs(got[1]["avg_logprob"] - d1) < 1e-6
+    assert abs(got[2]["avg_logprob"] - d2) < 1e-6
+    assert not got[1]["low_quality"] and not got[2]["low_quality"]
+    # crank the cutoff above both scores: everything flags
+    strict = {
+        r["doc_id"]: r["low_quality"]
+        for r in unigram_logprob_features(
+            docs, low_quality_cutoff_fp=0
+        ).collect()
+    }
+    assert strict == {1: True, 2: True}
+    # ordering sanity on a corpus with a clear junk doc: the one made of
+    # singleton tokens scores strictly lower than the repetitive one
+    corpus = spark.createDataFrame(
+        [(1, "x x x x x x"), (2, "q w e r t y")], "doc_id long, text string"
+    )
+    s = {r["doc_id"]: r["avg_logprob"] for r in unigram_logprob_features(corpus).collect()}
+    assert s[2] < s[1]
+    assert np.isfinite(list(s.values())).all()
