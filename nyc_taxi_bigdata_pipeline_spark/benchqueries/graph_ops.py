@@ -157,3 +157,74 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = e.agg(F.count("*").cast("bigint").alias("edges"))
     return edges.crossJoin(tri)
+
+
+# ------------------------------------------------ BFS shortest hops
+
+_BFS_ORACLE = """
+WITH RECURSIVE base AS (
+  SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+),
+edges AS (
+  SELECT CAST(p * 2 AS BIGINT) AS src, CAST(s * 2 + 1 AS BIGINT) AS dst FROM base
+  UNION ALL
+  SELECT CAST(s * 2 + 1 AS BIGINT), CAST(p * 2 AS BIGINT) FROM base
+),
+bfs(node, dist) AS (
+  SELECT CAST(2 AS BIGINT), 0
+  UNION
+  SELECT e.dst, b.dist + 1
+  FROM bfs b JOIN edges e ON e.src = b.node
+  WHERE b.dist < 6
+),
+final AS (SELECT node, MIN(dist) AS dist FROM bfs GROUP BY node)
+SELECT CAST(dist AS INT) AS dist, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(MIN(node) AS BIGINT) AS min_node, CAST(MAX(node) AS BIGINT) AS max_node
+FROM final GROUP BY dist ORDER BY dist"""
+
+
+@register(
+    "graph_bfs_hops",
+    _BFS_ORACLE,
+    doc="beyond-reference graph analytics: multi-level BFS min-hop "
+        "distances over the bipartite part↔supplier graph (node space "
+        "2·partkey / 2·suppkey+1), source = part 1, per-distance rollup. "
+        "The Spark side is the ITERATIVE operator "
+        "(operators/graph.bfs_distances — frontier-only edge joins, "
+        "eager localCheckpoint per level, early exit on empty frontier); "
+        "the oracle is DuckDB's declarative WITH RECURSIVE bounded at "
+        "the same depth with a final MIN(dist) — two formulations, one "
+        "hash. At scale each level's cost is frontier fan-out, not "
+        "visited-set size; the anti join is the only touch of the "
+        "accumulated set",
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import bfs_distances
+
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    edges = (
+        base.select(
+            (F.col("p") * 2).cast("long").alias("src"),
+            (F.col("s") * 2 + 1).cast("long").alias("dst"),
+        )
+        .union(
+            base.select(
+                (F.col("s") * 2 + 1).cast("long").alias("src"),
+                (F.col("p") * 2).cast("long").alias("dst"),
+            )
+        )
+    )
+    sources = spark.range(1).select(F.lit(2).cast("long").alias("node"))
+    dists = bfs_distances(edges, sources, max_hops=6)
+    return (
+        dists.groupBy(F.col("dist").cast("int").alias("dist"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_nodes"),
+            F.min("node").cast("bigint").alias("min_node"),
+            F.max("node").cast("bigint").alias("max_node"),
+        )
+        .orderBy("dist")
+    )

@@ -184,3 +184,51 @@ def pagerank_fixed_point(
         nodes.unpersist()
         if dangling is not None:
             dangling.unpersist()
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Single/multi-source BFS min-hop distances over an (src, dst)
+    edge table: returns (node, dist) for every node reachable from
+    ``sources`` (a one-column frame of node ids) within ``max_hops``.
+
+    Pregel-lite as a driver loop: each level equi-joins the FRONTIER
+    (nodes first reached last level — not the whole visited set)
+    against the edges, left-anti-joins out already-visited nodes, and
+    min-dedups the new frontier. Per level that is one shuffle join +
+    one aggregate, with cost proportional to the frontier's edge
+    fan-out — the visited set only ever participates in the anti join.
+    The loop stops early when the frontier empties.
+
+    Iterative-loop hygiene (the PageRank depth-OOM lesson): visited and
+    frontier are eagerly localCheckpointed every level, so plan depth
+    and recompute stay O(1) per level regardless of ``max_hops``.
+
+    Exact mirror of a bounded-depth recursive CTE with a final
+    MIN(dist) per node (benchqueries/graph_ops.graph_bfs_hops pins the
+    equivalence against DuckDB's WITH RECURSIVE).
+    """
+    frontier = sources.toDF("node").distinct().withColumn(
+        "dist", F.lit(0).cast("int")
+    ).localCheckpoint(eager=True)
+    visited = frontier
+    e = edges.select(F.col(src).alias("node"), F.col(dst).alias("__nxt"))
+    for _ in range(max_hops):
+        nxt = (
+            frontier.join(e, "node")
+            .select(F.col("__nxt").alias("node"), (F.col("dist") + 1).alias("dist"))
+            .join(visited.select("node"), "node", "left_anti")
+            .groupBy("node")
+            .agg(F.min("dist").cast("int").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited

@@ -1468,3 +1468,26 @@ def test_unigram_logprob_features(spark):
     s = {r["doc_id"]: r["avg_logprob"] for r in unigram_logprob_features(corpus).collect()}
     assert s[2] < s[1]
     assert np.isfinite(list(s.values())).all()
+
+
+def test_bfs_distances(spark):
+    """Hand-built graph: min-hop distances, unreachable nodes excluded,
+    early exit, max_hops bound respected."""
+    from nyc_taxi_bigdata_pipeline_spark.operators.graph import bfs_distances
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (0, 5), (5, 3), (7, 8)],
+        "src long, dst long",
+    )
+    und = e.union(e.selectExpr("dst AS src", "src AS dst"))
+    src = spark.createDataFrame([(0,)], "node long")
+    got = {r["node"]: r["dist"] for r in bfs_distances(und, src).collect()}
+    # 3 is reachable in 2 via 0->5->3 (not 3 via 0->1->2->3); 7/8 unreachable
+    assert got == {0: 0, 1: 1, 5: 1, 2: 2, 3: 2, 4: 3}
+    # bound: max_hops=1 stops after the first level
+    got1 = {r["node"]: r["dist"] for r in bfs_distances(und, src, max_hops=1).collect()}
+    assert got1 == {0: 0, 1: 1, 5: 1}
+    # multi-source: dist is the min over sources
+    multi = spark.createDataFrame([(0,), (4,)], "node long")
+    gotm = {r["node"]: r["dist"] for r in bfs_distances(und, multi).collect()}
+    assert gotm[3] == 1 and gotm[2] == 2 and gotm[4] == 0
