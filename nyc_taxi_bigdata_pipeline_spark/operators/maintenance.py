@@ -182,3 +182,52 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int,
+    path: str | None = None,
+    sort: bool = True,
+) -> None:
+    """Persist ``df`` as a Hive-bucketed (and bucket-sorted) table on
+    ``bucket_col`` — the co-located-join layout the 100-TB brief calls
+    for: two tables bucketed on the same key with the same bucket count
+    join WITHOUT a shuffle (each bucket file pair sort-merges directly),
+    and with ``sort`` the per-bucket sort is pre-paid at write time too.
+
+    That turns the fact⋈fact / fact⋈big-dim joins that dominate
+    warehouse maintenance (CDC merge, SCD2 close, dedup-by-key) from
+    one full exchange PER RUN into zero — the shuffle is amortized into
+    the single bucketed write. Requires ``saveAsTable`` (bucketing
+    metadata lives in the catalog, not the parquet footers); pass
+    ``path`` to keep the data external to the warehouse dir.
+
+    Pick ``n_buckets`` so each bucket lands near one HDFS-block-ish
+    file: rows_per_bucket ≈ |df| / n_buckets, target ~128 MB. Bucket
+    counts must MATCH across tables meant to co-join (Spark does not
+    coalesce mismatched bucket counts by default).
+    """
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort:
+        w = w.sortBy(bucket_col)
+    if path is not None:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(table)
+
+
+def joins_without_shuffle(a: DataFrame, b: DataFrame, on: str) -> bool:
+    """True when an equi-join of ``a`` ⋈ ``b`` on ``on`` plans with NO
+    shuffle exchange — the co-location check for bucketed layouts
+    (broadcast joins are excluded first so a small test fixture can't
+    vacuously pass via a broadcast plan)."""
+    from ..plans.explain import physical_plan
+
+    joined = a.hint("merge").join(b, on)
+    # simple mode: formatted mode splits the node name and its
+    # hashpartitioning arguments across lines, so a substring check
+    # there can NEVER match (false "no shuffle")
+    plan = physical_plan(joined, "simple")
+    return "Exchange hashpartitioning" not in plan

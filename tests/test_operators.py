@@ -1491,3 +1491,48 @@ def test_bfs_distances(spark):
     multi = spark.createDataFrame([(0,), (4,)], "node long")
     gotm = {r["node"]: r["dist"] for r in bfs_distances(und, multi).collect()}
     assert gotm[3] == 1 and gotm[2] == 2 and gotm[4] == 0
+
+
+def test_bucketed_write_elides_join_shuffle(spark, tmp_path):
+    """Co-located joins (the 100-TB brief's bucketing ask): two tables
+    bucketed on the same key with the same bucket count must sort-merge
+    join with ZERO exchanges; a mismatched-bucket or unbucketed twin of
+    the same join must shuffle. Plan-asserted, not timed."""
+    import pyspark.sql.functions as F
+
+    from nyc_taxi_bigdata_pipeline_spark.operators.maintenance import (
+        joins_without_shuffle,
+        write_bucketed,
+    )
+    from nyc_taxi_bigdata_pipeline_spark.plans.explain import physical_plan
+
+    left = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    )
+    right = spark.range(5_000).select(
+        F.col("id").alias("k"), (F.col("id") % 31).alias("w")
+    )
+    for t in ("bkt_left", "bkt_right", "bkt_right8"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    write_bucketed(left, "bkt_left", "k", 4, path=str(tmp_path / "l"))
+    write_bucketed(right, "bkt_right", "k", 4, path=str(tmp_path / "r"))
+    write_bucketed(right, "bkt_right8", "k", 8, path=str(tmp_path / "r8"))
+    try:
+        bl, br = spark.table("bkt_left"), spark.table("bkt_right")
+        assert joins_without_shuffle(bl, br, "k"), physical_plan(
+            bl.hint("merge").join(br, "k")
+        )
+        # the bucket-sorted layout also pre-pays the merge sort
+        plan = physical_plan(bl.hint("merge").join(br, "k"))
+        assert "SortMergeJoin" in plan
+        # mismatched bucket counts: at least one side must re-shuffle
+        assert not joins_without_shuffle(bl, spark.table("bkt_right8"), "k")
+        # unbucketed twin: shuffles
+        assert not joins_without_shuffle(bl, right, "k")
+        # and the data survives the layout: row-parity with a plain join
+        got = bl.join(br, "k").count()
+        want = left.join(right, "k").count()
+        assert got == want == 5_000
+    finally:
+        for t in ("bkt_left", "bkt_right", "bkt_right8"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
