@@ -129,6 +129,7 @@ def test_fuzzy_join_no_theta_nested_loop(spark, sf_dir):
 _SCALAR_ANCHOR_OK = {
     "user_decayed_engagement",    # 1-row MAX(day) anchor
     "text_rarity_score",          # 1-row (total_tokens, vocab_size)
+    "text_unigram_logprob",       # 1-row fixed-point LM denominator
     "weighted_sample_summary",    # 1-row (Σw, n) totals
     "percentiles",                # 1-row rank-interpolation anchors
     "grouped_percentiles",        # per-group rank anchors (tiny side)
