@@ -136,6 +136,8 @@ _SCALAR_ANCHOR_OK = {
     "curation_domain_mixture",    # 20-row domain table × 1-row total
     "curation_pipeline_full",     # per-stage survival vs 1-row total
     "dedup_cluster_canonical",    # 1-row corpus-count anchor
+    "graph_triangle_count",       # 1-row edges × 1-row triangles cross
+                                  # (lazified builder, r4 ADVICE)
     "similarity_knn_bruteforce",  # bounded 5-row query side × corpus BY
                                   # DESIGN (exact baseline; ANN variants
                                   # are the scale path)
