@@ -190,19 +190,53 @@ def minhash_estimate_filter(
     j≥0.8 pair with probability ~2e-4 while discarding the ~0.3-Jaccard
     band-collision bulk. Pairs that pass still go through exact
     :func:`jaccard_verify` — estimates never appear in results.
+
+    Shuffle shape: the pair table joins the signature table TWICE, so
+    signature width is the shuffle bill (93M pairs × 2×32 longs ≈ 48 GB
+    at the 1000× tier). Each hash is therefore truncated to its low
+    BYTE and 8 bytes pack into one BIGINT — 4 columns instead of 32,
+    8× less I/O. A byte match is implied by a full match, so the packed
+    match count only ever EXCEEDS the true one: the prefilter stays
+    conservative (the ~(32−m)/256 expected inflation is far inside the
+    3.5σ margin, and exact verify decides every survivor anyway).
     """
-    a = sigs.select(
-        F.col(id_col).alias("id_a"),
-        *[F.col(f"mh{i}").alias(f"__a{i}") for i in range(num_hashes)],
-    )
-    b = sigs.select(
-        F.col(id_col).alias("id_b"),
-        *[F.col(f"mh{i}").alias(f"__b{i}") for i in range(num_hashes)],
-    )
-    matches = sum(
-        F.when(F.col(f"__a{i}") == F.col(f"__b{i}"), 1).otherwise(0)
-        for i in range(num_hashes)
-    )
+    groups = num_hashes // 8
+
+    def packed(prefix: str, out: str):
+        cols = []
+        for g in range(groups):
+            acc = F.lit(0).cast("long")
+            for j in range(8):
+                byte = F.col(f"mh{g * 8 + j}").bitwiseAND(F.lit(255))
+                acc = acc.bitwiseOR(F.shiftleft(byte, 8 * j))
+            cols.append(acc.alias(f"{out}{g}"))
+        return [F.col(id_col).alias(prefix), *cols]
+
+    if groups * 8 == num_hashes:
+        a = sigs.select(*packed("id_a", "__pa"))
+        b = sigs.select(*packed("id_b", "__pb"))
+        matches = sum(
+            F.when(
+                F.shiftright(F.col(f"__pa{g}"), 8 * j).bitwiseAND(F.lit(255))
+                == F.shiftright(F.col(f"__pb{g}"), 8 * j).bitwiseAND(F.lit(255)),
+                1,
+            ).otherwise(0)
+            for g in range(groups)
+            for j in range(8)
+        )
+    else:  # width not a multiple of 8: unpacked fallback
+        a = sigs.select(
+            F.col(id_col).alias("id_a"),
+            *[F.col(f"mh{i}").alias(f"__a{i}") for i in range(num_hashes)],
+        )
+        b = sigs.select(
+            F.col(id_col).alias("id_b"),
+            *[F.col(f"mh{i}").alias(f"__b{i}") for i in range(num_hashes)],
+        )
+        matches = sum(
+            F.when(F.col(f"__a{i}") == F.col(f"__b{i}"), 1).otherwise(0)
+            for i in range(num_hashes)
+        )
     return (
         pairs.join(a, "id_a")
         .join(b, "id_b")
