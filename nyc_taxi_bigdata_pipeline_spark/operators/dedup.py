@@ -134,9 +134,13 @@ def lsh_candidate_pairs(
     rows = num_hashes // bands
     band_cols = []
     for b in range(bands):
-        parts = [F.col(f"mh{b * rows + r}").cast("string") for r in range(rows)]
+        # xxhash64 over the raw longs — no per-band string
+        # materialization (the earlier concat_ws form built a ~40-char
+        # string per (doc, band) just to hash it; at 5M docs × 8 bands
+        # that is 40M transient strings per pass)
+        parts = [F.col(f"mh{b * rows + r}") for r in range(rows)]
         band_cols.append(
-            F.struct(F.lit(b).alias("band_id"), F.xxhash64(F.concat_ws("#", *parts)).alias("bh"))
+            F.struct(F.lit(b).alias("band_id"), F.xxhash64(*parts).alias("bh"))
         )
     banded = sigs.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
