@@ -320,6 +320,75 @@ def jaccard_verify(
     return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
 
+def jaccard_verify_arrow(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact shingle-Jaccard on candidates via an Arrow kernel — the
+    scale path twin of :func:`jaccard_verify` (same shingle hashes,
+    same output set; equivalence pinned by test).
+
+    Shape: each candidate doc's distinct shingle hashes are collected
+    ONCE into a sorted array (one aggregate over the explode — vs the
+    relational form's three differently-keyed joins over the exploded
+    rows), the pair table equi-joins the two arrays in, and a
+    mapInPandas kernel intersects the sorted arrays per pair
+    (np.intersect1d on presorted uniques). Per-pair work is
+    O(|A|+|B|); the shuffle carries each doc's array once per side it
+    appears on. At the 1000x tier (726k pairs, ~60 shingles/doc) the
+    kernel itself is seconds — the join is the cost, and it is 2 joins
+    instead of 3 with no exploded-row fan-out.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = hashed_shingles(docs.join(ids, id_col, "left_semi"), id_col, text_col)
+    arrays = sh.groupBy(id_col).agg(
+        F.sort_array(F.collect_set("__h")).alias("__sh")
+    )
+    cand = (
+        pairs.join(
+            arrays.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sa")),
+            "id_a",
+        )
+        .join(
+            arrays.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sb")),
+            "id_b",
+        )
+    )
+    id_a_t = dict(cand.dtypes)["id_a"]
+    id_b_t = dict(cand.dtypes)["id_b"]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            jac = np.empty(len(pdf), dtype=np.float64)
+            sa_l, sb_l = pdf["__sa"].tolist(), pdf["__sb"].tolist()
+            for i in range(len(pdf)):
+                a, b = sa_l[i], sb_l[i]
+                inter = np.intersect1d(a, b, assume_unique=True).size
+                jac[i] = inter / (len(a) + len(b) - inter)
+            out = pd.DataFrame(
+                {"id_a": pdf["id_a"], "id_b": pdf["id_b"], "jaccard": jac}
+            )
+            yield out[out["jaccard"] >= threshold]
+
+    return cand.mapInPandas(
+        kernel, f"id_a {id_a_t}, id_b {id_b_t}, jaccard double"
+    )
+
+
 def minhash_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -330,6 +399,7 @@ def minhash_dedup(
     bucket_cap: int = 256,
     estimate_prefilter: bool = False,
     materialize_shingles: bool = True,
+    kernel: str = "arrow",
 ) -> DataFrame:
     """Full near-dup pipeline: signatures → LSH candidates →
     [signature-estimate prefilter →] exact verify. Returns confirmed
@@ -340,8 +410,15 @@ def minhash_dedup(
     for corpora whose band collisions outnumber true near-dups; exact
     verification still decides every returned pair.
 
-    ``materialize_shingles`` defaults ON here (unlike bare
-    :func:`jaccard_verify`): the verify stage re-derives the candidate
+    ``kernel`` picks the verify implementation: ``"arrow"`` (default)
+    collects each candidate doc's sorted shingle array once and
+    intersects per pair in a vectorized Pandas kernel — measured 4-5×
+    the relational form at the 100× tier (13.8 vs 69.5 s), identical
+    output (equivalence-pinned); ``"relational"`` keeps the all-codegen
+    3-join form for environments where Arrow workers are unwelcome.
+
+    ``materialize_shingles`` (relational kernel only) defaults ON here
+    (unlike bare :func:`jaccard_verify`): the verify stage re-derives the candidate
     docs' shingles under three different join keys, and the eager
     checkpoint that deduplicates that work (measured 2.2× at the
     100×-tier) lands inside the OPERATOR — callers time the whole
@@ -356,6 +433,8 @@ def minhash_dedup(
             pairs, sigs, id_col, num_hashes,
             min_estimate=max(threshold - 3.5 * sigma, 0.0),
         )
+    if kernel == "arrow":
+        return jaccard_verify_arrow(pairs, docs, id_col, text_col, threshold)
     return jaccard_verify(pairs, docs, id_col, text_col, threshold,
                           materialize_shingles=materialize_shingles)
 

@@ -119,6 +119,14 @@ def probe_tier(spark, docs_path: str, reps: int) -> None:
     n_ver = verified.count()
     print(f"reps={reps} jaccard_verify: {dt:.1f} s  {max(n_kept,1)/dt:,.0f} pairs/s  ({n_ver} near-dups)")
 
+    dt, verified_a = timed(
+        "jaccard_arrow",
+        lambda: dedup.jaccard_verify_arrow(kept_pairs, docs).localCheckpoint(eager=True),
+    )
+    n_ver_a = verified_a.count()
+    print(f"reps={reps} jaccard_arrow: {dt:.1f} s  {max(n_kept,1)/dt:,.0f} pairs/s  "
+          f"({n_ver_a} near-dups{'' if n_ver_a == n_ver else ' MISMATCH'})")
+
     dt, clusters = timed("clusters", lambda: dedup.dedup_clusters(verified))
     n_cl = clusters.select("cluster").distinct().count()
     print(f"reps={reps} cluster_collapse: {dt:.1f} s  ({n_cl} clusters)")

@@ -1536,3 +1536,34 @@ def test_bucketed_write_elides_join_shuffle(spark, tmp_path):
     finally:
         for t in ("bkt_left", "bkt_right", "bkt_right8"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_jaccard_verify_arrow_matches_relational(spark, sf_dir):
+    """The Arrow verify kernel (sorted-array intersection per pair) must
+    produce EXACTLY the relational 3-join form's confirmed set, jaccard
+    values included."""
+    from nyc_taxi_bigdata_pipeline_spark.operators import dedup
+    from nyc_taxi_bigdata_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") < 50)
+    corpus = docs.unionByName(
+        base.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    ).unionByName(
+        base.withColumn("doc_id", F.col("doc_id") + 2_000_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" zzextra")))
+    )
+    sigs = dedup.add_minhash(corpus, num_hashes=16)
+    pairs = dedup.lsh_candidate_pairs(sigs, num_hashes=16, bands=4)
+    pairs = pairs.localCheckpoint(eager=True)
+    rel = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in dedup.jaccard_verify(
+            pairs, corpus, threshold=0.5, materialize_shingles=True
+        ).collect()
+    }
+    arw = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in dedup.jaccard_verify_arrow(pairs, corpus, threshold=0.5).collect()
+    }
+    assert rel == arw and len(rel) > 100
