@@ -238,3 +238,81 @@ def _domain_mixture(engine: str, table: str) -> str:
 )
 def curation_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_rendered(spark, sf_dir, "documents", _domain_mixture, "bq_mix_docs")
+
+
+# ------------------------------------ duplicated-span detection (ExactSubstr class)
+
+_SPAN_K = 8
+
+
+def _duplicated_spans(engine: str, table: str, k: int = _SPAN_K) -> str:
+    """Repeated k-token PASSAGES across the corpus (the ExactSubstr /
+    boilerplate class near-dup DOC matching misses): every k-token
+    window occurring at more than one (doc, pos) globally marks its
+    positions, per-doc marked windows merge into maximal spans
+    (gaps-and-islands: coverage [p, p+k-1] fuses when starts are ≤ k
+    apart), and docs report span count / covered tokens / fraction."""
+    if engine == D.DUCK:
+        split = "string_split(lower(trim(text)), ' ')"
+        n_tok = "len(ts)"
+        pos = f"unnest(range(1, len(ts) - {k} + 2))"
+        w = f"array_to_string(list_slice(ts, pos, pos + {k} - 1), ' ')"
+    else:
+        split = "split(lower(trim(text)), ' ')"
+        n_tok = "size(ts)"
+        pos = f"explode(sequence(1, size(ts) - {k} + 1))"
+        w = f"array_join(slice(ts, pos, {k}), ' ')"
+    return f"""
+    WITH toks AS (SELECT doc_id, {split} AS ts FROM {table}),
+    positions AS (
+      SELECT doc_id, ts, {pos} AS pos FROM toks WHERE {n_tok} >= {k}
+    ),
+    win AS (SELECT doc_id, pos, {w} AS w FROM positions),
+    marked AS (
+      SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY w) AS c FROM win
+    ),
+    dup_pos AS (
+      SELECT doc_id, pos,
+             LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      FROM marked WHERE c > 1
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             SUM(CASE WHEN prev IS NULL OR pos - prev > {k} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM dup_pos
+    ),
+    spans AS (
+      SELECT doc_id, island,
+             CAST(MIN(pos) AS BIGINT) AS s,
+             CAST(MAX(pos) + {k} - 1 AS BIGINT) AS e
+      FROM isl GROUP BY doc_id, island
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_spans,
+             CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens
+      FROM spans GROUP BY doc_id
+    ),
+    sizes AS (SELECT doc_id, CAST({n_tok} AS BIGINT) AS n_tokens FROM toks)
+    SELECT p.doc_id, z.n_tokens, p.dup_spans, p.dup_tokens,
+           CAST(p.dup_tokens AS DOUBLE) / z.n_tokens AS dup_frac
+    FROM per_doc p JOIN sizes z ON p.doc_id = z.doc_id"""
+
+
+@register(
+    "curation_duplicated_spans",
+    _duplicated_spans(D.DUCK, "documents"),
+    doc="training-data ext: ExactSubstr-class duplicated-PASSAGE "
+        "detection — k-token windows repeated anywhere in the corpus "
+        "(window COUNT over the window string: one pass, no self-join), "
+        "merged per doc into maximal spans via gaps-and-islands; "
+        "reports spans / covered tokens / coverage fraction per "
+        "affected doc. The boilerplate slice doc-level near-dup can't "
+        "see; operators/curation.duplicated_spans is the xxhash64 scale "
+        "twin (windows shuffle as 8-byte hashes, equivalence-pinned)",
+)
+def curation_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_rendered(
+        spark, sf_dir, "documents", _duplicated_spans, "bq_span_docs"
+    )

@@ -251,3 +251,76 @@ def domain_mixture_sample(
         .filter(bucket < F.floor(F.col("__f") * 1_000_000))
         .drop("__f")
     )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """ExactSubstr-class duplicated-passage detection, scale path:
+    k-token windows that occur at more than one (doc, position)
+    globally, merged per doc into maximal spans (starts ≤ k apart
+    fuse). Returns (id, n_tokens, dup_spans, dup_tokens, dup_frac) for
+    affected docs.
+
+    Scale shape vs the oracle-backed SQL twin
+    (benchqueries/curation_ops.curation_duplicated_spans, same
+    semantics, equivalence-pinned): windows shuffle as xxhash64 LONGS,
+    not k-token strings — the global duplicate count is a window
+    COUNT over an 8-byte key (one pass, no self-join), and only marked
+    positions reach the per-doc islands window. Collisions are 2⁻⁶⁴
+    per window pair — the same accepted class as every other hashed
+    dedup stage here.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col),
+        F.split(F.lower(F.trim(F.col(text_col))), " ").alias("ts"),
+    )
+    win = (
+        toks.filter(F.size("ts") >= k)
+        .select(
+            id_col,
+            F.col("ts"),
+            F.explode(F.sequence(F.lit(1), F.size("ts") - (k - 1))).alias("pos"),
+        )
+        .select(
+            id_col,
+            "pos",
+            F.xxhash64(F.array_join(F.slice(F.col("ts"), F.col("pos"), k), " ")).alias("wh"),
+        )
+    )
+    marked = win.withColumn("c", F.count("*").over(Window.partitionBy("wh")))
+    dup = marked.filter(F.col("c") > 1).withColumn(
+        "prev", F.lag("pos").over(Window.partitionBy(id_col).orderBy("pos"))
+    )
+    isl = dup.withColumn(
+        "island",
+        F.sum(
+            F.when(F.col("prev").isNull() | (F.col("pos") - F.col("prev") > k), 1)
+            .otherwise(0)
+        ).over(
+            Window.partitionBy(id_col)
+            .orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    spans = isl.groupBy(id_col, "island").agg(
+        F.min("pos").cast("bigint").alias("s"),
+        (F.max("pos") + (k - 1)).cast("bigint").alias("e"),
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("dup_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias("dup_tokens"),
+    )
+    sizes = toks.select(id_col, F.size("ts").cast("bigint").alias("n_tokens"))
+    return per_doc.join(sizes, id_col).select(
+        id_col,
+        "n_tokens",
+        "dup_spans",
+        "dup_tokens",
+        (F.col("dup_tokens").cast("double") / F.col("n_tokens")).alias("dup_frac"),
+    )

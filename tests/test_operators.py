@@ -1567,3 +1567,41 @@ def test_jaccard_verify_arrow_matches_relational(spark, sf_dir):
         for r in dedup.jaccard_verify_arrow(pairs, corpus, threshold=0.5).collect()
     }
     assert rel == arw and len(rel) > 100
+
+
+def test_duplicated_spans_matches_sql_twin(spark, sf_dir):
+    """The xxhash64 scale path must produce exactly the oracle-backed
+    SQL flavor's per-doc span stats (window identity by hash vs by
+    string — same equality classes barring 2^-64 collisions)."""
+    from nyc_taxi_bigdata_pipeline_spark.benchqueries import REGISTRY
+    from nyc_taxi_bigdata_pipeline_spark.operators.curation import duplicated_spans
+    from nyc_taxi_bigdata_pipeline_spark.sources.tables import load_table
+
+    sql_rows = {
+        r["doc_id"]: (r["n_tokens"], r["dup_spans"], r["dup_tokens"],
+                      round(r["dup_frac"], 9))
+        for r in REGISTRY["curation_duplicated_spans"].spark_fn(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    op_rows = {
+        r["doc_id"]: (r["n_tokens"], r["dup_spans"], r["dup_tokens"],
+                      round(r["dup_frac"], 9))
+        for r in duplicated_spans(docs).collect()
+    }
+    assert sql_rows == op_rows and len(sql_rows) > 10
+
+    # hand-built miniature: shared 8-token passage in two docs, merged
+    # overlapping windows, singleton doc untouched
+    passage = "p q r s t u v w"
+    mini = spark.createDataFrame(
+        [
+            (1, f"a b c {passage} x y z"),
+            (2, f"m n {passage} o"),
+            (3, "totally unique words only here never repeated elsewhere at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in duplicated_spans(mini).collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["dup_spans"] == 1 and got[1]["dup_tokens"] == 8
+    assert got[2]["dup_spans"] == 1 and got[2]["dup_tokens"] == 8
