@@ -316,3 +316,47 @@ def curation_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_rendered(
         spark, sf_dir, "documents", _duplicated_spans, "bq_span_docs"
     )
+
+
+def _top_passages(engine: str, table: str, k: int = _SPAN_K, topn: int = 20) -> str:
+    """The boilerplate REPORT twin of duplicated-span detection: which
+    k-token passages repeat most, how often, and across how many docs —
+    the list a curation pass actually reviews before stripping."""
+    if engine == D.DUCK:
+        split = "string_split(lower(trim(text)), ' ')"
+        n_tok = "len(ts)"
+        pos = f"unnest(range(1, len(ts) - {k} + 2))"
+        w = f"array_to_string(list_slice(ts, pos, pos + {k} - 1), ' ')"
+    else:
+        split = "split(lower(trim(text)), ' ')"
+        n_tok = "size(ts)"
+        pos = f"explode(sequence(1, size(ts) - {k} + 1))"
+        w = f"array_join(slice(ts, pos, {k}), ' ')"
+    return f"""
+    WITH toks AS (SELECT doc_id, {split} AS ts FROM {table}),
+    positions AS (
+      SELECT doc_id, ts, {pos} AS pos FROM toks WHERE {n_tok} >= {k}
+    ),
+    win AS (SELECT doc_id, {w} AS w FROM positions)
+    SELECT w AS passage,
+           CAST(COUNT(*) AS BIGINT) AS occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM win GROUP BY w HAVING COUNT(*) > 1
+    ORDER BY occurrences DESC, passage LIMIT {topn}"""
+
+
+@register(
+    "curation_top_passages",
+    _top_passages(D.DUCK, "documents"),
+    doc="training-data ext: the review REPORT for duplicated-span "
+        "curation — top-20 most-repeated k-token passages with "
+        "occurrence and doc-spread counts (group-agg + "
+        "TakeOrderedAndProject; deterministic passage tiebreak). At "
+        "scale the heavy group-by runs on window HASHES and only the "
+        "surviving top-N map back to strings — here the string form is "
+        "the shared oracle text",
+)
+def curation_top_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_rendered(
+        spark, sf_dir, "documents", _top_passages, "bq_passage_docs"
+    )
