@@ -324,3 +324,68 @@ def duplicated_spans(
         "dup_tokens",
         (F.col("dup_tokens").cast("double") / F.col("n_tokens")).alias("dup_frac"),
     )
+
+
+def top_passages(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    topn: int = 20,
+) -> DataFrame:
+    """Scale twin of benchqueries/curation_ops.curation_top_passages:
+    the heavy global group-by runs on xxhash64 WINDOW HASHES (8-byte
+    shuffle keys instead of k-token strings), the top-N survivors are
+    selected by (occurrences, then min-hash) — and only those N map
+    back to their passage strings via a semi-join re-scan. At 100 TB
+    the string column never enters the wide shuffle; the re-scan
+    touches one window per surviving hash.
+
+    Ordering note: ties in occurrence count break on the window HASH
+    here (deterministic, but a different tiebreak than the SQL twin's
+    passage string) — the report is for human review, not a hash gate.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.split(F.lower(F.trim(F.col(text_col))), " ").alias("ts"),
+    )
+    win = (
+        toks.filter(F.size("ts") >= k)
+        .select(
+            id_col,
+            F.col("ts"),
+            F.explode(F.sequence(F.lit(1), F.size("ts") - (k - 1))).alias("pos"),
+        )
+        .select(
+            id_col,
+            F.array_join(F.slice(F.col("ts"), F.col("pos"), k), " ").alias("w"),
+        )
+        .select(id_col, F.xxhash64("w").alias("wh"))
+    )
+    top = (
+        win.groupBy("wh")
+        .agg(
+            F.count("*").cast("bigint").alias("occurrences"),
+            F.count_distinct(id_col).cast("bigint").alias("n_docs"),
+        )
+        .filter(F.col("occurrences") > 1)
+        .orderBy(F.desc("occurrences"), F.asc("wh"))
+        .limit(topn)
+    )
+    # map the N surviving hashes back to strings: re-derive windows for
+    # a bounded join (broadcast: topn rows)
+    strings = (
+        toks.filter(F.size("ts") >= k)
+        .select(
+            F.explode(F.sequence(F.lit(1), F.size("ts") - (k - 1))).alias("pos"),
+            F.col("ts"),
+        )
+        .select(F.array_join(F.slice(F.col("ts"), F.col("pos"), k), " ").alias("passage"))
+        .select("passage", F.xxhash64("passage").alias("wh"))
+        .dropDuplicates(["wh"])
+    )
+    return (
+        strings.join(F.broadcast(top), "wh")
+        .select("passage", "occurrences", "n_docs")
+        .orderBy(F.desc("occurrences"), F.asc("passage"))
+    )

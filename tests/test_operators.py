@@ -1605,3 +1605,29 @@ def test_duplicated_spans_matches_sql_twin(spark, sf_dir):
     assert set(got) == {1, 2}
     assert got[1]["dup_spans"] == 1 and got[1]["dup_tokens"] == 8
     assert got[2]["dup_spans"] == 1 and got[2]["dup_tokens"] == 8
+
+
+def test_top_passages_hash_path_matches_sql_twin(spark, sf_dir):
+    """The hashed top-passages operator must surface the same passage
+    multiset as the oracle-backed string-group SQL twin (tiebreak at
+    equal occurrence counts may order differently — compare as sets of
+    (passage, occurrences, n_docs) after aligning the count cut)."""
+    from nyc_taxi_bigdata_pipeline_spark.benchqueries import REGISTRY
+    from nyc_taxi_bigdata_pipeline_spark.operators.curation import top_passages
+    from nyc_taxi_bigdata_pipeline_spark.sources.tables import load_table
+
+    sql_rows = [
+        (r["passage"], r["occurrences"], r["n_docs"])
+        for r in REGISTRY["curation_top_passages"].spark_fn(spark, sf_dir).collect()
+    ]
+    docs = load_table(spark, sf_dir, "documents")
+    op_rows = [
+        (r["passage"], r["occurrences"], r["n_docs"])
+        for r in top_passages(docs).collect()
+    ]
+    assert len(op_rows) == len(sql_rows) == 20
+    # above the lowest shared count, the sets must agree exactly; at the
+    # cut count membership can differ by tiebreak — counts must not
+    cut = min(r[1] for r in sql_rows)
+    assert {r for r in sql_rows if r[1] > cut} == {r for r in op_rows if r[1] > cut}
+    assert sorted(r[1] for r in sql_rows) == sorted(r[1] for r in op_rows)
