@@ -92,3 +92,76 @@ WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"""
 def moving_average_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("bq_ma_orders")
     return spark.sql(_MOVAVG_SQL.format(table="bq_ma_orders"))
+
+
+# ---------------------------------------------------- snapshot diffing
+
+_DIFF_ORACLE = """
+WITH old_snap AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+  WHERE CAST(o_orderdate AS DATE) < DATE '1997-07-01'
+),
+new_snap AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 50 = 0
+              THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice
+  FROM orders
+  WHERE CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+    AND o_orderkey % 97 <> 0
+),
+diff AS (
+  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS k,
+         CASE WHEN o.o_orderkey IS NULL THEN 'added'
+              WHEN n.o_orderkey IS NULL THEN 'removed'
+              WHEN o.o_orderstatus <> n.o_orderstatus
+                OR o.o_totalprice <> n.o_totalprice THEN 'changed'
+              ELSE 'unchanged' END AS diff_status
+  FROM old_snap o FULL OUTER JOIN new_snap n ON o.o_orderkey = n.o_orderkey
+)
+SELECT diff_status, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(k) AS BIGINT) AS min_key, CAST(MAX(k) AS BIGINT) AS max_key
+FROM diff GROUP BY diff_status ORDER BY diff_status"""
+
+
+@register(
+    "dataset_snapshot_diff",
+    _DIFF_ORACLE,
+    doc="warehouse ext: row-level snapshot diff (operators/upsert."
+        "snapshot_diff) -- two simulated versions of orders (a later "
+        "date horizon, a deleted key slice, a mutated price slice) "
+        "full-outer-joined into added/removed/changed/unchanged "
+        "counts. The operator folds compare columns to one xxhash64 "
+        "per side BEFORE the join, so the shuffle carries key + 8 "
+        "bytes regardless of row width; the oracle compares columns "
+        "directly (same classes -- hashing changes no verdict)",
+)
+def dataset_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.upsert import snapshot_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.filter(
+        F.to_date("o_orderdate") < "1997-07-01"
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    new = (
+        orders.filter(
+            (F.to_date("o_orderdate") < "1998-01-01")
+            & (F.col("o_orderkey") % 97 != 0)
+        )
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") % 50 == 0, F.col("o_totalprice") + 1)
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+    )
+    d = snapshot_diff(old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"])
+    return (
+        d.groupBy("diff_status")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.min("o_orderkey").cast("bigint").alias("min_key"),
+            F.max("o_orderkey").cast("bigint").alias("max_key"),
+        )
+        .orderBy("diff_status")
+    )

@@ -115,3 +115,42 @@ def union_distinct_keys(frames: Sequence[DataFrame], out_col: str) -> DataFrame:
     for f in it:
         acc = acc.union(f.toDF(out_col))
     return acc.distinct()
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Row-level diff between two versions of a keyed table: every key
+    tagged ``added`` / ``removed`` / ``changed`` / ``unchanged`` -- the
+    regression-diff primitive behind pipeline validation ("what did
+    this code change touch?") and incremental-publish decisions.
+
+    One full-outer join on the key; change detection compares an
+    xxhash64 fold of the compare columns (computed BEFORE the join, so
+    the shuffle carries key + 8 bytes per side instead of both rowsets'
+    full width -- at 100 TB the diff costs the same as a count join
+    regardless of row width). NULL-safe: values hash through a
+    canonical string form with a NULL sentinel.
+    """
+    key = list(key)
+
+    def fold(df: DataFrame, tag: str) -> DataFrame:
+        h = F.xxhash64(*[
+            F.coalesce(F.col(c).cast("string"), F.lit(" null"))
+            for c in compare_cols
+        ])
+        return df.select(*key, h.alias(f"__h_{tag}"), F.lit(1).alias(f"__in_{tag}"))
+
+    o = fold(old, "old")
+    n = fold(new, "new")
+    joined = o.join(n, key, "full_outer")
+    status = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(F.col("__h_old") != F.col("__h_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(*key, status.alias("diff_status"))

@@ -1631,3 +1631,25 @@ def test_top_passages_hash_path_matches_sql_twin(spark, sf_dir):
     cut = min(r[1] for r in sql_rows)
     assert {r for r in sql_rows if r[1] > cut} == {r for r in op_rows if r[1] > cut}
     assert sorted(r[1] for r in sql_rows) == sorted(r[1] for r in op_rows)
+
+
+def test_snapshot_diff_statuses_and_null_safety(spark):
+    """All four diff classes on a hand-built pair of versions, including
+    NULL-involved changes (NULL->value, value->NULL, NULL==NULL)."""
+    from nyc_taxi_bigdata_pipeline_spark.operators.upsert import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0), (4, None, 40.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0),      # unchanged
+         (2, "b", 20.0),      # NULL -> value = changed
+         (4, None, 40.0),     # NULL attr equal both sides = unchanged
+         (5, "e", 50.0)],     # added
+        "k long, s string, v double",
+    )
+    got = {r["k"]: r["diff_status"]
+           for r in snapshot_diff(old, new, ["k"], ["s", "v"]).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed",
+                   4: "unchanged", 5: "added"}
