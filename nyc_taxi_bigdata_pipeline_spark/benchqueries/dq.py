@@ -106,3 +106,47 @@ def dq_quarantine_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_rows"))
         .orderBy("tags")
     )
+
+
+# Heavy-key skew diagnostics: the pre-flight report for every salting /
+# broadcast / bucketed-interval-join decision in this repo. Shares and
+# the skew ratio are exact-integer divisions rounded AFTER the division,
+# so both engines produce bit-identical doubles.
+_SKEW_ORACLE = """
+WITH k AS (
+  SELECT l_suppkey AS grp_key, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY l_suppkey),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(cnt) AS BIGINT) AS total_rows,
+         CAST(MAX(cnt) AS BIGINT) AS max_cnt
+  FROM k),
+t AS (
+  SELECT grp_key, cnt,
+         CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, grp_key) AS INT) AS rn,
+         CAST(SUM(cnt) OVER (ORDER BY cnt DESC, grp_key
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cnt
+  FROM k)
+SELECT t.grp_key, t.cnt, t.rn,
+       ROUND(CAST(t.cnt AS DOUBLE) / CAST(g.total_rows AS DOUBLE), 6) AS share,
+       ROUND(CAST(t.cum_cnt AS DOUBLE) / CAST(g.total_rows AS DOUBLE), 6) AS cum_share,
+       g.n_keys, g.total_rows,
+       ROUND(CAST(g.max_cnt AS DOUBLE) * CAST(g.n_keys AS DOUBLE)
+             / CAST(g.total_rows AS DOUBLE), 4) AS skew_ratio
+FROM t CROSS JOIN g WHERE t.rn <= 10"""
+
+
+@register(
+    "skew_key_profile",
+    _SKEW_ORACLE,
+    doc="§2.12 extension: heavy-key skew diagnostics "
+        "(operators/skew.key_skew_profile) — top-10 hottest join/agg "
+        "keys with share, cumulative share, and max/mean skew ratio in "
+        "one partial-agg shuffle + TakeOrderedAndProject (no global "
+        "sort); the pre-flight report for salting / broadcast / "
+        "bucketed-interval-join decisions at 100 TB",
+)
+def skew_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import key_skew_profile
+
+    return key_skew_profile(load_table(spark, sf_dir, "lineitem"), "l_suppkey", 10)

@@ -1653,3 +1653,23 @@ def test_snapshot_diff_statuses_and_null_safety(spark):
            for r in snapshot_diff(old, new, ["k"], ["s", "v"]).collect()}
     assert got == {1: "unchanged", 2: "changed", 3: "removed",
                    4: "unchanged", 5: "added"}
+
+
+def test_key_skew_profile_zipf_diagnostics(spark):
+    """Hot key surfaces at rank 1 with the right share/ratio arithmetic;
+    a uniform frame reads skew_ratio == 1.0."""
+    from nyc_taxi_bigdata_pipeline_spark.operators.skew import key_skew_profile
+
+    rows = [(7,)] * 60 + [(1,)] * 20 + [(2,)] * 15 + [(3,)] * 5
+    df = spark.createDataFrame(rows, "k long")
+    prof = key_skew_profile(df, "k", top_n=3).orderBy("rn").collect()
+    assert [r["grp_key"] for r in prof] == [7, 1, 2]
+    assert prof[0]["share"] == 0.6 and prof[0]["cum_share"] == 0.6
+    assert prof[1]["cum_share"] == 0.8
+    assert prof[0]["n_keys"] == 4 and prof[0]["total_rows"] == 100
+    # max=60, mean=25 -> ratio 2.4
+    assert prof[0]["skew_ratio"] == 2.4
+
+    uniform = spark.createDataFrame([(i % 5,) for i in range(50)], "k long")
+    u = key_skew_profile(uniform, "k", top_n=1).collect()[0]
+    assert u["skew_ratio"] == 1.0 and u["share"] == 0.2

@@ -147,6 +147,8 @@ _SCALAR_ANCHOR_OK = {
     "brand_revenue_share",        # 1-row grand-total anchor
     "hdr_quantile_sketch",        # 1-row total + 3-probe walk over ≤600
                                   # aggregated bins — both sides tiny
+    "skew_key_profile",           # 1-row (n_keys, total, max) anchor ×
+                                  # top-10 frame (TakeOrderedAndProject)
 }
 
 
