@@ -321,3 +321,49 @@ def _interleave(engine: str, table: str) -> str:
 )
 def dataset_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_rendered(spark, sf_dir, "documents", _interleave, "bq_mix_docs")
+
+
+# ------------------------------------------- RAG chunking with overlap
+
+_CHUNK_W, _CHUNK_S = 32, 24
+
+# DuckDB twin of operators/packing.chunk_tokens_overlap: sliding token
+# windows (W=32 advancing by S=24), last chunk short rather than padded,
+# chunk count clamped with GREATEST (also absorbs // floor vs DIV
+# truncate on the n < W negative numerator). Pure integer + string
+# arithmetic — nothing float to drift.
+_CHUNK_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+n AS (SELECT doc_id, toks, CAST(len(toks) AS INT) AS n FROM d),
+c AS (SELECT doc_id, toks, n,
+        CAST(unnest(generate_series(0,
+             GREATEST((n - {_CHUNK_W} + {_CHUNK_S} - 1) // {_CHUNK_S}, 0))) AS INT)
+          AS chunk_id
+      FROM n)
+SELECT doc_id, chunk_id,
+       CAST(chunk_id * {_CHUNK_S} + 1 AS INT) AS tok_start,
+       CAST(LEAST({_CHUNK_W}, n - chunk_id * {_CHUNK_S}) AS INT) AS tok_len,
+       array_to_string(list_slice(toks, chunk_id * {_CHUNK_S} + 1,
+           chunk_id * {_CHUNK_S} + LEAST({_CHUNK_W}, n - chunk_id * {_CHUNK_S})), ' ')
+         AS chunk_text,
+       n AS n_tokens
+FROM c"""
+
+
+@register(
+    "text_chunk_windows",
+    _CHUNK_ORACLE,
+    doc="training-data ext: RAG-style sliding-window chunker "
+        "(operators/packing.chunk_tokens_overlap) — token windows of "
+        f"{_CHUNK_W} advancing by {_CHUNK_S}, shuffle-free per-row JVM "
+        "expressions (split staged once per doc, tiny chunk-id explode); "
+        "the retrieval-index sibling of concat-and-chunk packing",
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import chunk_tokens_overlap
+
+    return chunk_tokens_overlap(
+        load_table(spark, sf_dir, "documents"),
+        window=_CHUNK_W, stride=_CHUNK_S,
+    )

@@ -89,6 +89,21 @@ def arr_min(arr: str, engine: str) -> str:
     return f"list_min({arr})" if engine == DUCK else f"array_min({arr})"
 
 
+def arr_slice(arr: str, start: str, length: str, engine: str) -> str:
+    """1-based, length-bounded subarray. DuckDB list_slice takes an
+    INCLUSIVE (begin, end) and clamps end past the array; Spark slice
+    takes (start, length) and likewise truncates at the end — so the two
+    agree whenever start is in range and length ≥ 0."""
+    if engine == DUCK:
+        return f"list_slice({arr}, {start}, ({start}) + ({length}) - 1)"
+    return f"slice({arr}, {start}, {length})"
+
+
+def arr_join(arr: str, sep: str, engine: str) -> str:
+    return (f"array_to_string({arr}, {sep})" if engine == DUCK
+            else f"array_join({arr}, {sep})")
+
+
 def fold_sum_double(arr: str, engine: str) -> str:
     """Sequential left-fold sum of a double array — both engines fold in
     element order, so the float accumulation is bit-identical."""

@@ -69,3 +69,57 @@ def pack_stats(
         F.max("docs_in_chunk").alias("max_docs_per_chunk"),
         (F.sum("docs_in_chunk") / F.count("*")).alias("avg_docs_per_chunk"),
     )
+
+
+def chunk_tokens_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """RAG-style document chunking: sliding token windows of ``window``
+    tokens advancing by ``stride`` (overlap = window − stride), the
+    retrieval-index sibling of concat-and-chunk packing. Each doc yields
+    ``1 + ceil(max(n − window, 0) / stride)`` chunks; the final chunk is
+    shorter rather than padded, and an empty doc still yields one empty
+    chunk (chunkers must not silently drop rows).
+
+    Scale shape: pure per-row JVM expressions — split once, explode a
+    tiny chunk-id sequence, slice the staged token array. No shuffle at
+    all; chunking rides the ingest scan. The token array is staged in
+    ONE column so split() runs once per doc, not once per chunk
+    expression (higher-order exprs are interpreted — CLAUDE.md).
+
+    Spark's ``sequence(a, b)`` flips descending when a > b, so the chunk
+    count is clamped with GREATEST; the clamp also absorbs the DIV
+    truncate-vs-floor difference on negative numerators (n < window).
+    """
+    assert 0 < stride <= window, "stride must be in (0, window]"
+    toks = F.split(F.trim(F.col(text_col)), " ")
+    d = (
+        df.select(id_col, toks.alias("__toks"))
+        .withColumn("__n", F.size("__toks").cast("int"))
+        .withColumn(
+            "chunk_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(
+                        F.expr(f"CAST((__n - {window} + {stride} - 1) DIV {stride} AS INT)"),
+                        F.lit(0),
+                    ),
+                )
+            ),
+        )
+    )
+    start = F.col("chunk_id") * stride + 1
+    length = F.least(F.lit(window), F.col("__n") - F.col("chunk_id") * stride)
+    return d.select(
+        id_col,
+        "chunk_id",
+        start.cast("int").alias("tok_start"),
+        length.cast("int").alias("tok_len"),
+        F.array_join(F.slice("__toks", start, length), " ").alias("chunk_text"),
+        F.col("__n").alias("n_tokens"),
+    )

@@ -1673,3 +1673,32 @@ def test_key_skew_profile_zipf_diagnostics(spark):
     uniform = spark.createDataFrame([(i % 5,) for i in range(50)], "k long")
     u = key_skew_profile(uniform, "k", top_n=1).collect()[0]
     assert u["skew_ratio"] == 1.0 and u["share"] == 0.2
+
+
+def test_chunk_tokens_overlap_boundaries(spark):
+    """Window/stride arithmetic at the edges: short doc (1 chunk), doc
+    of exactly one window, one-past (2 chunks), overlap content, and the
+    short final chunk."""
+    from nyc_taxi_bigdata_pipeline_spark.operators.packing import chunk_tokens_overlap
+
+    def doc(i, n):
+        return (i, " ".join(f"t{k}" for k in range(n)))
+
+    df = spark.createDataFrame(
+        [doc(1, 3), doc(2, 8), doc(3, 9), doc(4, 20)], "doc_id long, text string"
+    )
+    out = chunk_tokens_overlap(df, window=8, stride=6)
+    rows = {(r["doc_id"], r["chunk_id"]): r for r in out.collect()}
+    # 3 tokens -> one short chunk
+    assert rows[(1, 0)]["tok_len"] == 3 and (1, 1) not in rows
+    # exactly one window -> one chunk of 8
+    assert rows[(2, 0)]["tok_len"] == 8 and (2, 1) not in rows
+    # 9 tokens -> second chunk holds the 3-token tail starting at stride
+    assert rows[(3, 1)]["tok_start"] == 7 and rows[(3, 1)]["tok_len"] == 3
+    # overlap: chunk 1 re-covers window-stride=2 tokens of chunk 0
+    c0, c1 = rows[(4, 0)]["chunk_text"].split(), rows[(4, 1)]["chunk_text"].split()
+    assert c0[-2:] == c1[:2] == ["t6", "t7"]
+    # 20 tokens, W8 S6 -> 1 + ceil(12/6) = 3 chunks; the last window
+    # (tokens 13..20, 1-based) reaches the end — no 4th chunk needed
+    assert sorted(cid for d, cid in rows if d == 4) == [0, 1, 2]
+    assert rows[(4, 2)]["tok_start"] == 13 and rows[(4, 2)]["tok_len"] == 8
