@@ -364,3 +364,86 @@ def hdr_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WITH bins AS (SELECT bin_id, cnt FROM bq_hdr_bins)"
         + _hdr_read_sql(D.SPARK, "bins")
     )
+
+
+# ------------------------------------------- HLL set algebra (overlap)
+
+def _hll_est_expr(used: str, sum_present: str) -> str:
+    """Estimate from (used registers, present-weight sum) — the same
+    raw/linear-counting split as _hll_sql, factored so per-segment and
+    merged-union registers share one estimator text."""
+    reg_sum = f"({sum_present} + ({_M} - {used}) * {_EMPTY_W})"
+    raw = (
+        f"(CAST({_ALPHA!r} AS DOUBLE) * CAST({float(_M * _M)!r} AS DOUBLE)"
+        f" * CAST({float(_EMPTY_W)!r} AS DOUBLE) / CAST({reg_sum} AS DOUBLE))"
+    )
+    lc = (
+        f"CAST({float(_M)!r} AS DOUBLE)"
+        f" * LN(CAST({float(_M)!r} AS DOUBLE) / CAST({_M} - {used} AS DOUBLE))"
+    )
+    return (
+        f"ROUND(CASE WHEN {raw} <= CAST({2.5 * _M!r} AS DOUBLE)"
+        f" AND {used} < {_M} THEN {lc} ELSE {raw} END, 4)"
+    )
+
+
+def _hll_overlap_sql(engine: str, table: str) -> str:
+    """Sketch set algebra: |A∩B| without ever joining A and B. Registers
+    for segment A (1995 buyers) and B (1996 buyers) build in ONE pass;
+    the union sketch is just MAX over the two register sets (HLL merge),
+    and the intersection falls out by inclusion-exclusion
+    |A|+|B|-|A∪B|. At 100 TB the segments never meet in a join — only
+    2×256 register rows cross the wire. The exact INTERSECT count rides
+    along as the error exhibit (production drops it)."""
+    str_t = "STRING" if engine == D.SPARK else "VARCHAR"
+    h = D.h64(f"CAST(o_custkey AS {str_t})", engine)
+    w = D.idiv("h", str(_M), engine)
+    weight = D.shl("1", f"({_WBITS + 1} - rho)", engine)
+    est = _hll_est_expr("used", "sum_present")
+    return f"""
+    WITH src AS (
+      SELECT CASE WHEN year(o_orderdate) = 1995 THEN 'a' ELSE 'b' END AS seg,
+             {h} AS h
+      FROM {table} WHERE year(o_orderdate) IN (1995, 1996)
+    ),
+    regs AS (
+      SELECT seg, h % {_M} AS bucket, MAX({_rho_case(w)}) AS rho
+      FROM src GROUP BY seg, h % {_M}
+    ),
+    per AS (
+      SELECT seg, COUNT(*) AS used, CAST(SUM({weight}) AS BIGINT) AS sum_present
+      FROM regs GROUP BY seg
+    ),
+    uni AS (
+      SELECT COUNT(*) AS used, CAST(SUM({weight}) AS BIGINT) AS sum_present
+      FROM (SELECT bucket, MAX(rho) AS rho FROM regs GROUP BY bucket) m
+    ),
+    pa AS (SELECT {est} AS est_a FROM per WHERE seg = 'a'),
+    pb AS (SELECT {est} AS est_b FROM per WHERE seg = 'b'),
+    pu AS (SELECT {est} AS est_union FROM uni),
+    x AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS exact_overlap FROM (
+        SELECT o_custkey FROM {table} WHERE year(o_orderdate) = 1995
+        INTERSECT
+        SELECT o_custkey FROM {table} WHERE year(o_orderdate) = 1996) t
+    )
+    SELECT est_a, est_b, est_union,
+           ROUND(est_a + est_b - est_union, 4) AS est_overlap,
+           ROUND((est_a + est_b - est_union) / est_union, 6) AS est_jaccard,
+           exact_overlap
+    FROM pa CROSS JOIN pb CROSS JOIN pu CROSS JOIN x"""
+
+
+@register(
+    "hll_segment_overlap",
+    _hll_overlap_sql(D.DUCK, "orders"),
+    doc="beyond-reference sketch algebra: audience-overlap estimation "
+        "(1995 vs 1996 buyers) via HLL merge + inclusion-exclusion — "
+        "per-segment registers build in one pass, the union sketch is "
+        "MAX over registers, and |A∩B| = |A|+|B|-|A∪B| with no join "
+        "between the segments (only 2×256 register rows shuffle at any "
+        "scale); exact INTERSECT count carried as the error exhibit",
+)
+def hll_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("bq_hllov_orders")
+    return spark.sql(_hll_overlap_sql(D.SPARK, "bq_hllov_orders"))

@@ -1702,3 +1702,17 @@ def test_chunk_tokens_overlap_boundaries(spark):
     # (tokens 13..20, 1-based) reaches the end — no 4th chunk needed
     assert sorted(cid for d, cid in rows if d == 4) == [0, 1, 2]
     assert rows[(4, 2)]["tok_start"] == 13 and rows[(4, 2)]["tok_len"] == 8
+
+
+def test_hll_overlap_inclusion_exclusion_accuracy(spark, sf_dir):
+    """Audience overlap by sketch algebra: the inclusion-exclusion
+    estimate must land within HLL error of the exact INTERSECT count
+    (error compounds across three estimates — allow 15%), and the
+    union estimate must be >= each segment's (set algebra sanity)."""
+    from nyc_taxi_bigdata_pipeline_spark.benchqueries import REGISTRY
+
+    r = REGISTRY["hll_segment_overlap"].spark_fn(spark, sf_dir).collect()[0]
+    assert r["exact_overlap"] > 0
+    assert abs(r["est_overlap"] / r["exact_overlap"] - 1.0) < 0.15
+    assert r["est_union"] >= max(r["est_a"], r["est_b"])
+    assert 0.0 < r["est_jaccard"] < 1.0

@@ -149,6 +149,8 @@ _SCALAR_ANCHOR_OK = {
                                   # aggregated bins — both sides tiny
     "skew_key_profile",           # 1-row (n_keys, total, max) anchor ×
                                   # top-10 frame (TakeOrderedAndProject)
+    "hll_segment_overlap",        # 4-way cross of 1-row estimate /
+                                  # exact-overlap anchors
 }
 
 
