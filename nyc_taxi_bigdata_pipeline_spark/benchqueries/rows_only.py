@@ -412,3 +412,22 @@ def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("near_pairs"),
         F.max("hamming").alias("max_hamming"),
     )
+
+
+@register(
+    "dedup_semantic",
+    None,
+    doc="training-data ext (rows-only): SemDeDup — KMeans-clustered "
+        "embeddings, within-cluster cosine pairs, connected-component "
+        "collapse to canonical ids (operators/similarity.semantic_dedup); "
+        "catches meaning-level duplicates MinHash/SimHash can't (KMeans "
+        "is not SQL-expressible; single-cell == brute-force equivalence "
+        "and cell-blocking subset/recall are pinned in tests). Threshold "
+        "0.35 is fixture-tuned (synthetic embeddings top out at cos 0.51; "
+        "production corpora use 0.9+ — the mechanics are identical)",
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.35, n_cells=8)

@@ -642,3 +642,96 @@ def ivfpq_topk(
         sub_corpus, codes, queries, cb, k=k,
         shortlist_factor=shortlist_factor, id_col=id_col, vec_col=vec_col,
     )
+
+
+# ------------------------------------------------ SemDeDup-style dedup
+
+def semantic_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.92,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    index=None,
+) -> DataFrame:
+    """SemDeDup-style candidate pairs (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with the IVF coarse quantizer,
+    then emit cosine-similar pairs WITHIN each cluster only — the
+    semantic sibling of the MinHash/SimHash near-dup generators, for
+    duplicates that share meaning but not n-grams (translations,
+    paraphrases, re-encodes).
+
+    Scale shape: never all-pairs. The within-cluster score is the
+    intended O(Σ cᵢ²·d) of the SemDeDup recipe — scale ``n_cells`` with
+    the corpus (the paper runs 50k clusters at LAION scale) so cluster
+    sizes, and with them per-task memory for the c×c numpy matmul, stay
+    bounded. Pairs crossing cluster boundaries are missed — that is the
+    method's recall trade, pinned by the subset/recall test. Pass
+    ``index`` from :func:`ivf_build` to reuse a trained quantizer.
+    """
+    if index is not None:
+        assigned, _ = index
+    elif n_cells == 1:
+        # degenerate single cluster = exact all-pairs (KMeans needs k>=2);
+        # the equivalence test uses this as the brute-force twin
+        assigned = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            F.lit(0).alias("cell"),
+        )
+    else:
+        assigned, _ = ivf_build(corpus, n_cells, id_col, vec_col, seed)
+    id_t = _id_dtype(corpus, id_col)
+    schema = f"id_a {id_t}, id_b {id_t}, cos_sim double"
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+        ids = pdf["neighbor_id"].to_numpy()
+        mat = np.array(pdf["c_vec"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        nm = mat / norms[:, None]
+        sims = nm @ nm.T
+        iu = np.triu_indices(len(ids), k=1)
+        keep = sims[iu] >= threshold
+        a, b = ids[iu[0][keep]], ids[iu[1][keep]]
+        return pd.DataFrame({
+            "id_a": np.minimum(a, b),
+            "id_b": np.maximum(a, b),
+            "cos_sim": np.round(sims[iu][keep], 6),
+        })
+
+    return assigned.groupBy("cell").applyInPandas(pairs, schema)
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.92,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Full SemDeDup: within-cluster cosine pairs → connected-component
+    collapse (operators/dedup.dedup_clusters — the same label
+    propagation the MinHash chain uses) → every vector labeled with its
+    ``canonical_id`` (smallest reachable id) and ``is_dup``. Keep rows
+    where ``is_dup`` is false to deduplicate the corpus."""
+    from .dedup import dedup_clusters
+
+    pairs = semantic_dup_pairs(
+        corpus, threshold, n_cells, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    clusters = dedup_clusters(pairs, id_col=id_col)
+    labeled = corpus.select(id_col).join(
+        clusters.withColumnRenamed(id_col, "__cid"),
+        F.col(id_col) == F.col("__cid"),
+        "left",
+    )
+    return labeled.select(
+        id_col,
+        F.coalesce(F.col("cluster"), F.col(id_col)).alias("canonical_id"),
+        (F.coalesce(F.col("cluster"), F.col(id_col)) != F.col(id_col)).alias("is_dup"),
+    )

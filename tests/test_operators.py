@@ -1716,3 +1716,69 @@ def test_hll_overlap_inclusion_exclusion_accuracy(spark, sf_dir):
     assert abs(r["est_overlap"] / r["exact_overlap"] - 1.0) < 0.15
     assert r["est_union"] >= max(r["est_a"], r["est_b"])
     assert 0.0 < r["est_jaccard"] < 1.0
+
+
+def _bruteforce_cos_pairs(emb_rows, threshold):
+    import numpy as np
+
+    ids = np.array([r[0] for r in emb_rows])
+    mat = np.array([r[1] for r in emb_rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    nm = mat / norms[:, None]
+    sims = nm @ nm.T
+    iu = np.triu_indices(len(ids), k=1)
+    keep = sims[iu] >= threshold
+    return {
+        (int(min(a, b)), int(max(a, b))): round(float(s), 6)
+        for a, b, s in zip(ids[iu[0][keep]], ids[iu[1][keep]], sims[iu][keep])
+    }
+
+
+def test_semantic_dup_pairs_single_cell_matches_bruteforce(spark, sf_dir):
+    """n_cells=1 puts every vector in one cluster, so the SemDeDup pair
+    generator must reproduce brute-force all-pairs exactly."""
+    from nyc_taxi_bigdata_pipeline_spark.operators.similarity import semantic_dup_pairs
+    from nyc_taxi_bigdata_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    expected = _bruteforce_cos_pairs(
+        emb.select("vec_id", "embedding").collect(), 0.35
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in semantic_dup_pairs(emb, threshold=0.35, n_cells=1).collect()
+    }
+    assert got.keys() == expected.keys()
+    assert all(abs(got[k] - expected[k]) < 1e-9 for k in got)
+
+
+def test_semantic_dedup_cell_blocking_and_labels(spark, sf_dir):
+    """Cell blocking may only LOSE pairs (never invent them), recall on
+    the fixture must be non-trivial (similar vectors co-cluster — the
+    SemDeDup premise), and the collapsed labels must be canonical:
+    every canonical_id <= its vec_id and itself kept (is_dup = false)."""
+    from nyc_taxi_bigdata_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dup_pairs,
+    )
+    from nyc_taxi_bigdata_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    expected = _bruteforce_cos_pairs(
+        emb.select("vec_id", "embedding").collect(), 0.35
+    )
+    blocked = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_dup_pairs(emb, threshold=0.35, n_cells=8).collect()
+    }
+    assert blocked <= expected.keys()
+    assert len(blocked) / len(expected) > 0.2
+
+    labeled = semantic_dedup(emb, threshold=0.35, n_cells=8).collect()
+    assert len(labeled) == emb.count()
+    kept = {r["vec_id"] for r in labeled if not r["is_dup"]}
+    for r in labeled:
+        assert r["canonical_id"] <= r["vec_id"]
+        assert r["canonical_id"] in kept
+        assert r["is_dup"] == (r["canonical_id"] != r["vec_id"])
