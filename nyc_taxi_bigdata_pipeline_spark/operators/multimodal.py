@@ -871,10 +871,70 @@ def extract_features(
 
 
 def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize plumbing: passes payloads through untouched but rewrites
-    the metadata the way a real resize kernel would — keeps pipelines
-    runnable end-to-end without codecs."""
+    """Resize plumbing for formats without a real decoder (MP4 frames):
+    passes payloads through untouched but rewrites the metadata the way
+    a real resize kernel would — keeps pipelines runnable end-to-end
+    without codecs. For PPM/PNG/JPEG use :func:`resize_images`."""
     return media.withColumn("width", F.lit(width)).withColumn("height", F.lit(height))
+
+
+def resize_bilinear(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Pure-numpy bilinear resample, half-pixel-center convention (the
+    OpenCV/Pillow ``align_corners=False`` geometry — each target pixel
+    samples the source at ``(i + 0.5) * scale - 0.5``, clamped at the
+    borders). (h, w, c) uint8 in, (height, width, c) uint8 out; rounding
+    is floor(x + 0.5) so results are platform-deterministic."""
+    h, w, _ = img.shape
+    ys = (np.arange(height, dtype=np.float64) + 0.5) * (h / height) - 0.5
+    xs = (np.arange(width, dtype=np.float64) + 0.5) * (w / width) - 0.5
+    fy = ys - np.floor(ys)
+    fx = xs - np.floor(xs)
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    f = img.astype(np.float64)
+    wy = fy[:, None, None]
+    wx = fx[None, :, None]
+    top = f[y0][:, x0] * (1 - wx) + f[y0][:, x1] * wx
+    bot = f[y1][:, x0] * (1 - wx) + f[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    return np.floor(out + 0.5).astype(np.uint8)
+
+
+def resize_images(
+    media: DataFrame, width: int, height: int, batch_limit: int = 256
+) -> DataFrame:
+    """REAL image resize over binary payloads: magic-sniffed decode
+    (PPM / PNG / baseline JPEG), :func:`resize_bilinear`, PPM re-encode
+    — the standard normalize-resolution stage of a multimodal training
+    pipeline, with the same Arrow-batched bounded-memory shape as
+    :func:`extract_features` (payloads never shuffle wider than the
+    resized output)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_limit):
+                chunk = pdf.iloc[start: start + batch_limit]
+                out = [
+                    encode_ppm(resize_bilinear(decode_image(p), width, height))
+                    for p in chunk["content"]
+                ]
+                yield pd.DataFrame(
+                    {
+                        "media_id": chunk["media_id"].values,
+                        "content": out,
+                        "width": np.full(len(chunk), width, dtype=np.int32),
+                        "height": np.full(len(chunk), height, dtype=np.int32),
+                        "format": np.full(len(chunk), "ppm", dtype=object),
+                    }
+                )
+
+    id_type = dict(media.dtypes)["media_id"]
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        run,
+        f"media_id {id_type}, content binary, width int, height int, format string",
+    )
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:

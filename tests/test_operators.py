@@ -1782,3 +1782,66 @@ def test_semantic_dedup_cell_blocking_and_labels(spark, sf_dir):
         assert r["canonical_id"] <= r["vec_id"]
         assert r["canonical_id"] in kept
         assert r["is_dup"] == (r["canonical_id"] != r["vec_id"])
+
+
+def test_resize_bilinear_kernel_math():
+    """Pinned bilinear geometry: constants stay constant, a 2x block
+    downsample equals exact block means (half-pixel centers sample at
+    fy = fx = 0.5), and output dims/dtype are as requested."""
+    import numpy as np
+
+    from nyc_taxi_bigdata_pipeline_spark.operators.multimodal import resize_bilinear
+
+    const = np.full((6, 4, 3), 77, dtype=np.uint8)
+    out = resize_bilinear(const, 2, 3)
+    assert out.shape == (3, 2, 3) and out.dtype == np.uint8
+    assert (out == 77).all()
+
+    # 4x4 -> 2x2: each target center lands exactly between 4 source
+    # pixels, so every output value is that 2x2 block's mean
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    img[..., 0] = np.array(
+        [[0, 4, 8, 12], [16, 20, 24, 28], [32, 36, 40, 44], [48, 52, 56, 60]]
+    )
+    out = resize_bilinear(img, 2, 2)
+    expected = np.array([[10, 18], [42, 50]])
+    assert (out[..., 0] == expected).all() and (out[..., 1:] == 0).all()
+
+
+def test_resize_images_end_to_end(spark):
+    """Decode->resize->re-encode across all three REAL codecs: the PPM
+    outputs decode back at the target resolution with the same pixels
+    the kernel produces locally."""
+    import numpy as np
+
+    from nyc_taxi_bigdata_pipeline_spark.operators.multimodal import (
+        decode_ppm,
+        encode_jpeg,
+        encode_png,
+        encode_ppm,
+        resize_bilinear,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (16, 12, 3), dtype=np.uint8)
+    payloads = [
+        ("ppm", encode_ppm(img)),
+        ("png", encode_png(img)),
+        ("jpg", encode_jpeg(img)),
+    ]
+    media = spark.createDataFrame(
+        [(f"m_{fmt}", "image", bytearray(p)) for fmt, p in payloads],
+        "media_id string, kind string, content binary",
+    )
+    rows = {r["media_id"]: r for r in resize_images(media, 6, 8).collect()}
+    assert set(rows) == {"m_ppm", "m_png", "m_jpg"}
+    for fmt, payload in payloads:
+        r = rows[f"m_{fmt}"]
+        assert (r["width"], r["height"], r["format"]) == (6, 8, "ppm")
+        got = decode_ppm(bytes(r["content"]))
+        assert got.shape == (8, 6, 3)
+    # lossless paths must match the local kernel byte-for-byte
+    local = resize_bilinear(img, 6, 8)
+    for fmt in ("ppm", "png"):
+        assert (decode_ppm(bytes(rows[f"m_{fmt}"]["content"])) == local).all()
