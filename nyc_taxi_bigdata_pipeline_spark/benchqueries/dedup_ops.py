@@ -305,3 +305,53 @@ def fuzzy_join_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_id").alias("match_id"),
         F.col("edit_dist").cast("int").alias("edit_dist"),
     )
+
+
+# ------------------------------------------------ exact SSJoin (prefix filter)
+
+
+def _ssjoin_oracle(table: str) -> str:
+    """Brute-force exact char-5-gram Jaccard over ALL pairs — feasible
+    only at test SF; the Spark side must reproduce it via the prefix-
+    filtered join (lossless by theorem, so the pair sets are equal).
+    Shingles compared as raw strings here vs xxhash64 identities on the
+    Spark side: distinct counts agree unless 64-bit hashes collide
+    (~1e-10 at fixture vocabulary)."""
+    return f"""
+    WITH pos AS (
+      SELECT doc_id, text, unnest(range(1, greatest(len(text) - 4, 1) + 1)) AS i
+      FROM {table} WHERE text IS NOT NULL
+    ),
+    sh AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS g FROM pos),
+    sz AS (SELECT doc_id, COUNT(*) AS s FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.s + sb.s - i) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc_id = id_a
+    JOIN sz sb ON sb.doc_id = id_b
+    WHERE CAST(i AS DOUBLE) / (sa.s + sb.s - i) >= 0.8
+    ORDER BY id_a, id_b"""
+
+
+@register(
+    "dedup_ssjoin_prefix",
+    _ssjoin_oracle("documents"),
+    doc="training-data ext: EXACT set-similarity self-join at Jaccard "
+        "≥ 0.8 via prefix filtering (SSJoin/All-Pairs class) — the "
+        "no-false-negative complement to MinHash-LSH for "
+        "decontamination-grade dedup. Candidates come from a "
+        "rare-token-first prefix equi-join + length filter (lossless "
+        "by theorem), verified by the Arrow kernel; the oracle brute-"
+        "forces ALL pairs, so hash-equality proves the filters dropped "
+        "nothing (operators/dedup.py:jaccard_join_prefix)",
+)
+def dedup_ssjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import jaccard_join_prefix
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    return jaccard_join_prefix(docs, threshold=0.8).orderBy("id_a", "id_b")

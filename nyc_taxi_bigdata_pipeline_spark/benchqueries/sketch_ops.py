@@ -447,3 +447,51 @@ def _hll_overlap_sql(engine: str, table: str) -> str:
 def hll_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("bq_hllov_orders")
     return spark.sql(_hll_overlap_sql(D.SPARK, "bq_hllov_orders"))
+
+
+_MG_CAP = 40  # vocab at test SFs is 31 tokens, ~30 above 1/(cap+1) ≈ 2.4%
+
+
+def _mg_oracle(table: str) -> str:
+    """Exact heavy hitters: share > 1/(capacity+1) — the set the MG
+    sketch path is GUARANTEED to reproduce exactly (superset candidates
+    + exact recount + integer threshold)."""
+    return f"""
+    WITH tok AS (
+      SELECT unnest(string_split(lower(trim(text)), ' ')) AS token
+      FROM {table} WHERE text IS NOT NULL
+    )
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM tok GROUP BY token
+    HAVING COUNT(*) * {_MG_CAP + 1} > (SELECT COUNT(*) FROM tok)
+    ORDER BY cnt DESC, token"""
+
+
+@register(
+    "mg_heavy_hitters_tokens",
+    _mg_oracle("documents"),
+    doc="beyond-reference sketch: Misra-Gries heavy hitters over "
+        "document tokens — per-partition bounded-state summaries "
+        "(mergeable-summaries reduce, ≤ capacity rows/partition no "
+        "matter the corpus) propose a guaranteed-superset candidate "
+        "set, one broadcast-semi-join recount makes the output EXACT "
+        "(count·(cap+1) > n), so a plain GROUP BY/HAVING oracle pins "
+        "it despite the Python sketch kernel. The scale story vs "
+        "cms_heavy_hitters: CMS still shuffles the distinct-token "
+        "relation to build counters; MG never shuffles by token at "
+        "all until the vocabulary is already down to ≤ cap·n_parts "
+        "candidates — the Heaps-law-proof path "
+        "(operators/skew.py:mg_partition_summaries)",
+)
+def mg_heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from ..operators.skew import mg_heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.filter(F.col("text").isNotNull()).select(
+        F.explode(F.split(F.lower(F.trim("text")), " ")).alias("token")
+    )
+    return mg_heavy_hitters(toks, "token", _MG_CAP).orderBy(
+        F.desc("cnt"), F.asc("token")
+    )

@@ -389,6 +389,83 @@ def jaccard_verify_arrow(
     )
 
 
+def jaccard_join_prefix(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT set-similarity self-join at a Jaccard threshold via prefix
+    filtering (SSJoin/All-Pairs class — Chaudhuri et al. ICDE'06,
+    Bayardo et al. WWW'07): the no-false-negative complement to the
+    MinHash-LSH chain. LSH trades recall for speed (a near-dup pair can
+    miss every band); this join is guaranteed complete — the contract a
+    decontamination or legal-dedup pass needs.
+
+    Filter theorem: under ANY global total order on tokens, two sets
+    with J(A,B) ≥ t must share a token within their first
+    |x| − ⌈t·|x|⌉ + 1 tokens (J ≥ t ⟹ |A∩B| ≥ ⌈t·max(|A|,|B|)⌉, and
+    two sets overlapping in α elements collide within prefixes of
+    length |x| − α + 1 by pigeonhole). Ordering tokens by ascending
+    GLOBAL frequency makes the exploitable collisions rare tokens, so
+    the candidate equi-join's per-token buckets stay small — that is
+    the entire scale argument, and it is why the frequency pass (one
+    vocabulary-sized agg) is worth its shuffle. A length filter
+    (min size ≥ t·max size, necessary for J ≥ t) prunes further.
+    Candidates then go through the exact Arrow verify kernel — same
+    shingle hashes, so the result equals brute-force all-pairs
+    verification (equivalence pinned by test).
+
+    No bucket cap, deliberately: capping would reintroduce false
+    negatives and void the exactness contract. A mass-duplicated
+    corpus (10k identical docs) therefore costs C(10k,2) pairs here —
+    run exact_dedup first; that is the honest precondition, not a
+    hidden truncation.
+
+    Shuffles: shingle build (1 distinct), freq agg (vocab-sized,
+    NEVER broadcast-hinted — Heaps' law), per-doc prefix window,
+    candidate equi-join, verify joins. The shingle frame is referenced
+    by freq, prefix, and sizes under different keys, so it is lazily
+    localCheckpointed once inside the operator (exchange reuse cannot
+    dedup differently-keyed consumers — CLAUDE.md).
+    """
+    from pyspark.sql import Window
+
+    assert 0.0 < threshold <= 1.0
+    sh = hashed_shingles(docs, id_col, text_col).localCheckpoint(eager=False)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("__sz"))
+    freq = sh.groupBy("__h").agg(F.count("*").alias("__f"))
+    w = Window.partitionBy(id_col).orderBy(F.asc("__f"), F.asc("__h"))
+    ranked = (
+        sh.join(freq, "__h")
+        .withColumn("__rn", F.row_number().over(w))
+        .join(sizes, id_col)
+        .filter(
+            F.col("__rn")
+            <= F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz")) + 1
+        )
+    )
+    a = ranked.select(
+        F.col(id_col).alias("id_a"), "__h", F.col("__sz").alias("__sz_a")
+    )
+    b = ranked.select(
+        F.col(id_col).alias("id_b"), "__h", F.col("__sz").alias("__sz_b")
+    )
+    cand = (
+        a.join(b, "__h")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                F.least("__sz_a", "__sz_b").cast("double")
+                >= F.lit(threshold) * F.greatest("__sz_a", "__sz_b")
+            )
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return jaccard_verify_arrow(cand, docs, id_col, text_col, threshold)
+
+
 def minhash_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -76,6 +76,98 @@ def salted_collect_sample(
     )
 
 
+def mg_partition_summaries(
+    df: DataFrame, token_col: str, capacity: int
+) -> DataFrame:
+    """Per-partition Misra-Gries frequency summaries: each partition is
+    reduced to at most ``capacity`` (token, mg_weight) rows in ONE pass
+    with O(capacity) state — the bounded-memory answer to "what are the
+    frequent tokens in 100 TB" when even the distinct-token relation is
+    too big to shuffle (Heaps' law: vocabulary grows with the corpus,
+    so the exact groupBy's map-side hash tables and shuffle grow too).
+
+    Kernel (Arrow-batched, state carried across batches within a
+    partition): exact value_counts per batch merge into the running
+    counters; when the counter set exceeds ``capacity``, the
+    (capacity+1)-th largest weight is subtracted from every counter and
+    non-positive counters drop — the reduce operation of Agarwal et
+    al., "Mergeable Summaries" (SODA'12), which preserves the MG
+    invariant: every subtraction of c removes ≥ (capacity+1)·c total
+    weight, so the sum of subtractions is ≤ n_partition/(capacity+1)
+    and any token's final weight ≥ its partition count − that bound.
+
+    Consequence used by :func:`mg_heavy_hitters`: a token with GLOBAL
+    count > n/(capacity+1) must exceed the per-partition threshold
+    n_p/(capacity+1) in at least one partition (else summing the
+    per-partition bounds contradicts the global count), so the union of
+    partition summaries is a guaranteed superset of the true heavy
+    hitters — no false negatives, ever, at ≤ capacity·n_partitions
+    candidate rows total.
+
+    Null tokens are dropped (counted by nothing, like COUNT(col)).
+    Weights are partition-dependent (more partitions → smaller n_p →
+    tighter per-partition error but a larger union); only the
+    candidate-superset property is partition-invariant.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    assert capacity >= 1
+    tok_t = dict(df.dtypes)[token_col]
+    src = df.select(token_col).filter(F.col(token_col).isNotNull())
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = None
+        for pdf in batches:
+            vc = pdf[token_col].value_counts()
+            acc = vc if acc is None else acc.add(vc, fill_value=0)
+            if len(acc) > capacity:
+                cut = acc.nlargest(capacity + 1).iloc[-1]
+                acc = acc - cut
+                acc = acc[acc > 0]
+        if acc is not None and len(acc):
+            yield pd.DataFrame(
+                {
+                    token_col: acc.index,
+                    "mg_weight": acc.to_numpy().astype("int64"),
+                }
+            )
+
+    return src.mapInPandas(summarize, f"{token_col} {tok_t}, mg_weight bigint")
+
+
+def mg_heavy_hitters(df: DataFrame, token_col: str, capacity: int) -> DataFrame:
+    """Exact heavy hitters (count·(capacity+1) > n) in two bounded
+    passes: Misra-Gries partition summaries propose ≤ capacity·n_parts
+    candidates (guaranteed superset — see
+    :func:`mg_partition_summaries`), then one exact recount of ONLY the
+    candidates (broadcast semi-join, so the corpus never shuffles by
+    token) filters with the exact integer threshold. False positives
+    from the sketch are eliminated by the recount; false negatives are
+    impossible by the MG bound — the output is therefore EXACT and
+    deterministic under any partitioning, which is what lets a DuckDB
+    GROUP BY/HAVING oracle pin it.
+
+    The estimate-prefilter + exact-verify shape, same philosophy as the
+    minhash dedup chain: the cheap bounded-state pass shrinks the
+    problem, the exact pass keeps the semantics.
+    """
+    cands = mg_partition_summaries(df, token_col, capacity).select(token_col).distinct()
+    src = df.select(token_col).filter(F.col(token_col).isNotNull())
+    total = src.agg(F.count("*").cast("bigint").alias("__n"))
+    exact = (
+        src.join(F.broadcast(cands), token_col, "left_semi")
+        .groupBy(token_col)
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * (capacity + 1) > F.col("__n"))
+        .select(token_col, "cnt")
+    )
+
+
 def key_skew_profile(df: DataFrame, key: str, top_n: int = 10) -> DataFrame:
     """Heavy-key diagnostics: the report you run BEFORE deciding whether
     a join/agg key needs salting, broadcast, or the bucketed interval

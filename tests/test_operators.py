@@ -1845,3 +1845,119 @@ def test_resize_images_end_to_end(spark):
     local = resize_bilinear(img, 6, 8)
     for fmt in ("ppm", "png"):
         assert (decode_ppm(bytes(rows[f"m_{fmt}"]["content"])) == local).all()
+
+
+# ---------------------------------------------------------------- misra-gries
+
+
+@pytest.fixture(scope="module")
+def zipf_tokens(spark):
+    """Skewed token stream: known exact counts, far more distinct tokens
+    than the MG capacity used in tests, so decrements actually fire."""
+    rows = []
+    heavy = [("alpha", 5000), ("beta", 2200), ("gamma", 900)]
+    for tok, cnt in heavy:
+        rows += [(tok,)] * cnt
+    for i in range(300):  # long tail: 300 tokens × 10
+        rows += [(f"tail{i:03d}",)] * 10
+    return spark.createDataFrame(rows, "token string"), dict(
+        heavy, **{f"tail{i:03d}": 10 for i in range(300)}
+    )
+
+
+def _exact_hh(counts: dict, capacity: int):
+    n = sum(counts.values())
+    return {t: c for t, c in counts.items() if c * (capacity + 1) > n}
+
+
+def test_mg_heavy_hitters_exact_under_any_partitioning(spark, zipf_tokens):
+    """MG candidates + exact recount must equal the exact GROUP BY/HAVING
+    set — including counts — regardless of partition layout (the
+    candidate superset is partition-dependent; the answer is not)."""
+    from nyc_taxi_bigdata_pipeline_spark.operators.skew import mg_heavy_hitters
+
+    df, counts = zipf_tokens
+    expected = _exact_hh(counts, 8)
+    assert expected, "fixture must produce heavy hitters"
+    for parts in (1, 7):
+        got = {
+            r["token"]: r["cnt"]
+            for r in mg_heavy_hitters(df.repartition(parts), "token", 8).collect()
+        }
+        assert got == expected
+
+
+def test_mg_heavy_hitters_exact_mode_capacity_ge_vocab(spark, zipf_tokens):
+    """capacity ≥ distinct tokens → no decrements, candidates = vocab,
+    output = every token above the share threshold."""
+    from nyc_taxi_bigdata_pipeline_spark.operators.skew import mg_heavy_hitters
+
+    df, counts = zipf_tokens
+    cap = len(counts) + 10
+    got = {r["token"]: r["cnt"] for r in mg_heavy_hitters(df, "token", cap).collect()}
+    assert got == _exact_hh(counts, cap)
+
+
+def test_mg_partition_summaries_bounds(spark, zipf_tokens):
+    """Per-partition state bound (≤ capacity rows each), weights never
+    exceed true counts, and on a single partition the MG undercount
+    bound weight ≥ count − n/(cap+1) holds for surviving tokens."""
+    from nyc_taxi_bigdata_pipeline_spark.operators.skew import (
+        mg_partition_summaries,
+    )
+
+    df, counts = zipf_tokens
+    n = sum(counts.values())
+    cap = 8
+    multi = mg_partition_summaries(df.repartition(5), "token", cap).collect()
+    assert len(multi) <= cap * 5
+    for r in multi:
+        assert r["mg_weight"] <= counts[r["token"]]
+    single = mg_partition_summaries(df.coalesce(1), "token", cap).collect()
+    assert len(single) <= cap
+    for r in single:
+        assert r["mg_weight"] >= counts[r["token"]] - n / (cap + 1)
+    # every true heavy hitter survives the single-partition summary
+    surv = {r["token"] for r in single}
+    assert set(_exact_hh(counts, cap)) <= surv
+
+
+def test_mg_null_tokens_dropped(spark):
+    from nyc_taxi_bigdata_pipeline_spark.operators.skew import mg_heavy_hitters
+
+    df = spark.createDataFrame(
+        [("a",)] * 9 + [(None,)] * 50 + [("b",)], "token string"
+    )
+    got = {r["token"]: r["cnt"] for r in mg_heavy_hitters(df, "token", 3).collect()}
+    assert got == {"a": 9}  # n=10 non-null; 9*4 > 10, 1*4 < 10
+
+
+# ------------------------------------------------------- prefix-filter ssjoin
+
+
+def test_jaccard_join_prefix_matches_bruteforce(spark, docs_with_dups):
+    """The exact SSJoin must reproduce brute-force all-pairs verification
+    bit-for-bit (prefix + length filters are lossless by theorem)."""
+    from nyc_taxi_bigdata_pipeline_spark.operators import dedup
+
+    ids = docs_with_dups.select("doc_id")
+    allpairs = (
+        ids.withColumnRenamed("doc_id", "id_a")
+        .crossJoin(ids.withColumnRenamed("doc_id", "id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    for thr in (0.5, 0.9):
+        expected = {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in dedup.jaccard_verify(
+                allpairs, docs_with_dups, threshold=thr
+            ).collect()
+        }
+        got = {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in dedup.jaccard_join_prefix(
+                docs_with_dups, threshold=thr
+            ).collect()
+        }
+        assert got == expected
+        assert expected, f"fixture must contain near-dup pairs at {thr}"
