@@ -304,3 +304,24 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return unigram_logprob_features(docs, id_col="doc_id", col="text")
+
+
+@register(
+    "text_bpe_merges",
+    None,
+    doc="training-data ext (rows-only): BPE vocabulary learning "
+        "(Sennrich ACL'16) — the corpus is touched ONCE (tokenize + "
+        "word-frequency groupBy); every merge iteration then runs on "
+        "the vocabulary-sized symbol table only (adjacent-pair "
+        "weighted counts, deterministic argmax, fold-merge), eager "
+        "localCheckpoint per round for O(1) plan depth. Genuinely "
+        "iterative (argmax collect per merge, like graph_bfs_hops), "
+        "so no SQL oracle; the trainer is pinned exactly against a "
+        "pure-Python reference implementation in tests, including "
+        "partition invariance (operators/bpe.py)",
+)
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import learn_bpe, merges_frame
+
+    docs = load_table(spark, sf_dir, "documents")
+    return merges_frame(spark, learn_bpe(docs, n_merges=12))

@@ -1961,3 +1961,94 @@ def test_jaccard_join_prefix_matches_bruteforce(spark, docs_with_dups):
         }
         assert got == expected
         assert expected, f"fixture must contain near-dup pairs at {thr}"
+
+
+# ------------------------------------------------------------------ BPE
+
+
+def _ref_learn_bpe(word_freqs, n_merges, min_pair_freq=2):
+    """Pure-Python Sennrich-style reference trainer (greedy global
+    most-frequent pair, count-desc then lexicographic tiebreak)."""
+    vocab = {}
+    for w, f in word_freqs.items():
+        syms = tuple(list(w[:-1]) + [w[-1] + "▁"])
+        vocab[syms] = vocab.get(syms, 0) + f
+    merges = []
+    for _ in range(n_merges):
+        pairs = {}
+        for syms, f in vocab.items():
+            for p in zip(syms, syms[1:]):
+                pairs[p] = pairs.get(p, 0) + f
+        if not pairs:
+            break
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_pair_freq:
+            break
+        merges.append((a, b, cnt))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            t = tuple(out)
+            new_vocab[t] = new_vocab.get(t, 0) + f
+        vocab = new_vocab
+    return merges
+
+
+@pytest.fixture(scope="module")
+def bpe_corpus(spark):
+    texts = [
+        "the cat sat on the mat",
+        "the cat ate the rat",
+        "a rat sat on a hat",
+        "the hat on the mat",
+        "low lower lowest slow slower",
+        "low low low lower lowest",
+    ] * 3
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    freqs = {}
+    for t in texts:
+        for w in t.lower().split():
+            freqs[w] = freqs.get(w, 0) + 1
+    return df, freqs
+
+
+def test_learn_bpe_matches_reference(spark, bpe_corpus):
+    from nyc_taxi_bigdata_pipeline_spark.operators import bpe
+
+    df, freqs = bpe_corpus
+    for n in (5, 25):
+        got = bpe.learn_bpe(df, n)
+        assert got == _ref_learn_bpe(freqs, n)
+    assert len(bpe.learn_bpe(df, 5)) == 5  # corpus supports ≥5 merges
+
+
+def test_learn_bpe_partition_invariant(spark, bpe_corpus):
+    from nyc_taxi_bigdata_pipeline_spark.operators import bpe
+
+    df, freqs = bpe_corpus
+    assert bpe.learn_bpe(df.repartition(7), 8) == _ref_learn_bpe(freqs, 8)
+
+
+def test_bpe_encode_lossless_and_in_vocab(spark, bpe_corpus):
+    from nyc_taxi_bigdata_pipeline_spark.operators import bpe
+
+    df, freqs = bpe_corpus
+    merges = bpe.learn_bpe(df, 20)
+    vocab = {a + b for a, b, _ in merges}
+    enc = {r["doc_id"]: r["tokens"] for r in bpe.bpe_encode(df, merges).collect()}
+    for r in df.collect():
+        toks = enc[r["doc_id"]]
+        rebuilt = "".join(toks).replace("▁", " ").strip()
+        assert rebuilt == " ".join(r["text"].lower().split())
+        for t in toks:
+            base = t
+            assert base in vocab or len(base.replace("▁", "")) == 1
