@@ -431,3 +431,33 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup(emb, threshold=0.35, n_cells=8)
+
+
+@register(
+    "dedup_incremental_batch",
+    None,
+    doc="training-data ext (rows-only): daily-ingest dedup — the last 20% "
+        "of documents arrive as a batch against a corpus of the first 80%, "
+        "whose only materialized artifact is its persisted LSH band index "
+        "(operators/dedup.minhash_band_index). Corpus text is touched "
+        "only for band-colliding candidates; contaminated batch docs drop "
+        "after exact verification, within-batch clusters collapse to "
+        "canonicals. Wiring pinned against brute-force cross/batch "
+        "jaccard + union-find in tests; returns survivor count + id "
+        "bounds (deterministic)",
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import dedup_incremental, minhash_band_index
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # lazy 80/20 split (no builder-side action): ids are dense enough at
+    # every SF that the modulo split is a stable one-in-five batch
+    corpus = docs.filter(F.pmod("doc_id", F.lit(5)) != 4)
+    batch = docs.filter(F.pmod("doc_id", F.lit(5)) == 4)
+    index = minhash_band_index(corpus)
+    out = dedup_incremental(batch, corpus, index, threshold=0.8)
+    return out.agg(
+        F.count("*").cast("long").alias("survivors"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )

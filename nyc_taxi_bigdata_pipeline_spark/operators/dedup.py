@@ -110,6 +110,46 @@ def add_minhash(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def band_rows(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """(id, band_id, bh) LSH band rows from a signature frame — the
+    join-ready (and PERSISTABLE) form of the index: write these once
+    with the corpus and every later batch joins against them without
+    re-shingling a byte of corpus text (:func:`minhash_band_index`)."""
+    rows = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        # xxhash64 over the raw longs — no per-band string
+        # materialization (the earlier concat_ws form built a ~40-char
+        # string per (doc, band) just to hash it; at 5M docs × 8 bands
+        # that is 40M transient strings per pass)
+        parts = [F.col(f"mh{b * rows + r}") for r in range(rows)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band_id"), F.xxhash64(*parts).alias("bh"))
+        )
+    return sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
+    ).select(id_col, "band.band_id", "band.bh")
+
+
+def minhash_band_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Corpus LSH index build: one signature pass over the corpus →
+    band rows. Persist the result (parquet) once; incremental ingest
+    then runs :func:`dedup_incremental` against it."""
+    sigs = add_minhash(docs.select(id_col, text_col), text_col, num_hashes, id_col)
+    return band_rows(sigs, id_col, num_hashes, bands)
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     id_col: str = "doc_id",
@@ -131,20 +171,7 @@ def lsh_candidate_pairs(
     against the representative; identical docs verify at jaccard 1.0).
     Small buckets keep exact all-pairs semantics. Pass ``None`` to
     disable the cap."""
-    rows = num_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        # xxhash64 over the raw longs — no per-band string
-        # materialization (the earlier concat_ws form built a ~40-char
-        # string per (doc, band) just to hash it; at 5M docs × 8 bands
-        # that is 40M transient strings per pass)
-        parts = [F.col(f"mh{b * rows + r}") for r in range(rows)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band_id"), F.xxhash64(*parts).alias("bh"))
-        )
-    banded = sigs.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
-    ).select(id_col, "band.band_id", "band.bh")
+    banded = band_rows(sigs, id_col, num_hashes, bands)
 
     if bucket_cap is None:
         small, star = banded, None
@@ -605,6 +632,86 @@ def keep_canonical(
     clusters = dedup_clusters(pairs, id_col)
     drop = clusters.filter(F.col(id_col) != F.col("cluster")).select(id_col)
     return docs.join(drop, id_col, "left_anti")
+
+
+def dedup_incremental(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    corpus_index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+    bucket_cap: int = 256,
+) -> DataFrame:
+    """Daily-ingest dedup: drop new docs that near-duplicate the
+    EXISTING corpus, then collapse within-batch near-dup clusters to
+    their canonical member. Returns the surviving new docs.
+
+    The 100-TB contract this shape exists for: the corpus is touched
+    only through its persisted LSH ``corpus_index``
+    (:func:`minhash_band_index` — id/band/hash rows, a few hundred
+    bytes per doc) plus a candidate-only semi-join back to corpus TEXT
+    for exact verification. Re-shingling 100 TB per daily batch is the
+    anti-pattern; re-shingling the handful of corpus docs that share a
+    band with today's batch is the point.
+
+    Cross-candidate generation is the batch bands ⋈ corpus index
+    equi-join — per-bucket cost is (batch bucket) × (corpus bucket), so
+    a boilerplate-heavy CORPUS bucket multiplies every colliding new
+    doc. The operator assumes the corpus itself was deduped when
+    indexed (every pipeline's invariant: the index is built from
+    yesterday's SURVIVORS), which caps corpus buckets the same way
+    ``bucket_cap`` caps the within-batch join. Exact verification
+    decides every drop — LSH only proposes.
+
+    Id spaces of batch and corpus must be disjoint (asserted cheaply on
+    the candidate pairs: a shared id would verify a doc against itself
+    at jaccard 1.0 and silently drop it).
+    """
+    new_sigs = add_minhash(
+        new_docs.select(id_col, text_col), text_col, num_hashes, id_col
+    )
+    nb = band_rows(new_sigs, id_col, num_hashes, bands)
+    cross = (
+        nb.join(
+            corpus_index.select(
+                F.col(id_col).alias("__cid"), "band_id", "bh"
+            ),
+            ["band_id", "bh"],
+        )
+        .select(F.col(id_col).alias("id_a"), F.col("__cid").alias("id_b"))
+        .distinct()
+        .filter(F.col("id_a") != F.col("id_b"))  # disjointness backstop
+        # lazy cut: the verify stage references the candidate pairs (and
+        # through them the whole band join) on BOTH of its doc sides —
+        # without the checkpoint each reference re-plans the full
+        # pipeline and the nested plan alone OOMs a default-heap driver
+        # (hit at sf0.01 in a vanilla session before any data moved)
+        .localCheckpoint(eager=False)
+    )
+    # verify only candidate docs: batch side + the touched corpus slice
+    cand_corpus = corpus_docs.select(id_col, text_col).join(
+        cross.select(F.col("id_b").alias(id_col)).distinct(), id_col, "left_semi"
+    )
+    docs_both = new_docs.select(id_col, text_col).unionByName(cand_corpus)
+    confirmed = jaccard_verify_arrow(
+        cross, docs_both, id_col, text_col, threshold
+    )
+    contaminated = confirmed.select(F.col("id_a").alias(id_col)).distinct()
+    # same lazy-cut reasoning: minhash_dedup fans the survivor frame
+    # into signatures, banding, and both verify sides — each a full
+    # re-plan of the contamination pipeline without the checkpoint
+    survivors = new_docs.join(contaminated, id_col, "left_anti").localCheckpoint(
+        eager=False
+    )
+    # within-batch collapse over the survivors only (docs dropped for
+    # corpus contamination must not become within-batch canonicals)
+    in_batch = minhash_dedup(
+        survivors, id_col, text_col, num_hashes, bands, threshold, bucket_cap
+    )
+    return keep_canonical(survivors, in_batch, id_col)
 
 
 # ------------------------------------------------------------------ SimHash

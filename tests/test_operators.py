@@ -2052,3 +2052,83 @@ def test_bpe_encode_lossless_and_in_vocab(spark, bpe_corpus):
         for t in toks:
             base = t
             assert base in vocab or len(base.replace("▁", "")) == 1
+
+
+# ------------------------------------------------------- incremental dedup
+
+
+def test_dedup_incremental_against_corpus(spark, docs):
+    """Daily-ingest wiring: batch docs near-duplicating the corpus are
+    dropped, within-batch clusters collapse to canonicals, everything
+    else survives. Expected sets derived by brute force (exact jaccard
+    over all cross/batch pairs + union-find), so the test pins the
+    pipeline wiring, not the (separately tested) jaccard math."""
+    from nyc_taxi_bigdata_pipeline_spark.operators import dedup
+
+    corpus = docs.select("doc_id", "text").limit(30).cache()
+    fresh = (
+        docs.select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(45)
+        .orderBy(F.desc("doc_id"))
+        .limit(10)
+    )
+    batch = (
+        corpus.limit(4)  # exact copies → contaminated
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        .unionByName(  # near-copies (tail edit) → contaminated
+            corpus.limit(7)
+            .exceptAll(corpus.limit(4))
+            .withColumn("doc_id", F.col("doc_id") + 2_000_000)
+            .withColumn("text", F.concat("text", F.lit(" zq")))
+        )
+        .unionByName(fresh.withColumn("doc_id", F.col("doc_id") + 3_000_000))
+        .unionByName(  # within-batch dup family of one fresh doc
+            fresh.limit(1)
+            .crossJoin(spark.range(2).withColumnRenamed("id", "r"))
+            .select(
+                (F.col("doc_id") + 4_000_000 + F.col("r")).alias("doc_id"),
+                "text",
+            )
+        )
+        .cache()
+    )
+    thr = 0.8
+    both = corpus.unionByName(batch)
+    cross = (
+        batch.select(F.col("doc_id").alias("id_a"))
+        .crossJoin(corpus.select(F.col("doc_id").alias("id_b")))
+    )
+    contaminated = {
+        r["id_a"]
+        for r in dedup.jaccard_verify(cross, both, threshold=thr).collect()
+    }
+    surv_ids = sorted(
+        r["doc_id"] for r in batch.collect() if r["doc_id"] not in contaminated
+    )
+    surv = batch.filter(~F.col("doc_id").isin(list(contaminated)))
+    inpairs = (
+        surv.select(F.col("doc_id").alias("id_a"))
+        .crossJoin(surv.select(F.col("doc_id").alias("id_b")))
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    parent = {i: i for i in surv_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in dedup.jaccard_verify(inpairs, batch, threshold=thr).collect():
+        a, b = find(r["id_a"]), find(r["id_b"])
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    expected = {i for i in surv_ids if find(i) == i}
+
+    index = dedup.minhash_band_index(corpus)
+    out = dedup.dedup_incremental(batch, corpus, index, threshold=thr)
+    got = {r["doc_id"] for r in out.collect()}
+    assert got == expected
+    assert contaminated, "fixture must contaminate some batch docs"
+    assert len(expected) < len(surv_ids), "within-batch collapse must fire"
