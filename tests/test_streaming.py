@@ -398,3 +398,67 @@ def test_stream_stream_outer_join_late_data_subset(spark, tmp_path):
         for r in events_df.filter("event_type = 'purchase'").collect()
     }
     assert {r["purchase_id"] for r in got} <= purchase_ids
+
+
+# ----------------------------------------------- streaming heavy hitters
+
+
+def _run_hh_stream(spark, tmp_path, rows, capacity, buckets, qname):
+    from nyc_taxi_bigdata_pipeline_spark.streaming.heavyhitters import (
+        streaming_heavy_hitters,
+    )
+
+    src = str(tmp_path / f"hh_src_{qname}")
+    df = spark.createDataFrame(rows, "token string")
+    df.repartition(5).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("token string")
+        .option("maxFilesPerTrigger", 1)  # force multi-batch state merging
+        .parquet(src)
+    )
+    hh = streaming_heavy_hitters(stream, capacity=capacity, buckets=buckets)
+    q = (
+        hh.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+    # latest emission per bucket supersedes earlier ones (bucket_n is
+    # monotone per bucket)
+    rows = spark.sql(
+        f"""SELECT token, mg_weight FROM {qname} t
+            WHERE bucket_n = (SELECT MAX(bucket_n) FROM {qname} u
+                              WHERE u.bucket = t.bucket)"""
+    ).collect()
+    return {r["token"]: r["mg_weight"] for r in rows}
+
+
+def test_streaming_hh_exact_when_capacity_suffices(spark, tmp_path):
+    """capacity ≥ every bucket's vocabulary → no decrements ever fire,
+    so the final summaries are EXACT counts regardless of how the
+    stream splits into micro-batches."""
+    counts = {f"tok{i:02d}": 7 + 13 * i for i in range(40)}
+    rows = [(t,) for t, c in counts.items() for _ in range(c)]
+    got = _run_hh_stream(spark, tmp_path, rows, capacity=64, buckets=4,
+                         qname="hh_exact")
+    assert got == counts
+
+
+def test_streaming_hh_superset_and_bounds_under_decrements(spark, tmp_path):
+    """Tiny capacity with a long tail: summaries must still contain
+    every true heavy hitter, and never overcount."""
+    counts = {"hot": 4000, "warm": 1500}
+    counts.update({f"tail{i:03d}": 9 for i in range(400)})
+    n = sum(counts.values())
+    rows = [(t,) for t, c in counts.items() for _ in range(c)]
+    cap, buckets = 4, 4
+    got = _run_hh_stream(spark, tmp_path, rows, capacity=cap, buckets=buckets,
+                         qname="hh_small")
+    heavy = {t for t, c in counts.items() if c * (cap + 1) > n}
+    assert heavy  # hot qualifies by construction
+    assert heavy <= set(got)
+    for t, w in got.items():
+        assert w <= counts[t]
