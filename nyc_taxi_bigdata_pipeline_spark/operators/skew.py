@@ -152,12 +152,25 @@ def mg_heavy_hitters(df: DataFrame, token_col: str, capacity: int) -> DataFrame:
     The estimate-prefilter + exact-verify shape, same philosophy as the
     minhash dedup chain: the cheap bounded-state pass shrinks the
     problem, the exact pass keeps the semantics.
+
+    The sketch pass runs over ``xxhash64(token)`` LONGS, not the
+    strings: the Python kernel then moves 8 fixed bytes per occurrence
+    through Arrow and value_counts int64s — measured 1.27× at the
+    150M-token tier (25.6 vs 32.4 s best-of-2, interleaved A/B; a
+    modest constant-factor win whose real margin grows with token
+    LENGTH, fixture tokens being short). Lossless by one-sided
+    collision: a hash clash only ADDS weight to a counter, so a heavy
+    token's hash always survives and the worst case is an extra
+    candidate, which the exact STRING recount then filters — false
+    negatives remain impossible.
     """
-    cands = mg_partition_summaries(df, token_col, capacity).select(token_col).distinct()
     src = df.select(token_col).filter(F.col(token_col).isNotNull())
+    hashed = src.select(F.xxhash64(token_col).alias("__th"))
+    cands = mg_partition_summaries(hashed, "__th", capacity).select("__th").distinct()
     total = src.agg(F.count("*").cast("bigint").alias("__n"))
     exact = (
-        src.join(F.broadcast(cands), token_col, "left_semi")
+        src.withColumn("__th", F.xxhash64(token_col))
+        .join(F.broadcast(cands), "__th", "left_semi")
         .groupBy(token_col)
         .agg(F.count("*").cast("bigint").alias("cnt"))
     )
