@@ -151,6 +151,8 @@ _SCALAR_ANCHOR_OK = {
                                   # top-10 frame (TakeOrderedAndProject)
     "hll_segment_overlap",        # 4-way cross of 1-row estimate /
                                   # exact-overlap anchors
+    "mg_heavy_hitters_tokens",    # 1-row total-count anchor folded into
+                                  # the exact recount's threshold filter
 }
 
 
