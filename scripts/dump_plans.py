@@ -35,6 +35,11 @@ def main() -> None:
         "recursive_hierarchy_depth", "lateral_top_orders",
         "cms_heavy_hitters", "hll_distinct_by_type", "bloom_membership",
         "hdr_quantile_sketch", "dataset_global_shuffle",
+        # round-5 late: MG's Arrow sketch + 1-row-anchor recount, and the
+        # prefix SSJoin's freq-join/window/equi-join chain (its failure
+        # class — a hinted broadcast of the Heaps-law freq dim — is
+        # invisible in small-SF timings)
+        "mg_heavy_hitters_tokens", "dedup_ssjoin_prefix",
     }
     names = sorted({n for n, q in REGISTRY.items() if q.bench} | plan_risk)
     cap = 100_000
