@@ -482,6 +482,7 @@ def _mg_oracle(table: str) -> str:
         "all until the vocabulary is already down to ≤ cap·n_parts "
         "candidates — the Heaps-law-proof path "
         "(operators/skew.py:mg_partition_summaries)",
+    bench=True,
 )
 def mg_heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyspark.sql.functions as F
