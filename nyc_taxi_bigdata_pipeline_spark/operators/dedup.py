@@ -445,7 +445,11 @@ def jaccard_join_prefix(
     the candidate equi-join's per-token buckets stay small — that is
     the entire scale argument, and it is why the frequency pass (one
     vocabulary-sized agg) is worth its shuffle. A length filter
-    (min size ≥ t·max size, necessary for J ≥ t) prunes further.
+    (min size ≥ t·max size, necessary for J ≥ t) prunes further, and
+    the PPJoin positional filter (see the inline comment) prunes on
+    WHERE in the prefix the collision happened — measured at sf0.1:
+    candidates drop to 52% on the saturated n=5 tier and to 3.1% on
+    the long-tail n=14 tier (14,786 → 461 for 256 true pairs).
     Candidates then go through the exact Arrow verify kernel — same
     shingle hashes, so the result equals brute-force all-pairs
     verification (equivalence pinned by test).
@@ -495,10 +499,26 @@ def jaccard_join_prefix(
         )
     )
     a = ranked.select(
-        F.col(id_col).alias("id_a"), "__h", F.col("__sz").alias("__sz_a")
+        F.col(id_col).alias("id_a"),
+        "__h",
+        F.col("__sz").alias("__sz_a"),
+        F.col("__rn").alias("__p_a"),
     )
     b = ranked.select(
-        F.col(id_col).alias("id_b"), "__h", F.col("__sz").alias("__sz_b")
+        F.col(id_col).alias("id_b"),
+        "__h",
+        F.col("__sz").alias("__sz_b"),
+        F.col("__rn").alias("__p_b"),
+    )
+    # positional filter (PPJoin, Xiao et al. WWW'08): a collision at
+    # positions (p_a, p_b) of the frequency-ordered token lists bounds
+    # the achievable overlap by 1 + min(remaining suffix lengths); J ≥ t
+    # needs overlap ≥ ⌈t/(1+t)·(sa+sb)⌉. Lossless as an OR over a
+    # pair's collisions (kept by the distinct): a truly similar pair's
+    # FIRST common token always satisfies the bound.
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("__sz_a") + F.col("__sz_b")).cast("double")
     )
     cand = (
         a.join(b, "__h")
@@ -507,6 +527,14 @@ def jaccard_join_prefix(
             & (
                 F.least("__sz_a", "__sz_b").cast("double")
                 >= F.lit(threshold) * F.greatest("__sz_a", "__sz_b")
+            )
+            & (
+                1
+                + F.least(
+                    F.col("__sz_a") - F.col("__p_a"),
+                    F.col("__sz_b") - F.col("__p_b"),
+                )
+                >= alpha
             )
         )
         .select("id_a", "id_b")

@@ -2132,3 +2132,15 @@ def test_dedup_incremental_against_corpus(spark, docs):
     assert got == expected
     assert contaminated, "fixture must contaminate some batch docs"
     assert len(expected) < len(surv_ids), "within-batch collapse must fire"
+
+
+def test_mg_heavy_hitters_non_string_tokens(spark):
+    """The MG path is type-generic (internal hashing + recount on the
+    original column — the hardcoded-dtype regression class)."""
+    from nyc_taxi_bigdata_pipeline_spark.operators.skew import mg_heavy_hitters
+
+    rows = [(7,)] * 60 + [(42,)] * 30 + [(i,) for i in range(100, 140)]
+    df = spark.createDataFrame(rows, "token bigint")
+    got = {r["token"]: r["cnt"] for r in mg_heavy_hitters(df, "token", 5).collect()}
+    n = len(rows)
+    assert got == {7: 60, 42: 30} and all(c * 6 > n for c in got.values())
