@@ -325,3 +325,53 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return merges_frame(spark, learn_bpe(docs, n_merges=12))
+
+
+@register(
+    "text_bpe_encode_stats",
+    None,
+    doc="training-data ext (rows-only): corpus tokenization with the "
+        "BPE vocabulary learned by text_bpe_merges — bpe_encode is the "
+        "honest Python stage (priority-merge per word is a data-"
+        "dependent loop no JVM expression expresses), Arrow-batched "
+        "with a per-partition word cache so Zipf redundancy pays the "
+        "kernel cost once per distinct word. Reports corpus compression "
+        "(subword tokens vs whitespace tokens) + distinct-subword "
+        "usage; losslessness and vocab-membership pinned in tests "
+        "(operators/bpe.py)",
+)
+def text_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from ..operators.bpe import bpe_encode, learn_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe(docs, n_merges=12)
+    enc = bpe_encode(docs, merges)
+    ws = docs.filter(F.col("text").isNotNull()).select(
+        F.size(F.split(F.lower(F.trim("text")), " ")).alias("__w")
+    )
+    totals = ws.agg(F.sum("__w").cast("bigint").alias("ws_tokens"))
+    enc = enc.localCheckpoint(eager=False)  # two aggregates read it
+    counts = enc.select(F.size("tokens").alias("__n")).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("__n").cast("bigint").alias("bpe_tokens"),
+    )
+    # distinct subwords via explode + countDistinct — vocabulary-bounded
+    # shuffle; a collect_list/flatten single-buffer form would
+    # materialize the whole token stream in one aggregation buffer
+    distinct = enc.select(F.explode("tokens").alias("__t")).agg(
+        F.countDistinct("__t").cast("int").alias("distinct_subwords")
+    )
+    return (
+        counts.crossJoin(F.broadcast(distinct))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "n_docs",
+            "bpe_tokens",
+            "ws_tokens",
+            F.round(F.col("bpe_tokens") / F.col("ws_tokens").cast("double"), 4)
+            .alias("subwords_per_word"),
+            "distinct_subwords",
+        )
+    )

@@ -153,6 +153,8 @@ _SCALAR_ANCHOR_OK = {
                                   # exact-overlap anchors
     "mg_heavy_hitters_tokens",    # 1-row total-count anchor folded into
                                   # the exact recount's threshold filter
+    "text_bpe_encode_stats",      # 1-row corpus-totals × 1-row
+                                  # distinct-subword anchors
 }
 
 
