@@ -496,3 +496,44 @@ def mg_heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mg_heavy_hitters(toks, "token", _MG_CAP).orderBy(
         F.desc("cnt"), F.asc("token")
     )
+
+
+def _mgw_oracle(table: str) -> str:
+    """Exact mass heavy hitters: priority classes whose summed
+    floor-dollar order value exceeds total/(capacity+1). FLOOR before
+    the BIGINT cast — DuckDB rounds and Spark truncates on a bare
+    double→int cast (CLAUDE.md)."""
+    w = "CAST(FLOOR(o_totalprice) AS BIGINT)"
+    return f"""
+    SELECT o_orderpriority, CAST(SUM({w}) AS BIGINT) AS wsum
+    FROM {table} WHERE o_totalprice > 0
+    GROUP BY o_orderpriority
+    HAVING SUM({w}) * {_MG_CAP + 1} >
+           (SELECT SUM({w}) FROM {table} WHERE o_totalprice > 0)
+    ORDER BY wsum DESC, o_orderpriority"""
+
+
+@register(
+    "mg_heavy_hitters_weighted",
+    _mgw_oracle("orders"),
+    doc="beyond-reference sketch: WEIGHTED Misra-Gries — heavy keys by "
+        "MASS (summed floor-dollar order value per priority class) in "
+        "one bounded-state pass + exact broadcast-semi-join recount; "
+        "the MG guarantee generalizes verbatim with n := total weight, "
+        "so the output is exact under any partitioning and a GROUP "
+        "BY/HAVING-on-SUM oracle pins it "
+        "(operators/skew.py:mg_heavy_hitters_weighted)",
+)
+def mg_heavy_hitters_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+
+    from ..operators.skew import mg_heavy_hitters_weighted as mgw
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    src = orders.select(
+        "o_orderpriority",
+        F.floor("o_totalprice").cast("bigint").alias("__fw"),
+    )
+    return mgw(src, "o_orderpriority", "__fw", _MG_CAP).orderBy(
+        F.desc("wsum"), F.asc("o_orderpriority")
+    )

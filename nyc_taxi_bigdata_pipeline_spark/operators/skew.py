@@ -77,7 +77,7 @@ def salted_collect_sample(
 
 
 def mg_partition_summaries(
-    df: DataFrame, token_col: str, capacity: int
+    df: DataFrame, token_col: str, capacity: int, weight_col: str | None = None
 ) -> DataFrame:
     """Per-partition Misra-Gries frequency summaries: each partition is
     reduced to at most ``capacity`` (token, mg_weight) rows in ONE pass
@@ -108,6 +108,12 @@ def mg_partition_summaries(
     Weights are partition-dependent (more partitions → smaller n_p →
     tighter per-partition error but a larger union); only the
     candidate-superset property is partition-invariant.
+
+    ``weight_col`` (integral, ≥ 0): each occurrence contributes that
+    mass instead of 1 — the MG guarantee generalizes verbatim with
+    n := total weight (the mergeable-summaries reduce never assumed
+    unit increments). Heavy-by-REVENUE/VOLUME keys in one pass, same
+    constant state.
     """
     from collections.abc import Iterator
 
@@ -115,12 +121,20 @@ def mg_partition_summaries(
 
     assert capacity >= 1
     tok_t = dict(df.dtypes)[token_col]
-    src = df.select(token_col).filter(F.col(token_col).isNotNull())
+    if weight_col is None:
+        src = df.select(token_col).filter(F.col(token_col).isNotNull())
+    else:
+        src = df.select(
+            token_col, F.col(weight_col).cast("bigint").alias("__w")
+        ).filter(F.col(token_col).isNotNull() & (F.col("__w") > 0))
 
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc = None
         for pdf in batches:
-            vc = pdf[token_col].value_counts()
+            if weight_col is None:
+                vc = pdf[token_col].value_counts()
+            else:
+                vc = pdf.groupby(token_col, sort=False)["__w"].sum()
             acc = vc if acc is None else acc.add(vc, fill_value=0)
             if len(acc) > capacity:
                 cut = acc.nlargest(capacity + 1).iloc[-1]
@@ -178,6 +192,39 @@ def mg_heavy_hitters(df: DataFrame, token_col: str, capacity: int) -> DataFrame:
         exact.crossJoin(F.broadcast(total))
         .filter(F.col("cnt") * (capacity + 1) > F.col("__n"))
         .select(token_col, "cnt")
+    )
+
+
+def mg_heavy_hitters_weighted(
+    df: DataFrame, token_col: str, weight_col: str, capacity: int
+) -> DataFrame:
+    """Weighted twin of :func:`mg_heavy_hitters`: keys whose total
+    MASS (SUM of an integral weight — revenue cents, quantity, bytes)
+    exceeds total/(capacity+1), found in one bounded-state pass + one
+    exact broadcast-semi-join recount. Same superset proof with
+    n := total weight; same hashed-long sketch kernel. Returns
+    (token_col, wsum). Rows with NULL token or non-positive weight
+    contribute nothing (mass semantics, like SUM over a filter)."""
+    src = df.select(
+        token_col, F.col(weight_col).cast("bigint").alias("__w")
+    ).filter(F.col(token_col).isNotNull() & (F.col("__w") > 0))
+    hashed = src.select(F.xxhash64(token_col).alias("__th"), "__w")
+    cands = (
+        mg_partition_summaries(hashed, "__th", capacity, weight_col="__w")
+        .select("__th")
+        .distinct()
+    )
+    total = src.agg(F.sum("__w").cast("bigint").alias("__n"))
+    exact = (
+        src.withColumn("__th", F.xxhash64(token_col))
+        .join(F.broadcast(cands), "__th", "left_semi")
+        .groupBy(token_col)
+        .agg(F.sum("__w").cast("bigint").alias("wsum"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("wsum") * (capacity + 1) > F.col("__n"))
+        .select(token_col, "wsum")
     )
 
 

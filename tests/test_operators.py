@@ -2144,3 +2144,33 @@ def test_mg_heavy_hitters_non_string_tokens(spark):
     got = {r["token"]: r["cnt"] for r in mg_heavy_hitters(df, "token", 5).collect()}
     n = len(rows)
     assert got == {7: 60, 42: 30} and all(c * 6 > n for c in got.values())
+
+
+def test_mg_heavy_hitters_weighted_exact_under_any_partitioning(spark):
+    """Weighted MG (mass = integral weights): exact GROUP BY/HAVING-on-
+    SUM equality under any partition layout, decrements active
+    (capacity << distinct keys)."""
+    from nyc_taxi_bigdata_pipeline_spark.operators.skew import (
+        mg_heavy_hitters_weighted,
+    )
+
+    rows = [("whale", 900_000), ("orca", 310_000)]
+    rows += [(f"fish{i:03d}", 1_000 + i) for i in range(300)]
+    rows += [("nullw", 0), (None, 50_000)]  # dropped: non-positive / null
+    df = spark.createDataFrame(rows, "k string, w long")
+    total = 900_000 + 310_000 + sum(1_000 + i for i in range(300))
+    cap = 8
+    expected = {
+        k: w
+        for k, w in rows
+        if k is not None and w > 0 and w * (cap + 1) > total
+    }
+    assert expected == {"whale": 900_000, "orca": 310_000}
+    for parts in (1, 7):
+        got = {
+            r["k"]: r["wsum"]
+            for r in mg_heavy_hitters_weighted(
+                df.repartition(parts), "k", "w", cap
+            ).collect()
+        }
+        assert got == expected

@@ -155,6 +155,8 @@ _SCALAR_ANCHOR_OK = {
                                   # the exact recount's threshold filter
     "text_bpe_encode_stats",      # 1-row corpus-totals × 1-row
                                   # distinct-subword anchors
+    "mg_heavy_hitters_weighted",  # 1-row total-mass anchor (same shape
+                                  # as the unweighted MG recount)
 }
 
 
