@@ -375,3 +375,59 @@ def text_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "distinct_subwords",
         )
     )
+
+
+def _cooc_docs_sql(engine: str, table: str) -> str:
+    """One corpus pass: distinct (doc, token) incidence — the relation
+    every later stage reads."""
+    unnest = D.unnest_col(D.split_ws("lower(trim(text))", engine), engine)
+    return (f"SELECT DISTINCT doc_id, tok FROM (SELECT doc_id, {unnest} AS tok"
+            f" FROM {table} WHERE text IS NOT NULL) t")
+
+
+def _cooc_read_sql(incidence: str) -> str:
+    """A-priori passes over the incidence relation: frequent singles
+    prune the self-join's input (downward closure — an infrequent token
+    can't appear in a frequent pair), then per-doc pair counts with the
+    same support cut. Engine-neutral SQL (COUNT/IN only)."""
+    return f"""
+    , n AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM {incidence}),
+    f AS (SELECT tok FROM {incidence} GROUP BY tok
+          HAVING COUNT(*) * 2 >= (SELECT nd FROM n)),
+    fd AS (SELECT doc_id, tok FROM {incidence}
+           WHERE tok IN (SELECT tok FROM f)),
+    p AS (SELECT a.tok AS tok_a, b.tok AS tok_b,
+                 CAST(COUNT(*) AS BIGINT) AS support
+          FROM fd a JOIN fd b ON a.doc_id = b.doc_id AND a.tok < b.tok
+          GROUP BY a.tok, b.tok)
+    SELECT tok_a, tok_b, support FROM p
+    WHERE support * 2 >= (SELECT nd FROM n)
+    ORDER BY support DESC, tok_a, tok_b"""
+
+
+@register(
+    "text_cooccurrence_pairs",
+    ("WITH d AS (" + _cooc_docs_sql(D.DUCK, "documents") + ")"
+     + _cooc_read_sql("d")),
+    doc="beyond-reference association mining: frequent token PAIRS at "
+        "50% document support — the first two A-priori passes "
+        "(frequent singles prune the pair self-join by downward "
+        "closure; on a Zipf vocabulary that prune is the whole game, "
+        "on the saturated fixture it is a no-op and the per-doc "
+        "self-join bound C(distinct_tokens_per_doc, 2) carries the "
+        "cost). Incidence relation materialized once on the Spark side "
+        "(CTE inlining would re-tokenize the corpus for each of its "
+        "four consumers); integer COUNT arithmetic, engine-exact",
+)
+def text_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "bq_cooc_docs"
+    )
+    d = spark.sql(
+        _cooc_docs_sql(D.SPARK, "bq_cooc_docs")
+    ).localCheckpoint(eager=False)
+    d.createOrReplaceTempView("bq_cooc_incidence")
+    return spark.sql(
+        "WITH d AS (SELECT doc_id, tok FROM bq_cooc_incidence)"
+        + _cooc_read_sql("d")
+    )
