@@ -431,3 +431,62 @@ def text_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WITH d AS (SELECT doc_id, tok FROM bq_cooc_incidence)"
         + _cooc_read_sql("d")
     )
+
+
+def _assoc_read_sql(incidence: str) -> str:
+    """Association rules a→b over the frequent-pair lattice:
+    confidence = sup(a,b)/sup(a), lift = nd·sup(a,b)/(sup(a)·sup(b)).
+    Both are SINGLE IEEE divisions of exact integers (bit-identical in
+    any engine); both rule directions emitted per pair."""
+    return f"""
+    , n AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM {incidence}),
+    s1 AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS sup1 FROM {incidence}
+           GROUP BY tok),
+    f AS (SELECT tok FROM s1 WHERE sup1 * 2 >= (SELECT nd FROM n)),
+    fd AS (SELECT doc_id, tok FROM {incidence}
+           WHERE tok IN (SELECT tok FROM f)),
+    p AS (SELECT a.tok AS tok_a, b.tok AS tok_b,
+                 CAST(COUNT(*) AS BIGINT) AS sup
+          FROM fd a JOIN fd b ON a.doc_id = b.doc_id AND a.tok < b.tok
+          GROUP BY a.tok, b.tok
+          HAVING COUNT(*) * 2 >= (SELECT nd FROM n)),
+    rules AS (
+      SELECT tok_a AS ante, tok_b AS cons, sup FROM p
+      UNION ALL
+      SELECT tok_b AS ante, tok_a AS cons, sup FROM p
+    )
+    SELECT r.ante, r.cons, r.sup,
+           CAST(r.sup AS DOUBLE) / sa.sup1 AS confidence,
+           CAST((SELECT nd FROM n) * r.sup AS DOUBLE)
+             / CAST(sa.sup1 * sc.sup1 AS DOUBLE) AS lift
+    FROM rules r
+    JOIN s1 sa ON sa.tok = r.ante
+    JOIN s1 sc ON sc.tok = r.cons
+    ORDER BY lift DESC, ante, cons
+    LIMIT 40"""
+
+
+@register(
+    "text_association_rules",
+    ("WITH d AS (" + _cooc_docs_sql(D.DUCK, "documents") + ")"
+     + _assoc_read_sql("d")),
+    doc="beyond-reference association mining, pass 3: rules a→b over "
+        "the frequent-pair lattice with confidence and lift — each a "
+        "SINGLE IEEE division of exact integer supports, so the "
+        "approximate-looking metrics still hash-match the oracle. "
+        "Same materialized-once incidence relation as "
+        "text_cooccurrence_pairs; top-40 by lift, deterministic "
+        "tiebreak",
+)
+def text_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "bq_assoc_docs"
+    )
+    d = spark.sql(
+        _cooc_docs_sql(D.SPARK, "bq_assoc_docs")
+    ).localCheckpoint(eager=False)
+    d.createOrReplaceTempView("bq_assoc_incidence")
+    return spark.sql(
+        "WITH d AS (SELECT doc_id, tok FROM bq_assoc_incidence)"
+        + _assoc_read_sql("d")
+    )
