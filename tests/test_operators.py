@@ -2174,3 +2174,66 @@ def test_mg_heavy_hitters_weighted_exact_under_any_partitioning(spark):
             ).collect()
         }
         assert got == expected
+
+
+# ------------------------------------------------- edit-distance join
+
+
+def _lev_bruteforce(spark, rows, k):
+    df = spark.createDataFrame(rows, "id long, s string")
+    a, b = df.alias("a"), df.alias("b")
+    return {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.levenshtein("a.s", "b.s").cast("int").alias("dist"),
+        )
+        .filter(F.col("dist") <= k)
+        .collect()
+    }
+
+
+def test_levenshtein_self_join_matches_bruteforce(spark):
+    """PassJoin segment blocking must be lossless: exact set equality
+    with brute-force all-pairs for k=1 and k=2 on a corpus mixing
+    natural words, near-dups, short strings (L <= k) and empties."""
+    from nyc_taxi_bigdata_pipeline_spark.operators.editdist import (
+        levenshtein_self_join,
+    )
+
+    words = [
+        "spark", "sparks", "spork", "shark", "sharp", "spar", "scar",
+        "analytics", "analytic", "analytcs", "anaiytics",
+        "pipeline", "pipelines", "pipelin", "pupeline",
+        "a", "b", "ab", "ba", "", "x", "xy", "abc", "abd", "acb",
+        "levenshtein", "levenstein", "levenshtien",
+        "deduplicate", "deduplicates", "reduplicate",
+    ]
+    rows = [(i, w) for i, w in enumerate(words)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    for k in (1, 2):
+        expected = _lev_bruteforce(spark, rows, k)
+        got = {
+            (r["id_a"], r["id_b"], r["dist"])
+            for r in levenshtein_self_join(df, "id", "s", k=k).collect()
+        }
+        assert got == expected
+        assert expected, f"fixture must contain pairs within k={k}"
+
+
+def test_levenshtein_self_join_partition_invariant(spark):
+    from nyc_taxi_bigdata_pipeline_spark.operators.editdist import (
+        levenshtein_self_join,
+    )
+
+    rows = [(i, f"token{i % 40:02d}x{i % 7}") for i in range(200)]
+    expected = _lev_bruteforce(spark, rows, 1)
+    df = spark.createDataFrame(rows, "id long, s string").repartition(13)
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in levenshtein_self_join(df, "id", "s", k=1).collect()
+    }
+    assert got == expected
+    assert expected
