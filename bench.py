@@ -20,7 +20,7 @@ from nyc_taxi_bigdata_pipeline_spark.session import get_spark
 
 
 def _calibration(spark) -> float:
-    """Fixed CPU-bound probe: seeded xxhash64 fold over range(5e7).
+    """Fixed CPU-bound probe: seeded xxhash64 fold over range(200M).
 
     Cross-round bench comparisons on this container died twice to
     20-40% host drift (r3, r4 verdicts) — identical code, different
@@ -33,7 +33,7 @@ def _calibration(spark) -> float:
 
     t0 = time.perf_counter()
     # bit_xor fold: forces every hash, can't ARITHMETIC_OVERFLOW under
-    # ANSI mode the way SUM of 5e7 random int64s does
+    # ANSI mode the way SUM of 200M random int64s does
     spark.range(200_000_000).select(
         F.xxhash64(F.col("id"), F.lit(42)).alias("h")
     ).agg(F.expr("bit_xor(h)")).collect()

@@ -9,7 +9,7 @@ blocking lossless end-to-end on a corpus that is deliberately
 adversarial for it: every ``Customer#`` name shares a constant 9-char
 prefix, so the prefix segment matches everything and candidates
 degenerate toward the length band (see the saturation note in the
-operator docstring; `scripts/bench_r5_editdist.py` measures the
+operator docstring; `scripts/bench_r6_editdist.py` measures the
 selective-corpus regime where blocking pays).
 """
 
@@ -28,7 +28,8 @@ SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
        CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
 FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
 WHERE abs(length(a.c_name) - length(b.c_name)) <= {_K}
-  AND levenshtein(a.c_name, b.c_name) <= {_K}"""
+  AND levenshtein(a.c_name, b.c_name) <= {_K}
+ORDER BY id_a, id_b"""
 
 
 @register(
@@ -40,4 +41,6 @@ WHERE abs(length(a.c_name) - length(b.c_name)) <= {_K}
 )
 def fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
-    return levenshtein_self_join(cust, "c_custkey", "c_name", k=_K)
+    return levenshtein_self_join(cust, "c_custkey", "c_name", k=_K).orderBy(
+        "id_a", "id_b"
+    )

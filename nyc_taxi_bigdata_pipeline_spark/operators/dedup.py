@@ -718,9 +718,13 @@ def dedup_incremental(
     ``bucket_cap`` caps the within-batch join. Exact verification
     decides every drop — LSH only proposes.
 
-    Id spaces of batch and corpus must be disjoint (asserted cheaply on
-    the candidate pairs: a shared id would verify a doc against itself
-    at jaccard 1.0 and silently drop it).
+    Id spaces of batch and corpus must be disjoint. This is the
+    CALLER's contract: shared ids are FILTERED from the candidate pairs
+    (the ``id_a != id_b`` backstop below), not asserted — a genuinely
+    reused id (same id, different text) is silently excluded from
+    cross-corpus verification rather than surfaced, so callers that
+    can't guarantee disjointness should pre-check with
+    ``new_docs.join(corpus_index, id, 'left_semi').isEmpty()``.
     """
     new_sigs = add_minhash(
         new_docs.select(id_col, text_col), text_col, num_hashes, id_col

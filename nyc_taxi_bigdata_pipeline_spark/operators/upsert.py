@@ -132,15 +132,22 @@ def snapshot_diff(
     xxhash64 fold of the compare columns (computed BEFORE the join, so
     the shuffle carries key + 8 bytes per side instead of both rowsets'
     full width -- at 100 TB the diff costs the same as a count join
-    regardless of row width). NULL-safe: values hash through a
-    canonical string form with a NULL sentinel.
+    regardless of row width). NULL-safe: each compare column contributes
+    an explicit isNull flag alongside its canonical string form, so a
+    NULL can never collide with any real string value (an in-band
+    sentinel like ``' null'`` would hash a NULL -> ``' null'`` transition
+    as unchanged).
     """
     key = list(key)
 
     def fold(df: DataFrame, tag: str) -> DataFrame:
         h = F.xxhash64(*[
-            F.coalesce(F.col(c).cast("string"), F.lit(" null"))
+            part
             for c in compare_cols
+            for part in (
+                F.col(c).isNull().cast("int"),
+                F.coalesce(F.col(c).cast("string"), F.lit("")),
+            )
         ])
         return df.select(*key, h.alias(f"__h_{tag}"), F.lit(1).alias(f"__in_{tag}"))
 

@@ -1655,6 +1655,26 @@ def test_snapshot_diff_statuses_and_null_safety(spark):
                    4: "unchanged", 5: "added"}
 
 
+def test_snapshot_diff_null_vs_sentinel_string(spark):
+    """A NULL -> literal-sentinel-string transition must read `changed`:
+    in-band sentinels (the r5 ADVICE finding) hash NULL and the string
+    ' null' identically; the isNull-flag hash must distinguish them,
+    including for values that are empty strings."""
+    from nyc_taxi_bigdata_pipeline_spark.operators.upsert import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, " null"), (3, None), (4, "")],
+        "k long, s string",
+    )
+    new = spark.createDataFrame(
+        [(1, " null"), (2, None), (3, ""), (4, None)],
+        "k long, s string",
+    )
+    got = {r["k"]: r["diff_status"]
+           for r in snapshot_diff(old, new, ["k"], ["s"]).collect()}
+    assert got == {1: "changed", 2: "changed", 3: "changed", 4: "changed"}
+
+
 def test_key_skew_profile_zipf_diagnostics(spark):
     """Hot key surfaces at rank 1 with the right share/ratio arithmetic;
     a uniform frame reads skew_ratio == 1.0."""

@@ -53,3 +53,33 @@ def test_contract_shapes():
     qs, os_ = e.queries(), e.oracle_sql()
     assert set(os_) <= set(qs)
     assert len(qs) >= 10
+
+
+def test_rotation_always_covers_full_registry(monkeypatch):
+    """The driver-sample rotation reorders queries()/oracle_sql() by
+    globbing committed CORRECTNESS_r*.json files — but the PUBLIC
+    contract must stay total and internally consistent no matter what
+    those files contain (missing, empty, malformed, or naming unknown
+    queries)."""
+    import __spark_entry__ as e
+
+    def check_total():
+        qs, os_ = e.queries(), e.oracle_sql()
+        assert set(qs) == set(REGISTRY)
+        assert set(os_) == {n for n in REGISTRY if REGISTRY[n].oracle}
+        # both dicts share one insertion order
+        assert [n for n in qs if n in os_] == list(os_)
+        return list(qs)
+
+    baseline = check_total()
+
+    # no CORRECTNESS files at all -> stale-free, still total
+    monkeypatch.setattr(e, "_driver_checked", lambda: set())
+    no_files = check_total()
+    assert set(no_files) == set(baseline)
+
+    # malformed / alien content -> ignored names don't evict real ones
+    monkeypatch.setattr(
+        e, "_driver_checked", lambda: {"not_a_real_query", "pricing_summary"}
+    )
+    check_total()
