@@ -713,25 +713,113 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    index=None,
+    train_fraction: float | None = None,
 ) -> DataFrame:
-    """Full SemDeDup: within-cluster cosine pairs → connected-component
-    collapse (operators/dedup.dedup_clusters — the same label
-    propagation the MinHash chain uses) → every vector labeled with its
-    ``canonical_id`` (smallest reachable id) and ``is_dup``. Keep rows
-    where ``is_dup`` is false to deduplicate the corpus."""
-    from .dedup import dedup_clusters
+    """Full SemDeDup: every vector labeled with its ``canonical_id``
+    (smallest reachable id through >=threshold cosine edges) and
+    ``is_dup``. Keep rows where ``is_dup`` is false to deduplicate.
 
-    pairs = semantic_dup_pairs(
-        corpus, threshold, n_cells, id_col=id_col, vec_col=vec_col, seed=seed
-    )
-    clusters = dedup_clusters(pairs, id_col=id_col)
-    labeled = corpus.select(id_col).join(
-        clusters.withColumnRenamed(id_col, "__cid"),
-        F.col(id_col) == F.col("__cid"),
-        "left",
-    )
-    return labeled.select(
-        id_col,
-        F.coalesce(F.col("cluster"), F.col(id_col)).alias("canonical_id"),
-        (F.coalesce(F.col("cluster"), F.col(id_col)) != F.col(id_col)).alias("is_dup"),
-    )
+    Collapse shape: SemDeDup's IVF cells PARTITION the corpus, so every
+    similarity edge it considers is within-cell — the global component
+    structure IS the per-cell one. Components are therefore computed
+    inside the same Arrow task as the similarity matmul (blockwise
+    row-band matmul + union-find over the edges it yields), emitting
+    ONE row per vector. The previous shape — materialize all pairs,
+    then iterative global label propagation (dedup_clusters) — shuffled
+    O(edges) rows and ran a multi-round driver loop; at 800k vecs /
+    eps=0.35 that was 32M edges and ~1,700 s for byte-identical output
+    (r5 verdict #5). Equivalence with the pairs→dedup_clusters path is
+    pinned by ``tests/test_similarity.py``.
+
+    Per-task memory is O(block × cell) floats (block=2048), not
+    O(cell²); scale ``n_cells`` with the corpus as the SemDeDup recipe
+    prescribes so cells stay bounded. The union-find's Python loop runs
+    only over component-MERGING edges (≤ cell_size − 1 total): each
+    block's edge endpoints are root-resolved VECTORIZED first and
+    same-root edges masked out, so dup-dense cells (where almost every
+    edge is intra-component after the first block) cost numpy time, not
+    Python-per-edge time."""
+    if index is not None:
+        assigned, _ = index
+    elif n_cells == 1:
+        assigned = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            F.lit(0).alias("cell"),
+        )
+    else:
+        assigned, _ = ivf_build(
+            corpus, n_cells, id_col, vec_col, seed, train_fraction=train_fraction
+        )
+    id_t = _id_dtype(corpus, id_col)
+    schema = f"{id_col} {id_t}, canonical_id {id_t}, is_dup boolean"
+
+    def collapse(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["neighbor_id"].to_numpy()
+        n = len(ids)
+        if n == 0:
+            return pd.DataFrame({id_col: [], "canonical_id": [], "is_dup": []})
+        if n == 1:
+            return pd.DataFrame(
+                {id_col: ids, "canonical_id": ids, "is_dup": [False]}
+            )
+        mat = np.array(pdf["c_vec"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        nm = mat / norms[:, None]
+        parent = np.arange(n)
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        def roots_of(x: np.ndarray) -> np.ndarray:
+            r = parent[x]
+            while True:
+                p = parent[r]
+                if np.array_equal(p, r):
+                    return r
+                r = p
+
+        block = 2048
+        for r0 in range(0, n, block):
+            r1 = min(r0 + block, n)
+            sims = nm[r0:r1] @ nm.T  # (block, n)
+            rows, cols = np.nonzero(sims >= threshold)
+            rows = rows + r0
+            upper = cols > rows  # i < j once, no self edges
+            rows, cols = rows[upper], cols[upper]
+            if len(rows) == 0:
+                continue
+            merging = roots_of(rows) != roots_of(cols)
+            for i, j in zip(rows[merging], cols[merging]):
+                ri, rj = find(int(i)), find(int(j))
+                if ri != rj:
+                    parent[rj] = ri
+            # full path compression keeps the vectorized chase shallow
+            r = parent
+            while True:
+                p = parent[r]
+                if np.array_equal(p, r):
+                    break
+                r = p
+            parent = r
+        roots = np.array([find(i) for i in range(n)])
+        # canonical = min id within each component
+        order = np.argsort(roots, kind="stable")
+        canon = np.empty(n, dtype=ids.dtype)
+        sorted_roots = roots[order]
+        boundaries = np.concatenate(
+            ([0], np.nonzero(np.diff(sorted_roots))[0] + 1, [n])
+        )
+        for b0, b1 in zip(boundaries[:-1], boundaries[1:]):
+            members = order[b0:b1]
+            canon[members] = ids[members].min()
+        return pd.DataFrame(
+            {id_col: ids, "canonical_id": canon, "is_dup": canon != ids}
+        )
+
+    return assigned.groupBy("cell").applyInPandas(collapse, schema)

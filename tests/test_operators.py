@@ -1804,6 +1804,37 @@ def test_semantic_dedup_cell_blocking_and_labels(spark, sf_dir):
         assert r["is_dup"] == (r["canonical_id"] != r["vec_id"])
 
 
+def test_semantic_dedup_matches_pairs_plus_global_collapse(spark, sf_dir):
+    """The in-task per-cell union-find must produce EXACTLY the labels
+    of the former shape (materialize pairs -> global dedup_clusters
+    label propagation): cells partition the corpus, so all SemDeDup
+    edges are within-cell and the global component structure is the
+    per-cell one. Same seed -> same KMeans cells on both paths."""
+    from nyc_taxi_bigdata_pipeline_spark.operators.dedup import dedup_clusters
+    from nyc_taxi_bigdata_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dup_pairs,
+    )
+    from nyc_taxi_bigdata_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    for cells in (1, 8):
+        pairs = semantic_dup_pairs(emb, threshold=0.35, n_cells=cells)
+        old_clusters = {
+            r["vec_id"]: r["cluster"]
+            for r in dedup_clusters(pairs, id_col="vec_id").collect()
+        }
+        expected = {
+            r["vec_id"]: old_clusters.get(r["vec_id"], r["vec_id"])
+            for r in emb.select("vec_id").collect()
+        }
+        got = {
+            r["vec_id"]: r["canonical_id"]
+            for r in semantic_dedup(emb, threshold=0.35, n_cells=cells).collect()
+        }
+        assert got == expected
+
+
 def test_resize_bilinear_kernel_math():
     """Pinned bilinear geometry: constants stay constant, a 2x block
     downsample equals exact block means (half-pixel centers sample at
