@@ -169,6 +169,86 @@ def unigram_logprob_features(
     )
 
 
+def bigram_logprob_features(
+    df: DataFrame, id_col: str = "doc_id", col: str = "text",
+    low_quality_cutoff_fp: int = -9_000_000,
+) -> DataFrame:
+    """Bigram-LM quality score per document: average conditional token
+    log-probability ln P(w_i | w_{i-1}) under the corpus's own add-one
+    bigram model, P = (C2(w1,w2)+1) / (C1(w1)+V). The bigram sibling of
+    :func:`unigram_logprob_features` — it additionally penalizes docs
+    whose TOKEN ORDER the corpus finds improbable (shuffled/templated
+    text scores low here while its unigram score can look normal).
+
+    Same fixed-point discipline: each bigram's log snaps to micro-nats
+    (FLOOR(ln((C2+1)/(C1+V))·1e6 + 0.5) AS BIGINT — ONE division of
+    exact integers, then one ln), the per-doc SUM is exact-integer, and
+    only the final reported average divides back to double, so both
+    engines hash-match. Docs with < 2 tokens have no bigrams and are
+    absent from the result (callers union a default if needed).
+
+    Shape: bigram extraction is exploded-position codegen (no array
+    lambdas), the C2/C1 dims are vocabulary-shaped with NO broadcast
+    hint (Heaps' law — AQE decides), and the corpus shuffles once on
+    the doc id for the final fold."""
+    base = F.trim(F.col(col))
+    toks_arr = F.split(F.lower(base), " ")
+    toks = df.filter(F.col(col).isNotNull()).select(
+        F.col(id_col), F.explode(toks_arr).alias("tok")
+    )
+    uni = toks.groupBy("tok").agg(F.count("*").cast("bigint").alias("c1"))
+    vocab = uni.agg(F.count("*").cast("bigint").alias("v"))
+
+    pos = df.filter(F.col(col).isNotNull()).select(
+        F.col(id_col),
+        toks_arr.alias("__t"),
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size(toks_arr) - 1, F.lit(1)))
+        ).alias("__i"),
+    ).filter(F.col("__i") + 1 <= F.size("__t"))
+    bigrams = pos.select(
+        id_col,
+        F.element_at("__t", F.col("__i")).alias("w1"),
+        F.element_at("__t", F.col("__i") + 1).alias("w2"),
+    )
+    c2 = bigrams.groupBy("w1", "w2").agg(
+        F.count("*").cast("bigint").alias("c2")
+    )
+    fp = (
+        bigrams.join(c2, ["w1", "w2"])
+        .join(uni.withColumnRenamed("tok", "w1"), "w1")
+        .join(F.broadcast(vocab))
+        .select(
+            id_col,
+            F.floor(
+                F.log(
+                    (F.col("c2") + 1).cast("double")
+                    / (F.col("c1") + F.col("v")).cast("double")
+                )
+                * 1_000_000.0
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("fp_log"),
+        )
+    )
+    per_doc = fp.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.sum("fp_log").alias("__fp_sum"),
+    )
+    return per_doc.select(
+        id_col,
+        "n_bigrams",
+        (
+            F.col("__fp_sum").cast("double")
+            / (F.col("n_bigrams").cast("double") * 1_000_000.0)
+        ).alias("avg_logprob"),
+        (
+            F.col("__fp_sum") < F.lit(low_quality_cutoff_fp) * F.col("n_bigrams")
+        ).alias("low_quality"),
+    )
+
+
 def tfidf_vectors(
     df: DataFrame,
     col: str = "text",

@@ -2288,3 +2288,116 @@ def test_levenshtein_self_join_partition_invariant(spark):
     }
     assert got == expected
     assert expected
+
+
+# ------------------------------------------------- BM25 / bigram LM
+
+
+def test_bm25_topk_matches_python_reference(spark):
+    """Exact fixed-point agreement with a pure-Python BM25 (k1=1.2,
+    b=0.75, Lucene positive IDF), including the rational-integer
+    clearing of avgdl and the (score desc, id asc) tiebreak."""
+    import math
+
+    from nyc_taxi_bigdata_pipeline_spark.operators.search import bm25_topk
+
+    docs = [
+        (1, "hash join hash table build probe"),
+        (2, "sort merge join spill"),
+        (3, "scan filter pushdown column prune scan scan"),
+        (4, "hash aggregate partial merge"),
+        (5, "broadcast hash join small build side"),
+        (6, "window rank partition order"),
+    ]
+    queries = [(1, "hash join"), (2, "scan filter"), (3, "merge")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    # ---- python reference
+    toks = {d: t.split() for d, t in docs}
+    tf = {d: {} for d, _ in docs}
+    for d, ts in toks.items():
+        for t in ts:
+            tf[d][t] = tf[d].get(t, 0) + 1
+    dl = {d: len(ts) for d, ts in toks.items()}
+    nd = len(docs)
+    tt = sum(dl.values())
+    dfreq = {}
+    for d in tf:
+        for t in tf[d]:
+            dfreq[t] = dfreq.get(t, 0) + 1
+
+    def fp_term(t, d):
+        f = tf[d].get(t, 0)
+        if f == 0 or t not in dfreq:
+            return None
+        idf = math.log(1.0 + (2 * (nd - dfreq[t]) + 1) / (2 * dfreq[t] + 1))
+        part = (22 * f * tt) / (10 * f * tt + 3 * tt + 9 * dl[d] * nd)
+        return math.floor(idf * part * 1_000_000.0 + 0.5)
+
+    expected = {}
+    for qid, qtext in queries:
+        scores = {}
+        for d, _ in docs:
+            s = [fp_term(t, d) for t in set(qtext.split())]
+            s = [x for x in s if x is not None]
+            if s:
+                scores[d] = sum(s)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        for rank, (d, fp) in enumerate(ranked[:3], 1):
+            expected[(qid, d)] = (fp / 1_000_000.0, rank)
+
+    got = {
+        (r["query_id"], r["doc_id"]): (r["score"], r["rank"])
+        for r in bm25_topk(spark, df, queries, k=3).collect()
+    }
+    assert got == expected
+    assert expected
+
+
+def test_bigram_logprob_matches_python_reference(spark):
+    """Exact fixed-point agreement with a pure-Python add-one bigram LM;
+    single-token docs are absent (no bigrams) by contract."""
+    import math
+
+    from nyc_taxi_bigdata_pipeline_spark.operators.text import (
+        bigram_logprob_features,
+    )
+
+    docs = [
+        (1, "the quick fox jumps the quick dog"),
+        (2, "the quick fox"),
+        (3, "dog jumps dog jumps dog"),
+        (4, "solo"),
+        (5, None),
+        (6, "quick the quick the"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    toks = {d: t.lower().split() for d, t in docs if t is not None}
+    uni, c2 = {}, {}
+    for ts in toks.values():
+        for t in ts:
+            uni[t] = uni.get(t, 0) + 1
+        for a, b in zip(ts, ts[1:]):
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+    v = len(uni)
+
+    expected = {}
+    for d, ts in toks.items():
+        fps = [
+            math.floor(
+                math.log((c2[(a, b)] + 1) / (uni[a] + v)) * 1_000_000.0 + 0.5
+            )
+            for a, b in zip(ts, ts[1:])
+        ]
+        if not fps:
+            continue
+        s, n = sum(fps), len(fps)
+        expected[d] = (n, s / (n * 1_000_000.0), s < -9_000_000 * n)
+
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logprob"], r["low_quality"])
+        for r in bigram_logprob_features(df, "doc_id", "text").collect()
+    }
+    assert got == expected
+    assert 4 not in got and 5 not in got

@@ -157,6 +157,10 @@ _SCALAR_ANCHOR_OK = {
                                   # distinct-subword anchors
     "mg_heavy_hitters_weighted",  # 1-row total-mass anchor (same shape
                                   # as the unweighted MG recount)
+    "text_bm25_topk",             # 1-row (N_docs, total_tokens) corpus
+                                  # anchor folded into every posting
+    "text_bigram_logprob",        # 1-row vocabulary-size anchor (same
+                                  # shape as text_unigram_logprob)
 }
 
 
