@@ -31,5 +31,6 @@ from . import dq  # noqa: E402,F401
 from . import rows_only  # noqa: E402,F401
 from . import fuzzy_ops  # noqa: E402,F401
 from . import search_ops  # noqa: E402,F401
+from . import stats_ops  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query", "register", "sx"]

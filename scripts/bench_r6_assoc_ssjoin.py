@@ -52,7 +52,12 @@ def zipf_docs(spark, n_docs: int, toks_per_doc: int = 20):
     u = (
         "(CAST(pmod(xxhash64(id, j), 1000000) AS DOUBLE) + 0.5) / 1000000.0"
     )
-    tok = f"concat('t', CAST(least(CAST(pow(1.0 - {u}, -5.0) AS BIGINT), 99999999) AS STRING))"
+    # clamp in DOUBLE before the BIGINT cast — ANSI mode raises
+    # CAST_OVERFLOW for u near 1 (pow -> 1e30) if cast first
+    tok = (
+        f"concat('t', CAST(CAST(least(pow(1.0 - {u}, -5.0), 99999999.0)"
+        f" AS BIGINT) AS STRING))"
+    )
     return (
         spark.range(n_docs)
         .select(
