@@ -24,15 +24,15 @@ from nyc_taxi_bigdata_pipeline_spark.session import ensure_engine_confs  # noqa:
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # Long-green continuity anchors, kept at the front of every round's
-# correctness sample (plus anti_join_inactive, whose r2–r4 rows were
-# vacuous 0==0 matches — its fixed, non-empty form needs a driver row).
+# correctness sample. Trimmed 6 -> 4 in r6: daily_series and
+# anti_join_inactive earned their (non-vacuous) green rows in r05, and
+# the two freed slots let the 50-row window cover ALL 46 never-checked
+# queries (41 r5 stragglers + 5 r6 additions) in one round.
 _ANCHORS = (
     "pricing_summary",
     "kpi_global",
     "region_revenue",
-    "daily_series",
     "dedup_minhash_bands",
-    "anti_join_inactive",
 )
 
 

@@ -461,3 +461,56 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
     )
+
+
+@register(
+    "audio_spectrogram_stats",
+    None,
+    doc="training-data ext (rows-only): REAL audio DSP — deterministic "
+        "PCM WAV payloads (one multi-tone clip per doc_id, stdlib "
+        "encode) are decoded and Hann-windowed STFT power spectrograms "
+        "computed per partition (operators/multimodal.stft_power — "
+        "pinned against a direct O(n^2) DFT in tests); per-clip "
+        "spectral descriptors (centroid/bandwidth/flatness/8-band "
+        "energy) aggregate by dominant band. Only ~100 bytes/clip "
+        "shuffle — the blob never leaves its partition (FFT is not "
+        "SQL-expressible; kernel exactness is pinned in pytest)",
+)
+def audio_spectrogram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import audio_spectrograms, encode_wav
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        # one 0.25 s 16 kHz clip per doc: a doc-keyed fundamental in
+        # [200, 7800) Hz plus a quieter fixed 1 kHz tone (no RNG)
+        rate, n = 16000, 4000
+        t = np.arange(n, dtype=np.float64) / rate
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                f0 = 200.0 + (d * 997) % 7600
+                x = np.sin(2 * np.pi * f0 * t) + 0.3 * np.sin(
+                    2 * np.pi * 1000.0 * t
+                )
+                samples = np.round(x / 1.3 * 30000).astype(np.int16)
+                out.append((str(d), "audio", bytearray(encode_wav(samples, rate))))
+            yield pd.DataFrame(out, columns=["media_id", "kind", "content"])
+
+    media = docs.mapInPandas(
+        synth, "media_id string, kind string, content binary"
+    )
+    specs = audio_spectrograms(media)
+    return (
+        specs.groupBy("dominant_band")
+        .agg(
+            F.count("*").cast("long").alias("clips"),
+            F.avg("centroid_hz").alias("avg_centroid_hz"),
+            F.avg("flatness").alias("avg_flatness"),
+        )
+        .orderBy("dominant_band")
+    )

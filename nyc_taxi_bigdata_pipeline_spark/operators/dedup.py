@@ -479,6 +479,18 @@ def jaccard_join_prefix(
     by freq, prefix, and sizes under different keys, so it is lazily
     localCheckpointed once inside the operator (exchange reuse cannot
     dedup differently-keyed consumers — CLAUDE.md).
+
+    The freq / sizes / candidate joins carry explicit ``merge`` hints:
+    every one of those frames SCALES WITH THE CORPUS (vocabulary by
+    Heaps' law, sizes one row per doc, prefix rows ~sz/5 per doc), so a
+    broadcast plan is wrong at scale by construction — and Spark's
+    static size estimation under-reads aggregates downstream of
+    checkpointed (LogicalRDD) sources, statically planning exactly
+    those broadcasts: measured at a 500k-doc probe corpus, the driver
+    died building them ("Not enough memory to build and broadcast")
+    while the same code at 50k ran fine. AQE cannot rescue a
+    statically-planned broadcast (there is no shuffle boundary to
+    re-observe). Sort-merge is the honest strategy for large-large.
     """
     from pyspark.sql import Window
 
@@ -490,9 +502,9 @@ def jaccard_join_prefix(
     freq = sh.groupBy("__h").agg(F.count("*").alias("__f"))
     w = Window.partitionBy(id_col).orderBy(F.asc("__f"), F.asc("__h"))
     ranked = (
-        sh.join(freq, "__h")
+        sh.join(freq.hint("merge"), "__h")
         .withColumn("__rn", F.row_number().over(w))
-        .join(sizes, id_col)
+        .join(sizes.hint("merge"), id_col)
         .filter(
             F.col("__rn")
             <= F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz")) + 1
@@ -521,7 +533,7 @@ def jaccard_join_prefix(
         * (F.col("__sz_a") + F.col("__sz_b")).cast("double")
     )
     cand = (
-        a.join(b, "__h")
+        a.join(b.hint("merge"), "__h")
         .filter(
             (F.col("id_a") < F.col("id_b"))
             & (

@@ -2401,3 +2401,98 @@ def test_bigram_logprob_matches_python_reference(spark):
     }
     assert got == expected
     assert 4 not in got and 5 not in got
+
+
+# ------------------------------------------------- audio spectrograms
+
+
+def test_stft_power_matches_direct_dft():
+    """The rfft backend is pinned against a direct O(n^2) DFT on a
+    deterministic multi-tone signal — an fft library change that alters
+    values gets caught here, not downstream."""
+    import numpy as np
+
+    from nyc_taxi_bigdata_pipeline_spark.operators.multimodal import stft_power
+
+    n_fft, hop = 64, 32
+    t = np.arange(400, dtype=np.float64)
+    x = np.sin(2 * np.pi * 0.11 * t) + 0.5 * np.cos(2 * np.pi * 0.31 * t + 1.0)
+    got = stft_power(x, n_fft=n_fft, hop=hop)
+    window = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(n_fft) / n_fft)
+    n_frames = 1 + (len(x) - n_fft) // hop
+    assert got.shape == (n_frames, n_fft // 2 + 1)
+    k = np.arange(n_fft // 2 + 1)[:, None]
+    m = np.arange(n_fft)[None, :]
+    dft = np.exp(-2j * np.pi * k * m / n_fft)  # (bins, n_fft)
+    for f in range(n_frames):
+        frame = x[f * hop: f * hop + n_fft] * window
+        ref = np.abs(dft @ frame) ** 2
+        assert np.allclose(got[f], ref, rtol=1e-9, atol=1e-9)
+
+
+def test_spectrogram_features_pure_tone_and_silence():
+    """A pure tone's centroid lands on its frequency (±1 bin), its
+    energy lands in the right band, flatness is near 0; silence and
+    too-short clips return zero stats; band fractions sum to 1."""
+    import numpy as np
+
+    from nyc_taxi_bigdata_pipeline_spark.operators.multimodal import (
+        spectrogram_features,
+    )
+
+    rate, n_fft = 16000, 256
+    # 3.5 kHz = bin 56, the CENTER of band 3 (bins 48..64 of 129) — a
+    # band-edge tone (e.g. 3 kHz = bin 48) legitimately leaks across
+    # the boundary via Hann sidelobes
+    f_tone = 3500.0
+    t = np.arange(8000, dtype=np.float64) / rate
+    tone = np.sin(2 * np.pi * f_tone * t)
+    feats = spectrogram_features(tone, rate, n_fft=n_fft, n_bands=8)
+    n_frames, centroid, bandwidth, flatness = feats[:4]
+    bands = feats[4:]
+    assert n_frames == 1 + (8000 - 256) // 128
+    assert abs(centroid - f_tone) < rate / n_fft  # within one bin
+    assert flatness < 0.01
+    assert abs(bands.sum() - 1.0) < 1e-12
+    # 3.5 kHz of an 8 kHz Nyquist with 8 bands (1 kHz each) -> band 3
+    assert np.argmax(bands) == 3 and bands[3] > 0.95
+
+    silent = spectrogram_features(np.zeros(4000), rate)
+    assert silent[0] == 1 + (4000 - 256) // 128  # frames still counted
+    assert (silent[1:] == 0).all()  # spectral stats zeroed
+    assert (spectrogram_features(np.zeros(10), rate) == 0).all()  # < 1 frame
+
+
+def test_audio_spectrograms_dataframe_roundtrip(spark):
+    """WAV encode -> Spark decode/spectrogram matches the local kernel
+    exactly, and the blobless output schema carries the dominant band."""
+    import numpy as np
+
+    from nyc_taxi_bigdata_pipeline_spark.operators.multimodal import (
+        audio_spectrograms,
+        encode_wav,
+        spectrogram_features,
+    )
+
+    rate = 16000
+    clips = {}
+    rows = []
+    for i, f_tone in enumerate([500.0, 2500.0, 6500.0]):
+        t = np.arange(6000, dtype=np.float64) / rate
+        x = np.round(np.sin(2 * np.pi * f_tone * t) * 30000).astype(np.int16)
+        clips[str(i)] = x
+        rows.append((str(i), "audio", bytearray(encode_wav(x, rate))))
+    media = spark.createDataFrame(
+        rows, "media_id string, kind string, content binary"
+    ).repartition(3)
+    got = {r["media_id"]: r for r in audio_spectrograms(media).collect()}
+    assert set(got) == set(clips)
+    for mid, x in clips.items():
+        ref = spectrogram_features(x.astype(np.float64) / 32768.0, rate)
+        r = got[mid]
+        assert r["n_frames"] == int(ref[0])
+        assert abs(r["centroid_hz"] - ref[1]) < 1e-9
+        assert abs(r["bandwidth_hz"] - ref[2]) < 1e-9
+        assert r["dominant_band"] == int(np.argmax(ref[4:]))
+    # expected dominant bands for 500/2500/6500 Hz at 1 kHz bands
+    assert [got[k]["dominant_band"] for k in ["0", "1", "2"]] == [0, 2, 6]
