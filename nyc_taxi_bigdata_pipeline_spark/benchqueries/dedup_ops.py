@@ -355,3 +355,60 @@ def dedup_ssjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     return jaccard_join_prefix(docs, threshold=0.8).orderBy("id_a", "id_b")
+
+
+def _components_oracle(table: str) -> str:
+    """Transitive closure via WITH RECURSIVE over the same brute-force
+    near-dup pair SQL as `_ssjoin_oracle` — DuckDB can express the
+    component collapse declaratively (Spark SQL has no recursive CTE,
+    which is exactly why the Spark side is the iterative min-label
+    operator). Closure is feasible because the near-dup GRAPH is tiny
+    even when the corpus isn't."""
+    return f"""
+    WITH RECURSIVE pos AS (
+      SELECT doc_id, text, unnest(range(1, greatest(len(text) - 4, 1) + 1)) AS i
+      FROM {table} WHERE text IS NOT NULL
+    ),
+    sh AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS g FROM pos),
+    sz AS (SELECT doc_id, COUNT(*) AS s FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sz sa ON sa.doc_id = id_a
+      JOIN sz sb ON sb.doc_id = id_b
+      WHERE CAST(i AS DOUBLE) / (sa.s + sb.s - i) >= 0.8
+    ),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(src, dst) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    )
+    SELECT src AS doc_id, MIN(dst) AS cluster
+    FROM reach GROUP BY src ORDER BY doc_id"""
+
+
+@register(
+    "dedup_components",
+    _components_oracle("documents"),
+    doc="training-data ext: connected-component collapse of the exact "
+        "near-dup pair graph (operators/dedup.dedup_clusters — the "
+        "iterative min-label propagation every dedup chain ends with) "
+        "pinned against a DECLARATIVE oracle: DuckDB's WITH RECURSIVE "
+        "transitive closure over the same brute-force pair SQL. "
+        "Hash-equality proves the fixpoint loop computes true "
+        "components, upgrading the collapse from rows-only to "
+        "oracle-backed",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import dedup_clusters, jaccard_join_prefix
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    pairs = jaccard_join_prefix(docs, threshold=0.8)
+    return dedup_clusters(pairs, id_col="doc_id").orderBy("doc_id")
