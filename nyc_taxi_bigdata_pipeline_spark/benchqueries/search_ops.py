@@ -76,6 +76,7 @@ def _bm25_sql(engine: str, table: str) -> str:
         "per-doc SUM exact-integer, so the oracle hash-matches; scoring "
         "touches only the query terms' postings via a broadcast "
         "semi-join, never the corpus (operators/search.py)",
+    bench=True,
 )
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.search import bm25_topk

@@ -537,3 +537,57 @@ def mg_heavy_hitters_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mgw(src, "o_orderpriority", "__fw", _MG_CAP).orderBy(
         F.desc("wsum"), F.asc("o_orderpriority")
     )
+
+
+# ------------------------------------------- CMS self-join size estimate
+
+
+def _selfjoin_size_sql(engine: str, table: str) -> str:
+    """Self-join output size Σ_k f(k)² — THE quantity that decides
+    whether a key-equi self-join blows up on a skewed key (the
+    working-notes interval-join cliff is exactly an under-estimated
+    Σf²) — estimated from the CMS counter matrix WITHOUT touching the
+    pair space: for each hash row, Σ_buckets c(seed,b)² upper-bounds
+    the true inner product (colliding keys only ADD cross terms), and
+    MIN over the d rows is the classic one-sided CMS inner-product
+    estimate (Cormode & Muthukrishnan '05). All integer SUM/MIN on
+    portable-hash buckets; the exact Σf² rides along so the
+    overestimate is visible."""
+    seeds = D.unnest_col(D.iseq("0", str(_CMS_D - 1), engine), engine)
+    str_t = "STRING" if engine == D.SPARK else "VARCHAR"
+    keyed = f"CONCAT(CAST(seed AS {str_t}), '#', CAST(user_id AS {str_t}))"
+    bkt = f"({D.h64(keyed, engine)} % {_CMS_W})"
+    return f"""
+    WITH kc AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM {table} WHERE user_id IS NOT NULL GROUP BY user_id),
+    exact AS (SELECT CAST(SUM(cnt * cnt) AS BIGINT) AS exact_pairs FROM kc),
+    seeded AS (SELECT user_id, cnt, {seeds} AS seed FROM kc),
+    counters AS (
+      SELECT seed, {bkt} AS bucket, CAST(SUM(cnt) AS BIGINT) AS c
+      FROM seeded GROUP BY seed, {bkt}
+    ),
+    per_seed AS (
+      SELECT seed, CAST(SUM(c * c) AS BIGINT) AS ip FROM counters GROUP BY seed
+    ),
+    est AS (SELECT CAST(MIN(ip) AS BIGINT) AS cms_estimate FROM per_seed)
+    SELECT exact_pairs, cms_estimate,
+           CAST(cms_estimate - exact_pairs AS BIGINT) AS overestimate
+    FROM exact CROSS JOIN est"""
+
+
+@register(
+    "cms_selfjoin_size",
+    _selfjoin_size_sql(D.DUCK, "events"),
+    doc="beyond-reference sketch algebra: self-join SIZE estimation via "
+        "the CMS inner product — Σf(k)² (the blow-up predictor for any "
+        "key-equi self-join on a skewed key) read from the d×w counter "
+        "matrix at vocabulary cost, never materializing a pair; MIN "
+        "over hash rows of Σ c² is the one-sided Cormode-Muthukrishnan "
+        "estimate, and the exact Σf² rides along so overestimate ≥ 0 "
+        "is checkable. Pure integer arithmetic, engine-exact",
+)
+def cms_selfjoin_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "bq_cmssj_events"
+    )
+    return spark.sql(_selfjoin_size_sql(D.SPARK, "bq_cmssj_events"))

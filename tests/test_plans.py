@@ -121,6 +121,31 @@ def test_fuzzy_join_no_theta_nested_loop(spark, sf_dir):
     assert "NestedLoop" not in plan and "Cartesian" not in plan
 
 
+def test_ssjoin_corpus_joins_never_broadcast(spark, sf_dir):
+    """jaccard_join_prefix's freq/sizes/candidate joins must plan
+    SortMergeJoin, never broadcast: every one of those frames scales
+    with the corpus, and Spark's static estimator under-reads
+    aggregates downstream of checkpointed sources — it statically
+    planned broadcasts that OOM'd the driver at a 500k-doc probe
+    corpus (bench_r6_assoc_ssjoin; AQE can't re-plan a static
+    broadcast). The merge hints pin the honest large-large strategy."""
+    import pyspark.sql.functions as F
+
+    from nyc_taxi_bigdata_pipeline_spark.operators.dedup import (
+        jaccard_join_prefix,
+    )
+    from nyc_taxi_bigdata_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    # the checkpointed-source shape that mis-estimates: same as the
+    # probe corpora and any iterative pipeline handing over a frame
+    docs = spark.createDataFrame(docs.limit(50).collect(), docs.schema)
+    plan = physical_plan(jaccard_join_prefix(docs, threshold=0.8))
+    assert plan.count("SortMergeJoin") >= 3, plan[:2000]
+
+
 # queries that legitimately plan a BroadcastNestedLoopJoin: a 1-row
 # scalar-aggregate anchor folded into every row, or a bounded-by-design
 # tiny side. (BNLJ-vs-BHJ choice is stats/SF-dependent — this is the
@@ -161,6 +186,8 @@ _SCALAR_ANCHOR_OK = {
                                   # anchor folded into every posting
     "text_bigram_logprob",        # 1-row vocabulary-size anchor (same
                                   # shape as text_unigram_logprob)
+    "cms_selfjoin_size",          # 1-row exact × 1-row estimate cross
+                                  # (same shape as hll_segment_overlap)
 }
 
 
