@@ -228,3 +228,82 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dist")
     )
+
+
+# ------------------------------------------- global clustering coefficient
+
+_CLUSTERING_ORACLE = f"""
+WITH dir_edges AS ({_EDGES_SQL}),
+e AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM dir_edges WHERE src <> dst
+),
+deg AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e
+  ) x GROUP BY v
+),
+w AS (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS wedges FROM deg),
+t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS triangles
+  FROM e e1 JOIN e e2 ON e2.a = e1.b
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT triangles, wedges,
+       CAST(3 * triangles AS DOUBLE) / CAST(wedges AS DOUBLE)
+         AS global_clustering
+FROM t CROSS JOIN w"""
+
+
+@register(
+    "graph_clustering_coefficient",
+    _CLUSTERING_ORACLE,
+    doc="beyond-reference graph analytics: global clustering coefficient "
+        "3·triangles / wedges on the undirected nation trade graph — "
+        "wedges from the degree table (Σ C(d,2), integer-exact since "
+        "d(d-1) is always even), triangles from the same canonical "
+        "a<b two-self-join as graph_triangle_count, one final division",
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    dir_edges = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst"))
+    )
+    e = (
+        dir_edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # referenced 4x under different keys
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    wedges = deg.agg(
+        F.expr("CAST(SUM(d * (d - 1) DIV 2) AS BIGINT)").alias("wedges")
+    )
+    e1 = e.alias("e1")
+    e2 = e.select(F.col("a").alias("b2a"), F.col("b").alias("b2b"))
+    e3 = e.select(F.col("a").alias("c3a"), F.col("b").alias("c3b"))
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("b2a"))
+        .join(e3, (F.col("c3a") == F.col("e1.a")) & (F.col("c3b") == F.col("b2b")))
+        .agg(F.count("*").cast("bigint").alias("triangles"))
+    )
+    return tri.crossJoin(wedges).select(
+        "triangles",
+        "wedges",
+        F.expr("CAST(3 * triangles AS DOUBLE) / CAST(wedges AS DOUBLE)").alias(
+            "global_clustering"
+        ),
+    )

@@ -188,6 +188,8 @@ _SCALAR_ANCHOR_OK = {
                                   # shape as text_unigram_logprob)
     "cms_selfjoin_size",          # 1-row exact × 1-row estimate cross
                                   # (same shape as hll_segment_overlap)
+    "graph_clustering_coefficient",  # 1-row triangles × 1-row wedges
+                                     # cross (same as graph_triangle_count)
 }
 
 
