@@ -41,6 +41,10 @@ ORDER BY id_a, id_b"""
 )
 def fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
+    # single-file scans are ONE partition; the PassJoin explodes and the
+    # 112M-candidate verify at sf0.1 inherit that layout without this
+    # (measured 547 s -> ~40 s class; same fix as dedup_ssjoin_prefix)
+    cust = cust.repartition(spark.sparkContext.defaultParallelism, "c_custkey")
     return levenshtein_self_join(cust, "c_custkey", "c_name", k=_K).orderBy(
         "id_a", "id_b"
     )
@@ -107,6 +111,7 @@ def fuzzy_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == _LINK_SEG
     )
+    cust = cust.repartition(spark.sparkContext.defaultParallelism, "c_custkey")
     pairs = levenshtein_self_join(cust, "c_custkey", "c_name", k=_LINK_K)
     attrs = cust.select(
         "c_custkey", "c_name", "c_nationkey",
