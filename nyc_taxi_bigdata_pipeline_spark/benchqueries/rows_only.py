@@ -53,6 +53,10 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # single-file scan is ONE partition; the per-doc Python codec work
+    # below inherits that layout without this (bench --all: phash dedup
+    # decoded 5k images serially)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
 
     def synth(batches):
         # stand-in for a real media source table: payload bytes derived
@@ -359,6 +363,10 @@ def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import encode_png, encode_ppm, phash_images
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # single-file scan is ONE partition; the per-doc Python codec work
+    # below inherits that layout without this (bench --all: phash dedup
+    # decoded 5k images serially)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
 
     def synth(batches):
         # deterministic pseudo-random 32×32 RGB per doc (content-stable,
@@ -483,6 +491,10 @@ def audio_spectrogram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import audio_spectrograms, encode_wav
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # single-file scan is ONE partition; the per-doc Python codec work
+    # below inherits that layout without this (bench --all: phash dedup
+    # decoded 5k images serially)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
 
     def synth(batches):
         # one 0.25 s 16 kHz clip per doc: a doc-keyed fundamental in
