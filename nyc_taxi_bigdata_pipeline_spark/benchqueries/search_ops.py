@@ -82,6 +82,8 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.search import bm25_topk
 
     docs = load_table(spark, sf_dir, "documents")
+    # single-file scan is ONE partition; tokenize/explode inherit it
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     return bm25_topk(spark, docs, _BM25_QUERIES, k=_BM25_K).orderBy(
         "query_id", "rank"
     )
@@ -136,6 +138,9 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import bigram_logprob_features
 
     docs = load_table(spark, sf_dir, "documents")
+    # 16.4 -> 2.8 s at sf0.1: bigram-position explodes inherited the
+    # 1-partition single-file scan layout (working-notes pitfall)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     return bigram_logprob_features(docs, id_col="doc_id", col="text").orderBy(
         "doc_id"
     )
