@@ -82,8 +82,10 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.search import bm25_topk
 
     docs = load_table(spark, sf_dir, "documents")
-    # single-file scan is ONE partition; tokenize/explode inherit it
-    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    # NO input repartition here, measured: BM25's per-row work (one
+    # tokenize explode) is light enough that the extra exchange costs
+    # more than the 1-partition scan does at bench SF (1.78 -> 2.98 s);
+    # contrast text_bigram_logprob, whose position explode justifies it
     return bm25_topk(spark, docs, _BM25_QUERIES, k=_BM25_K).orderBy(
         "query_id", "rank"
     )
