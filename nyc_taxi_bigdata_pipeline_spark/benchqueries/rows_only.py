@@ -53,9 +53,9 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    # single-file scan is ONE partition; the per-doc Python codec work
-    # below inherits that layout without this (bench --all: phash dedup
-    # decoded 5k images serially)
+    # single-file scan is ONE partition; the per-doc media synth + decode +
+    # feature extraction below would otherwise run serially on one core
+    # (CLAUDE.md 1-partition scan-layout pitfall, caught by bench --all)
     docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
 
     def synth(batches):
@@ -491,9 +491,9 @@ def audio_spectrogram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import audio_spectrograms, encode_wav
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    # single-file scan is ONE partition; the per-doc Python codec work
-    # below inherits that layout without this (bench --all: phash dedup
-    # decoded 5k images serially)
+    # single-file scan is ONE partition; the per-doc WAV synth + STFT below
+    # would otherwise run serially on one core (CLAUDE.md 1-partition
+    # scan-layout pitfall, caught by bench --all)
     docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
 
     def synth(batches):
