@@ -37,14 +37,31 @@ _ANCHORS = (
 
 
 def _driver_checked() -> set[str]:
-    """Query names that already have a driver CORRECTNESS row (any round)."""
+    """Query names whose strongest available driver check already ran.
+
+    A row with a real oracle comparison (``hash_match`` recorded) is
+    final. A rows-only row (``err == "no_oracle"``) only counts while the
+    query still HAS no oracle — once a formerly rows-only query gains a
+    DuckDB oracle (r7: curation_pipeline_full, taxi_domain_pipeline), it
+    rotates back to the front so the driver can record the stronger
+    hash-checked row."""
     seen: set[str] = set()
     for path in sorted(glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as f:
-                seen.update(json.load(f).keys())
+                rows = json.load(f)
         except (OSError, ValueError):
             continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                seen.add(name)
+                continue
+            hash_checked = row.get("hash_match") is not None
+            still_rows_only = (
+                name in REGISTRY and REGISTRY[name].oracle is None
+            )
+            if hash_checked or still_rows_only:
+                seen.add(name)
     return seen
 
 

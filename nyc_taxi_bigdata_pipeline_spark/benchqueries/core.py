@@ -459,3 +459,82 @@ def topn_abs_dev(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("abs_dev"), F.asc("event_id"))
         .limit(20)
     )
+
+
+# ------------------------------ ex01→ex03 end-to-end domain pipeline (P/J/A/Q)
+
+
+def _taxi_pipeline_oracle(year: int = 2023, month: int = 1, n: int = 5000) -> str:
+    """DuckDB twin of the full domain chain: regenerate the portable
+    trips (sources/synthetic.portable_trips_duckdb_sql — row parity
+    pinned in tests/test_synthetic_portable.py), apply the ex02
+    cleaning predicates, and roll up revenue per pickup day.
+
+    The Spark side additionally plants EXACT duplicate rows
+    (rid % 97 == 0) and removes them with the natural-key idempotent
+    load; the oracle neither plants nor dedups because (a) a planted
+    duplicate is bit-identical to its original in every aggregated
+    column, so whichever copy ``dropDuplicates`` keeps the rollup is
+    unchanged, and (b) the non-planted rows have ZERO natural-key
+    collisions at this (seed, n) — pinned by
+    tests/test_synthetic_portable.py::test_portable_fact_keys_collision_free
+    — so the dedup removes exactly the planted copies and nothing else.
+    """
+    from ..functions.datetime_parity import month_window
+    from ..sources.synthetic import _month_span_seconds, portable_trips_duckdb_sql
+
+    start, _end = month_window(year, month)
+    span = _month_span_seconds(year, month)
+    gen = portable_trips_duckdb_sql(year, month, n)
+    return f"""
+    WITH gen AS ({gen}),
+    clean AS (
+      SELECT * FROM gen
+      WHERE pickup_s IS NOT NULL AND dropoff_s IS NOT NULL
+        AND pu_id IS NOT NULL AND do_id IS NOT NULL
+        AND dist_c >= 0 AND total_c >= 0
+        AND (passenger_count IS NULL OR passenger_count >= 0)
+        AND pickup_s >= 0 AND pickup_s < {span}
+    )
+    SELECT DATE '{start}' + CAST(pickup_s // 86400 AS INT) AS pickup_date,
+           CAST(COUNT(*) AS BIGINT) AS trips,
+           CAST(SUM(total_c) AS DOUBLE) / 100 AS revenue
+    FROM clean GROUP BY pickup_date ORDER BY pickup_date"""
+
+
+@register(
+    "taxi_domain_pipeline",
+    _taxi_pipeline_oracle(),
+    doc="ex01→ex03 parity, END-TO-END: deterministic distributed trip "
+        "generator (portable md5→int64 hashing, integer-cents money) → "
+        "cast-normalize + month-window + quality filters (ingest.clean_month) "
+        "→ star fact build with planted-duplicate natural-key dedup "
+        "(warehouse.load_fact_idempotent) → daily revenue rollup. "
+        "Self-contained (synthesizes its input); converted from rows-only "
+        "in r7 via the portable generator (VERDICT r6 task 2)",
+)
+def taxi_domain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import ingest, warehouse
+    from ..session import ensure_engine_confs
+    from ..sources.synthetic import make_trips_month_portable
+
+    # no load_table call in this query (it synthesizes its input), so set
+    # the UTC/date-math confs explicitly — the driver hands us its own
+    # session (CLAUDE.md contract)
+    ensure_engine_confs(spark)
+    raw = make_trips_month_portable(spark, 2023, 1, 5000)
+    # plant exact duplicates so the natural-key dedup demonstrably bites;
+    # they vanish in the idempotent load (see _taxi_pipeline_oracle)
+    planted = raw.unionByName(raw.filter(F.col("rid") % 97 == 0))
+    clean = ingest.clean_month(planted, 2023, 1)
+    fact = warehouse.load_fact_idempotent(warehouse.build_fact(clean), None)
+    return (
+        fact.groupBy("pickup_date")
+        .agg(
+            F.count("*").alias("trips"),
+            F.sum(F.col("total_amount").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("pickup_date")
+    )

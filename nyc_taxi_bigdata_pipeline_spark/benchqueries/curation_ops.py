@@ -360,3 +360,203 @@ def curation_top_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_rendered(
         spark, sf_dir, "documents", _top_passages, "bq_passage_docs"
     )
+
+
+# ------------------------------------- end-to-end composed curation pipeline
+
+
+def _pipeline_full(engine: str, table: str) -> str:
+    """The four oracle-checked stages composed into ONE statement:
+    PII-injected input → decontaminate (word-3-gram overlap with the
+    doc_id%50 benchmark slice) → drop repetitive (Gopher 0.65/0.15) →
+    PII scrub → equal-weight domain mixture downsample to 25% of the
+    ORIGINAL corpus; reports per-stage surviving docs/chars. Converted
+    from rows-only in r7 (VERDICT r6 task 2): the composition is plain
+    SQL when each stage is."""
+    toks = D.split_ws("lower(trim(text))", engine)
+    g3 = _word_ngrams(engine, 3)
+    g2 = _word_ngrams(engine, 2)
+    gram_rows = D.unnest_col("gs", engine)
+    email = "concat(text, ' contact user', doc_id, '@example.com')"
+    aug = f"CASE WHEN doc_id % 7 = 0 THEN {email} ELSE text END"
+    aug = (
+        f"CASE WHEN doc_id % 11 = 0 THEN concat({aug}, ' call 555-', "
+        f"lpad(concat('', doc_id % 10000), 4, '0')) ELSE {aug} END"
+    )
+    scrub = D.re_replace_all(
+        D.re_replace_all("text", _EMAIL_PAT, "<EMAIL>", engine),
+        _PHONE_PAT, "<PHONE>", engine,
+    )
+    keep = D.h64("concat('mixfull#', doc_id)", engine)
+    stage = (
+        "SELECT {no} AS stage_no, '{name}' AS stage, "
+        "CAST(COUNT(*) AS BIGINT) AS docs, "
+        "CAST(SUM(length(text)) AS BIGINT) AS chars FROM {rel}"
+    )
+    return f"""
+    WITH base AS (SELECT doc_id, source, {aug} AS text FROM {table}),
+    corpus AS (SELECT * FROM base WHERE doc_id % 50 <> 0),
+    ct AS (SELECT doc_id, source, text, {toks} AS __t FROM corpus),
+    bt AS (SELECT doc_id, {toks} AS __t FROM base WHERE doc_id % 50 = 0),
+    bg AS (SELECT DISTINCT gram FROM
+             (SELECT {gram_rows} AS gram FROM
+                (SELECT {g3} AS gs FROM bt) bx) by_),
+    cg AS (SELECT doc_id, {gram_rows} AS gram FROM
+             (SELECT doc_id, {g3} AS gs FROM ct) cx),
+    hit AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg ON cg.gram = bg.gram),
+    s1 AS (SELECT ct.doc_id, ct.source, ct.text, ct.__t
+           FROM ct LEFT JOIN hit ON ct.doc_id = hit.doc_id
+           WHERE hit.doc_id IS NULL),
+    m AS (SELECT doc_id, {D.alen('__t', engine)} AS n_tokens,
+                 {D.alen(D.arr_distinct('__t', engine), engine)} AS distinct_tokens,
+                 {g2} AS gs
+          FROM s1),
+    bgc AS (SELECT doc_id, gram, COUNT(*) AS c FROM
+              (SELECT doc_id, {gram_rows} AS gram FROM m) mx
+            GROUP BY doc_id, gram),
+    tb AS (SELECT doc_id, MAX(c) AS top_bigram_n FROM bgc GROUP BY doc_id),
+    rep AS (SELECT m.doc_id FROM m JOIN tb ON m.doc_id = tb.doc_id
+            WHERE 1.0 - CAST(distinct_tokens AS DOUBLE) / n_tokens > 0.65
+               OR 2.0 * CAST(top_bigram_n AS DOUBLE) / n_tokens > 0.15),
+    s2 AS (SELECT s1.doc_id, s1.source, s1.text
+           FROM s1 LEFT JOIN rep ON s1.doc_id = rep.doc_id
+           WHERE rep.doc_id IS NULL),
+    s3 AS (SELECT doc_id, source, {scrub} AS text FROM s2),
+    kd AS (SELECT CAST(COUNT(DISTINCT source) AS DOUBLE) AS k FROM corpus),
+    td AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM corpus),
+    nd AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS n_s FROM s3 GROUP BY source),
+    th AS (SELECT source,
+                  CAST(FLOOR(LEAST(1.0, t / CAST(4 AS DOUBLE) / k / n_s)
+                             * 1000000) AS BIGINT) AS thr
+           FROM nd CROSS JOIN td CROSS JOIN kd),
+    s4 AS (SELECT s3.doc_id, s3.source, s3.text
+           FROM s3 JOIN th ON s3.source = th.source
+           WHERE {keep} % 1000000 < th.thr)
+    SELECT * FROM (
+      {stage.format(no=0, name='input', rel='corpus')}
+      UNION ALL {stage.format(no=1, name='decontaminated', rel='s1')}
+      UNION ALL {stage.format(no=2, name='derepetition', rel='s2')}
+      UNION ALL {stage.format(no=3, name='pii_scrubbed', rel='s3')}
+      UNION ALL {stage.format(no=4, name='mixture_sampled', rel='s4')}
+    ) stages ORDER BY stage_no"""
+
+
+@register(
+    "curation_pipeline_full",
+    _pipeline_full(D.DUCK, "documents"),
+    doc="training-data ext: the END-TO-END curation chain — deterministic "
+        "PII injection → decontaminate (broadcast benchmark grams) → drop "
+        "repetitive (Gopher thresholds) → PII scrub → equal-weight "
+        "domain-mixture downsample to 25% of the original corpus — "
+        "reporting per-stage surviving docs/chars. Composes the four "
+        "individually oracle-checked stages (operators/curation.py); "
+        "oracle-backed since r7 via the portable h64 sampler",
+)
+def curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+    # deterministic PII injection (the synthetic corpus carries none) —
+    # same expressions as the curation_pii_scrub oracle
+    aug = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+        ),
+    ).otherwise(F.col("text"))
+    aug = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(
+            aug,
+            F.lit(" call 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(aug)
+    base = docs.select("doc_id", "source", aug.alias("text"))
+    # lazy checkpoint at the fan-out frontier (CLAUDE.md: corpus feeds the
+    # gram map, the anti-join, two scalar anchors, and its own stage agg —
+    # Spark would otherwise recompute the injected-text scan per branch);
+    # lazy = materializes inside the first action, so bench timing is honest
+    corpus = base.filter(F.col("doc_id") % 50 != 0).localCheckpoint(eager=False)
+    bench = base.filter(F.col("doc_id") % 50 == 0)
+
+    # stage 1: decontaminate on gram STRINGS (codegen explode form —
+    # matches the oracle bit-for-bit; production path hashes + broadcasts,
+    # operators/curation.decontaminate)
+    bench_g = (
+        curation.word_ngram_rows(bench, n=3).select("__gram").distinct()
+    )
+    hit = (
+        curation.word_ngram_rows(corpus.select("doc_id", "text"), n=3)
+        .join(F.broadcast(bench_g), "__gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    s1 = corpus.join(hit, "doc_id", "left_anti").localCheckpoint(eager=False)
+
+    # stage 2: Gopher repetition filter (operators/curation.drop_repetitive;
+    # xxhash64 distinct-token counting ≡ string-distinct up to the accepted
+    # 2^-64 collision class)
+    s2 = curation.drop_repetitive(s1).localCheckpoint(eager=False)
+
+    # stage 3: PII scrub with the oracle's patterns
+    s3 = (
+        curation.scrub_pii(
+            s2,
+            patterns=(
+                ("email", _EMAIL_PAT, "<EMAIL>"),
+                ("phone", _PHONE_PAT, "<PHONE>"),
+            ),
+        )
+        .select("doc_id", "source", "text")
+        .localCheckpoint(eager=False)
+    )
+
+    # stage 4: equal-weight mixture targeting 25% of the ORIGINAL corpus
+    kd = corpus.select("source").distinct().agg(
+        F.count("*").cast("double").alias("k")
+    )
+    td = corpus.agg(F.count("*").cast("double").alias("t"))
+    nd = s3.groupBy("source").agg(F.count("*").cast("double").alias("n_s"))
+    th = (
+        nd.crossJoin(F.broadcast(td))
+        .crossJoin(F.broadcast(kd))
+        .select(
+            "source",
+            F.floor(
+                F.least(
+                    F.lit(1.0),
+                    F.col("t") / F.lit(4.0) / F.col("k") / F.col("n_s"),
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("thr"),
+        )
+    )
+    keep = F.expr(D.h64("concat('mixfull#', doc_id)", D.SPARK))
+    s4 = (
+        s3.join(F.broadcast(th), "source")
+        .filter(keep % 1000000 < F.col("thr"))
+        .select("doc_id", "source", "text")
+    )
+
+    def stage(df: DataFrame, name: str, order: int) -> DataFrame:
+        return df.agg(
+            F.lit(order).alias("stage_no"),
+            F.lit(name).alias("stage"),
+            F.count("*").alias("docs"),
+            F.sum(F.length("text")).cast("long").alias("chars"),
+        )
+
+    return (
+        stage(corpus, "input", 0)
+        .unionAll(stage(s1, "decontaminated", 1))
+        .unionAll(stage(s2, "derepetition", 2))
+        .unionAll(stage(s3, "pii_scrubbed", 3))
+        .unionAll(stage(s4, "mixture_sampled", 4))
+        .orderBy("stage_no")
+    )

@@ -162,34 +162,6 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "taxi_domain_pipeline",
-    None,
-    doc="ex01→ex03 parity (rows-only): deterministic distributed trip "
-        "generator → cast-normalize + month-window + quality filters → "
-        "star fact build with NK dedup → daily rollup. Self-contained "
-        "(synthesizes its input; the generator hash is Spark-private so "
-        "no SQL oracle), exercising the whole domain layer in one query",
-)
-def taxi_domain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .. import ingest, warehouse
-    from ..sources.synthetic import make_trips_month_distributed
-
-    raw = make_trips_month_distributed(spark, 2023, 1, 5000)
-    clean = ingest.clean_month(raw, 2023, 1)
-    fact = warehouse.load_fact_idempotent(warehouse.build_fact(clean), None)
-    return (
-        fact.groupBy("pickup_date")
-        .agg(
-            F.count("*").alias("trips"),
-            F.round(F.sum(F.col("total_amount").cast("decimal(12,2)")), 2)
-            .cast("double")
-            .alias("revenue"),
-        )
-        .orderBy("pickup_date")
-    )
-
-
-@register(
     "ml_gbt_quick",
     None,
     doc="§2.10 (rows-only): end-to-end MLlib pipeline fit+transform on "
@@ -276,52 +248,6 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
          / F.col("exact_custs")).alias("cust_rel_err"),
         (F.abs(F.col("approx_median") - F.col("exact_median"))
          / F.col("exact_median")).alias("median_rel_err"),
-    )
-
-
-@register(
-    "curation_pipeline_full",
-    None,
-    doc="training-data ext (rows-only): the END-TO-END curation chain — "
-        "decontaminate (broadcast benchmark grams) → drop repetitive "
-        "(Gopher thresholds) → PII scrub → deterministic domain-mixture "
-        "downsample — reporting per-stage surviving docs/chars. Composes "
-        "the four oracle-checked stages (operators/curation.py); the "
-        "composition itself is the non-SQL surface",
-)
-def curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators import curation
-
-    docs = load_table(spark, sf_dir, "documents")
-    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    bench = docs.filter(F.col("doc_id") % 50 == 0).select("doc_id", "text")
-    corpus = docs.filter(F.col("doc_id") % 50 != 0)
-
-    s1 = curation.decontaminate(corpus, bench, n=3).persist()
-    s2 = curation.drop_repetitive(s1).persist()
-    s3 = curation.scrub_pii(s2)
-    # equal-weight mixture over the observed domains, downsampled to 25%
-    # of the ORIGINAL corpus so the sampler visibly bites after the
-    # earlier filters have already shrunk the pool
-    sources = [r["source"] for r in corpus.select("source").distinct().collect()]
-    weights = {s: 1.0 / len(sources) for s in sources}
-    total = corpus.count()
-    s4 = curation.domain_mixture_sample(s3, weights, target_total=int(total * 0.25))
-
-    def stage(df: DataFrame, name: str, order: int) -> DataFrame:
-        return df.agg(
-            F.lit(order).alias("stage_no"),
-            F.lit(name).alias("stage"),
-            F.count("*").alias("docs"),
-            F.sum(F.length("text")).cast("long").alias("chars"),
-        )
-
-    return (
-        stage(corpus, "input", 0)
-        .unionAll(stage(s1, "decontaminated", 1))
-        .unionAll(stage(s2, "derepetition", 2))
-        .unionAll(stage(s3, "pii_scrubbed", 3))
-        .unionAll(stage(s4, "mixture_sampled", 4))
     )
 
 
