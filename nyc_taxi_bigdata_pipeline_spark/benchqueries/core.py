@@ -246,12 +246,105 @@ FROM k JOIN o lov ON lov.rn = k.lo JOIN o hiv ON hiv.rn = k.hi
     "percentiles",
     _PCT_SQL.format(table="events"),
     doc="A12 percentile_approx parity (error_analysis.py:183-187) via exact "
-        "rank-interpolation so Spark and the oracle agree bit-for-bit",
+        "rank-interpolation so Spark and the oracle agree bit-for-bit. "
+        "Spark side is the SCALE shape (r6 verdict finding 2): bucketed "
+        "two-pass selection — equal-width bin counts locate the ≤10 target "
+        "ranks, and only the rows of the ≤10 rank-holding buckets are "
+        "sorted (per-bucket windows) — no unpartitioned window ever touches "
+        "raw rows; the oracle keeps the one-shot global-window SQL",
 )
 def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    ev.createOrReplaceTempView("bq_percentiles_src")
-    return spark.sql(_PCT_SQL.format(table="bq_percentiles_src"))
+    from pyspark.sql import Window
+
+    n_bins = 64
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("value")
+    )
+    # pass 1: one map-combined agg for bounds + count (the only full pass
+    # that shuffles — 64 groups after the bin counts below)
+    # lazy checkpoints cut the CTE-inline recompute fan-out (CLAUDE.md):
+    # mm feeds binned + the rank frame, offsets feeds the bin lookup +
+    # the global-rank join, hits is referenced twice (lo/hi) — without
+    # the cuts each reference re-scans events through the whole subtree
+    mm = ev.agg(
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        F.count("*").alias("n"),
+    ).localCheckpoint(eager=False)
+    binned = ev.crossJoin(F.broadcast(mm)).select(
+        "value",
+        F.when(F.col("mx") == F.col("mn"), F.lit(1))
+        .otherwise(
+            F.least(
+                F.lit(n_bins),
+                F.width_bucket("value", F.col("mn"), F.col("mx"), F.lit(n_bins)),
+            )
+        )
+        .alias("bkt"),
+    )
+    counts = binned.groupBy("bkt").agg(F.count("*").alias("c"))
+    # cumulative offsets over ≤64 aggregated bins — the one unpartitioned
+    # window here is bounded by construction (whitelisted in
+    # tests/test_plans._GLOBAL_WINDOW_OK)
+    off_w = (
+        Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "bkt", "c", F.coalesce(F.sum("c").over(off_w), F.lit(0)).alias("off")
+    ).localCheckpoint(eager=False)
+
+    # target ranks: r = 1 + (n-1)p, interpolation anchors floor/ceil —
+    # arithmetic textually identical to _PCT_SQL so doubles match bitwise
+    ps = spark.createDataFrame([(p,) for p in (0.25, 0.50, 0.75, 0.95, 0.99)], "p double")
+    k = ps.crossJoin(F.broadcast(mm.select("n"))).select(
+        "p",
+        (F.lit(1.0) + (F.col("n") - 1) * F.col("p")).alias("r"),
+        F.floor(F.lit(1.0) + (F.col("n") - 1) * F.col("p")).alias("lo"),
+        F.ceil(F.lit(1.0) + (F.col("n") - 1) * F.col("p")).alias("hi"),
+    )
+    target_ranks = (
+        k.select(F.explode(F.array("lo", "hi")).alias("rk")).distinct()
+    )
+    # which bins hold those ranks (≤10 × ≤64 theta join — both sides tiny)
+    target_bins = (
+        target_ranks.join(
+            F.broadcast(offsets),
+            (F.col("rk") > F.col("off")) & (F.col("rk") <= F.col("off") + F.col("c")),
+        )
+        .select("bkt")
+        .distinct()
+    )
+    # pass 2 (selective): rank ONLY the rows of rank-holding bins —
+    # per-bin windows, each bin ~n/64 rows
+    cand = binned.join(F.broadcast(target_bins), "bkt")
+    ranked = (
+        cand.withColumn(
+            "lrn", F.row_number().over(Window.partitionBy("bkt").orderBy("value"))
+        )
+        .join(F.broadcast(offsets.select("bkt", "off")), "bkt")
+        .select("value", (F.col("off") + F.col("lrn")).alias("grn"))
+    )
+    hits = (
+        ranked.join(F.broadcast(target_ranks), F.col("grn") == F.col("rk"))
+        .select("rk", "value")
+        .localCheckpoint(eager=False)
+    )
+    lov, hiv = hits.alias("lov"), hits.alias("hiv")
+    return (
+        k.join(F.broadcast(lov), F.col("lo") == F.col("lov.rk"))
+        .join(F.broadcast(hiv), F.col("hi") == F.col("hiv.rk"))
+        .select(
+            F.col("p").alias("pct"),
+            (
+                F.col("lov.value")
+                + (F.col("hiv.value") - F.col("lov.value")) * (F.col("r") - F.col("lo"))
+            )
+            .cast("double")
+            .alias("pct_value"),
+        )
+    )
 
 
 # ----------------------------------------------------------- A13: bucket agg

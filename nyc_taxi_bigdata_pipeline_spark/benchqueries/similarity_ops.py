@@ -37,9 +37,14 @@ def _knn(engine: str, table: str) -> str:
     dot = _dot("q.embedding", "c.embedding", engine)
     qnorm = _dot("q.embedding", "q.embedding", engine)
     cnorm = _dot("c.embedding", "c.embedding", engine)
+    # the <>-only join is a nested loop by nature: pin the BOUNDED query
+    # side as the build side (Spark's static size estimate picked the
+    # CORPUS side at sf0.01 — caught by test_bnlj_build_sides_stay_bounded;
+    # a corpus-side broadcast is the OOM path at scale)
+    hint = "/*+ BROADCAST(q) */ " if engine == D.SPARK else ""
     return f"""
     WITH scored AS (
-      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      SELECT {hint}q.vec_id AS query_id, c.vec_id AS neighbor_id,
              round({dot} / (sqrt({qnorm}) * sqrt({cnorm})), 6) AS cos_sim
       FROM {table} q JOIN {table} c ON c.vec_id <> q.vec_id
       WHERE q.vec_id < {_N_QUERIES}

@@ -150,46 +150,51 @@ def test_ssjoin_corpus_joins_never_broadcast(spark, sf_dir):
 # scalar-aggregate anchor folded into every row, or a bounded-by-design
 # tiny side. (BNLJ-vs-BHJ choice is stats/SF-dependent — this is the
 # union over sf0.001 and sf0.01 sweeps.) Adding a name here needs the
-# same 1-row/bounded justification.
+# same 1-row/bounded justification AND an honest max-rows bound for the
+# broadcast side — test_bnlj_build_sides_stay_bounded EXECUTES each
+# whitelisted query and asserts every BNLJ build side against it (r6
+# verdict finding 3: name membership alone could hide a regression).
 _SCALAR_ANCHOR_OK = {
-    "user_decayed_engagement",    # 1-row MAX(day) anchor
-    "text_rarity_score",          # 1-row (total_tokens, vocab_size)
-    "text_unigram_logprob",       # 1-row fixed-point LM denominator
-    "weighted_sample_summary",    # 1-row (Σw, n) totals
-    "percentiles",                # 1-row rank-interpolation anchors
-    "grouped_percentiles",        # per-group rank anchors (tiny side)
-    "curation_domain_mixture",    # 20-row domain table × 1-row total
-    "curation_pipeline_full",     # per-stage survival vs 1-row total
-    "dedup_cluster_canonical",    # 1-row corpus-count anchor
-    "graph_triangle_count",       # 1-row edges × 1-row triangles cross
-                                  # (lazified builder, r4 ADVICE)
-    "similarity_knn_bruteforce",  # bounded 5-row query side × corpus BY
-                                  # DESIGN (exact baseline; ANN variants
-                                  # are the scale path)
-    "similarity_norm_buckets",    # 1-row label-cardinality anchor
-    "sales_opportunity",          # 1-row avg-balance anchor (inequality
-                                  # gate can't hash-join a scalar)
-    "brand_revenue_share",        # 1-row grand-total anchor
-    "hdr_quantile_sketch",        # 1-row total + 3-probe walk over ≤600
-                                  # aggregated bins — both sides tiny
-    "skew_key_profile",           # 1-row (n_keys, total, max) anchor ×
-                                  # top-10 frame (TakeOrderedAndProject)
-    "hll_segment_overlap",        # 4-way cross of 1-row estimate /
-                                  # exact-overlap anchors
-    "mg_heavy_hitters_tokens",    # 1-row total-count anchor folded into
-                                  # the exact recount's threshold filter
-    "text_bpe_encode_stats",      # 1-row corpus-totals × 1-row
-                                  # distinct-subword anchors
-    "mg_heavy_hitters_weighted",  # 1-row total-mass anchor (same shape
-                                  # as the unweighted MG recount)
-    "text_bm25_topk",             # 1-row (N_docs, total_tokens) corpus
-                                  # anchor folded into every posting
-    "text_bigram_logprob",        # 1-row vocabulary-size anchor (same
-                                  # shape as text_unigram_logprob)
-    "cms_selfjoin_size",          # 1-row exact × 1-row estimate cross
-                                  # (same shape as hll_segment_overlap)
-    "graph_clustering_coefficient",  # 1-row triangles × 1-row wedges
-                                     # cross (same as graph_triangle_count)
+    "user_decayed_engagement": 1,     # 1-row MAX(day) anchor
+    "text_rarity_score": 1,           # 1-row (total_tokens, vocab_size)
+    "text_unigram_logprob": 1,        # 1-row fixed-point LM denominator
+    "weighted_sample_summary": 1,     # 1-row (Σw, n) totals
+    "percentiles": 64,                # ≤64-bin offsets / ≤10 target ranks /
+                                      # 1-row (mn, mx, n) anchor
+    "grouped_percentiles": 64,        # per-group rank anchors (≤ groups×ps)
+    "curation_domain_mixture": 20,    # 20-row domain table × 1-row total
+    "curation_pipeline_full": 20,     # ≤20-row mixture fractions + 1-row
+                                      # corpus-count/source-count anchors
+    "dedup_cluster_canonical": 1,     # 1-row corpus-count anchor
+    "graph_triangle_count": 1,        # 1-row edges × 1-row triangles cross
+                                      # (lazified builder, r4 ADVICE)
+    "similarity_knn_bruteforce": 5,   # bounded 5-row query side × corpus BY
+                                      # DESIGN (exact baseline; ANN variants
+                                      # are the scale path)
+    "similarity_norm_buckets": 1,     # 1-row label-cardinality anchor
+    "sales_opportunity": 1,           # 1-row avg-balance anchor (inequality
+                                      # gate can't hash-join a scalar)
+    "brand_revenue_share": 1,         # 1-row grand-total anchor
+    "hdr_quantile_sketch": 600,       # 1-row total + 3-probe walk over ≤600
+                                      # aggregated bins — both sides tiny
+    "skew_key_profile": 10,           # 1-row (n_keys, total, max) anchor ×
+                                      # top-10 frame (TakeOrderedAndProject)
+    "hll_segment_overlap": 1,         # 4-way cross of 1-row estimate /
+                                      # exact-overlap anchors
+    "mg_heavy_hitters_tokens": 1,     # 1-row total-count anchor folded into
+                                      # the exact recount's threshold filter
+    "text_bpe_encode_stats": 1,       # 1-row corpus-totals × 1-row
+                                      # distinct-subword anchors
+    "mg_heavy_hitters_weighted": 1,   # 1-row total-mass anchor (same shape
+                                      # as the unweighted MG recount)
+    "text_bm25_topk": 1,              # 1-row (N_docs, total_tokens) corpus
+                                      # anchor folded into every posting
+    "text_bigram_logprob": 1,         # 1-row vocabulary-size anchor (same
+                                      # shape as text_unigram_logprob)
+    "cms_selfjoin_size": 1,           # 1-row exact × 1-row estimate cross
+                                      # (same shape as hll_segment_overlap)
+    "graph_clustering_coefficient": 1,  # 1-row triangles × 1-row wedges
+                                        # cross (same as graph_triangle_count)
 }
 
 
@@ -204,6 +209,93 @@ def test_no_cartesian_products_across_registry(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
         if name not in _SCALAR_ANCHOR_OK:
             assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def _walk_executed(node, depth=0):
+    """DFS over an EXECUTED physical plan, descending through AQE query
+    stages (their subtree hides behind .plan()) and the final adaptive
+    plan (.executedPlan())."""
+    yield node
+    ch = node.children()
+    for i in range(ch.size()):
+        yield from _walk_executed(ch.apply(i), depth + 1)
+    nn = node.nodeName()
+    if "QueryStage" in nn:
+        try:
+            yield from _walk_executed(node.plan(), depth + 1)
+        except Exception:
+            pass
+    if nn == "AdaptiveSparkPlan":
+        try:
+            yield from _walk_executed(node.executedPlan(), depth + 1)
+        except Exception:
+            pass
+
+
+def _metric(node, key):
+    try:
+        it = node.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            if kv._1() == key:
+                return kv._2().value()
+    except Exception:
+        return None
+    return None
+
+
+def _unwrap_codegen(node):
+    """Strip InputAdapter / WholeStageCodegen wrappers to the operator."""
+    while node.nodeName().startswith(("InputAdapter", "WholeStageCodegen")):
+        node = node.children().apply(0)
+    return node
+
+
+def _bnlj_build_rows(df) -> list[int]:
+    """Execute ``df`` and return numOutputRows of every
+    BroadcastExchange feeding a BroadcastNestedLoopJoin as its BUILD
+    side. The build child is the one that unwraps to a broadcast
+    stage/exchange — a streamed side that merely STARTS with another
+    broadcast join (e.g. a BroadcastHashJoin) must not be confused for
+    it (that was a false positive on sales_opportunity's anti join)."""
+    df.collect()
+    root = df._jdf.queryExecution().executedPlan()
+    out = []
+    for node in _walk_executed(root):
+        if "BroadcastNestedLoopJoin" not in node.nodeName():
+            continue
+        ch = node.children()
+        for i in range(ch.size()):
+            side = _unwrap_codegen(ch.apply(i))
+            if not side.nodeName().startswith(
+                ("BroadcastQueryStage", "BroadcastExchange", "ReusedExchange")
+            ):
+                continue
+            rows = None
+            for sub in _walk_executed(side):
+                if "BroadcastExchange" in sub.nodeName():
+                    rows = _metric(sub, "numOutputRows")
+                    if rows is not None:
+                        break
+            # a reused exchange reports no metric of its own; its
+            # original is measured where it first executes
+            if rows is not None:
+                out.append(int(rows))
+    return out
+
+
+@pytest.mark.parametrize("name", sorted(_SCALAR_ANCHOR_OK))
+def test_bnlj_build_sides_stay_bounded(spark, sf_dir, name):
+    """The size teeth behind the BNLJ whitelist: EXECUTE each whitelisted
+    query and assert every nested-loop build side actually holds its
+    documented row bound — a corpus-scaled frame silently drifting into a
+    whitelisted name's BNLJ now fails here instead of hiding."""
+    rows = _bnlj_build_rows(REGISTRY[name].spark_fn(spark, sf_dir))
+    bound = _SCALAR_ANCHOR_OK[name]
+    for r in rows:
+        assert r <= bound, (
+            f"{name}: BNLJ build side has {r} rows > documented bound {bound}"
+        )
 
 
 def _parquet_scan_count(plan: str) -> int:
@@ -257,3 +349,62 @@ def test_grouped_topk_plans_window_group_limit(spark):
     )
     plan = physical_plan(grouped_topk(df, ["k"], [F.col("v").desc()], 5))
     assert "WindowGroupLimit" in plan, plan
+
+
+# queries whose plans carry an UNPARTITIONED window (Exchange
+# SinglePartition → Sort → Window): tolerated only over bounded
+# aggregated frames or documented oracle-inspectable miniatures — an
+# unpartitioned window over raw rows is a single-task sort at any scale
+# (r6 verdict finding 2). name → (max count, why it's bounded).
+_GLOBAL_WINDOW_OK = {
+    "percentiles": (1, "cumulative offsets over ≤64 aggregated bins"),
+    "hdr_quantile_sketch": (2, "probe walk over ≤600 aggregated bins"),
+    "skew_key_profile": (1, "rank over the top-10 frame"),
+    "moving_average_daily": (1, "7-day MA over the daily aggregate — "
+                                "bounded by distinct calendar days"),
+    "ntile_equidepth": (1, "documented miniature (sql_surface.py NOTE); "
+                           "scale path = percentile-boundary binning"),
+    "dataset_interleave_sources": (1, "documented miniature "
+                                      "(dataset_ops.py NOTE)"),
+}
+
+
+def _unpartitioned_windows(plan: str) -> int:
+    """Window nodes whose spec has no partition columns. In the formatted
+    detail a partitioned Window shows three bracket groups
+    ([exprs], [part cols], [order]); an unpartitioned one shows two with
+    ASC/DESC in the second. WindowGroupLimit is skipped — an
+    unpartitioned one always accompanies an unpartitioned Window node."""
+    import re
+
+    hits = 0
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if not re.match(r"\(\d+\) Window\s*$", ln.strip()):
+            continue
+        for j in range(i + 1, min(i + 6, len(lines))):
+            if lines[j].startswith("Arguments:"):
+                groups = re.split(r"\],\s*\[", lines[j])
+                if len(groups) == 2 and re.search(r"(ASC|DESC)", groups[1]):
+                    hits += 1
+                break
+    return hits
+
+
+def test_no_unpartitioned_windows_over_raw_rows(spark, sf_dir):
+    """Engine-wide guardrail (mirrors the BNLJ gate): a Window without a
+    partition spec forces Exchange SinglePartition + a one-task sort of
+    its whole input — tolerated only where the input is a bounded
+    aggregate or a documented miniature."""
+    for name, q in REGISTRY.items():
+        n = _unpartitioned_windows(physical_plan(q.spark_fn(spark, sf_dir)))
+        if name in _GLOBAL_WINDOW_OK:
+            assert n <= _GLOBAL_WINDOW_OK[name][0], (
+                f"{name}: {n} unpartitioned windows > whitelisted "
+                f"{_GLOBAL_WINDOW_OK[name][0]}"
+            )
+        else:
+            assert n == 0, (
+                f"{name}: plans {n} unpartitioned window(s) — justify and "
+                "whitelist in _GLOBAL_WINDOW_OK or repartition the window"
+            )
