@@ -452,3 +452,97 @@ def audio_spectrogram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dominant_band")
     )
+
+
+@register(
+    "video_keyframe_dedup",
+    None,
+    doc="training-data ext (rows-only): REAL compressed-VIDEO dedup — "
+        "every 10th doc_id becomes a raw motion-JPEG clip (4 baseline-"
+        "JPEG frames, two 2-frame scenes; operators/multimodal."
+        "encode_mjpeg), ids ≡ 10 (mod 100) replaying the previous "
+        "clip byte-for-byte. Clips decode per partition "
+        "(video_frame_phashes: only 12 bytes/frame shuffle), shot-"
+        "boundary keyframes come from a per-clip lag window, and whole-"
+        "video duplicates collapse on the keyframe-sequence "
+        "fingerprint. Planted dup recovery + codec round-trip pinned "
+        "in tests/test_multimodal_video.py",
+)
+def video_keyframe_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import (
+        encode_mjpeg,
+        video_frame_phashes,
+        video_keyframes,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 10 == 0)
+    )
+    # single-file scan is ONE partition; the per-clip JPEG encode/decode
+    # below would otherwise run serially on one core (CLAUDE.md
+    # 1-partition scan-layout pitfall, caught by bench --all)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+    def synth(batches):
+        # two 2-frame scenes of deterministic pseudo-random 24×24 RGB
+        # (splitmix scramble, same recipe as image_phash_dedup); ids
+        # ≡ 10 (mod 100) rebuild the PREVIOUS selected doc's clip, so
+        # the planted duplicate is byte-identical end to end
+        idx = np.arange(24 * 24 * 3, dtype=np.uint64)
+        M1, M2, M3 = (np.uint64(0x9E3779B97F4A7C15),
+                      np.uint64(0xBF58476D1CE4E5B9),
+                      np.uint64(0x94D049BB133111EB))
+
+        def scene(seed: int) -> np.ndarray:
+            with np.errstate(over="ignore"):
+                x = idx * M1 + np.uint64(seed) * M2
+                x ^= x >> np.uint64(31)
+                x *= M3
+                x ^= x >> np.uint64(29)
+            return (x & np.uint64(0xFF)).astype(np.uint8).reshape(24, 24, 3)
+
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                base = d - 10 if d % 100 == 10 else d
+                a, b = scene(base * 2), scene(base * 2 + 1)
+                clip = encode_mjpeg([a, a, b, b])
+                out.append((str(d), "video", clip))
+            yield pd.DataFrame(out, columns=["media_id", "kind", "content"])
+
+    media = docs.mapInPandas(
+        synth, "media_id string, kind string, content binary"
+    )
+    kf = video_keyframes(video_frame_phashes(media), max_hamming=2)
+    # keyframe-sequence fingerprint per video (order-sensitive), then
+    # collapse exact-duplicate videos on it
+    fp = kf.groupBy("media_id").agg(
+        F.count("*").alias("n_keyframes"),
+        F.xxhash64(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("frame_idx", "phash"))),
+                    lambda s: s["phash"].cast("string"),
+                ),
+            )
+        ).alias("video_fp"),
+    )
+    per_fp = fp.groupBy("video_fp").agg(
+        F.count("*").alias("n_videos"),
+        F.max("n_keyframes").alias("kf"),
+    )
+    return per_fp.agg(
+        F.count("*").cast("long").alias("distinct_videos"),
+        F.sum("n_videos").cast("long").alias("total_videos"),
+        F.sum(F.when(F.col("n_videos") > 1, F.col("n_videos") - 1).otherwise(0))
+        .cast("long")
+        .alias("dup_videos_removable"),
+        F.sum(F.col("kf") * F.col("n_videos")).cast("long").alias("total_keyframes"),
+    )

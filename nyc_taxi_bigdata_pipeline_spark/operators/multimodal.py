@@ -64,13 +64,14 @@ def default_fake_decoder(payload: bytes) -> np.ndarray:
 
 def real_decoder_unavailable(payload: bytes) -> np.ndarray:
     """Decode path for formats needing EXTERNAL codec libraries
-    (MP4/MP3/WebP &c.) this container doesn't ship. PPM/WAV/PNG and
-    baseline JPEG payloads decode for real via :func:`media_decoder`."""
+    (MP4/WebM containers, MP3/WebP &c.) this container doesn't ship.
+    PPM/WAV/PNG/baseline-JPEG and raw motion-JPEG video payloads decode
+    for real (:func:`media_decoder`, :func:`decode_mjpeg`)."""
     raise NotImplementedError(
-        "video/lossy-audio codecs (ffmpeg/librosa) are not installed "
-        "in this environment; PPM/WAV/PNG/baseline-JPEG decode for real "
-        "via media_decoder, otherwise inject a decoder or use "
-        "default_fake_decoder"
+        "container video / lossy-audio codecs (ffmpeg/librosa) are not "
+        "installed in this environment; PPM/WAV/PNG/baseline-JPEG/"
+        "raw-MJPEG decode for real via media_decoder / decode_mjpeg, "
+        "otherwise inject a decoder or use default_fake_decoder"
     )
 
 
@@ -1127,4 +1128,107 @@ def phash_images(media: DataFrame, batch_limit: int = 256) -> DataFrame:
     id_type = dict(media.dtypes)["media_id"]
     return media.filter(F.col("kind") == "image").mapInPandas(
         run, f"media_id {id_type}, phash long"
+    )
+
+
+# --------------------------------------- motion-JPEG video (real codec)
+
+
+def encode_mjpeg(frames: list[np.ndarray], quality: int = 85) -> bytes:
+    """Frame list → raw motion-JPEG stream: baseline JPEGs back to back,
+    the container-less MJPEG form IP cameras / multipart HTTP streams
+    emit. Completes the multimodal family with a REAL compressed-video
+    path (r6 verdict task 8) on top of :func:`encode_jpeg`; container
+    formats (MP4/WebM) stay behind :func:`real_decoder_unavailable`."""
+    assert frames, "empty clip"
+    return b"".join(encode_jpeg(f, quality=quality) for f in frames)
+
+
+def _jpeg_frame_end(payload: bytes, start: int) -> int:
+    """Offset one past the EOI of the baseline JPEG starting at
+    ``start``. Walks segment length headers and the entropy-coded scan
+    (FF00 byte stuffing + RSTn) — a naive EOI byte-scan is wrong
+    because a DQT/APPn segment payload may legally contain FF D9."""
+    pos = start
+    if payload[pos:pos + 2] != JPEG_SIG:
+        raise ValueError("frame does not start with SOI")
+    pos += 2
+    n = len(payload)
+    while pos + 1 < n:
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        m = payload[pos + 1]
+        if m == 0xD9:  # EOI
+            return pos + 2
+        if m == 0xDA:  # SOS header, then entropy-coded data
+            pos += 2 + int.from_bytes(payload[pos + 2:pos + 4], "big")
+            while pos + 1 < n:
+                if payload[pos] != 0xFF:
+                    pos += 1
+                elif payload[pos + 1] == 0x00 or 0xD0 <= payload[pos + 1] <= 0xD7:
+                    pos += 2  # stuffed FF / restart marker
+                else:
+                    break  # real marker ends the scan (EOI for baseline)
+            continue
+        if 0xD0 <= m <= 0xD7 or m in (0x01,):  # standalone markers
+            pos += 2
+            continue
+        pos += 2 + int.from_bytes(payload[pos + 2:pos + 4], "big")
+    raise ValueError("truncated JPEG frame")
+
+
+def decode_mjpeg(payload: bytes) -> list[np.ndarray]:
+    """Raw MJPEG stream → list of (h, w, 3) uint8 frames (each frame a
+    full :func:`decode_jpeg` decode)."""
+    frames, pos = [], 0
+    while pos < len(payload):
+        end = _jpeg_frame_end(payload, pos)
+        frames.append(decode_jpeg(payload[pos:end]))
+        pos = end
+    return frames
+
+
+def video_frame_phashes(media: DataFrame, batch_limit: int = 64) -> DataFrame:
+    """MJPEG payloads → ``(media_id, frame_idx, phash)``: clips decode
+    inside their partition (Arrow batches), and only 12 bytes per FRAME
+    shuffle — the same blob-never-moves shape as :func:`phash_images`,
+    fanned out one row per frame."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_limit):
+                chunk = pdf.iloc[start: start + batch_limit]
+                ids, idxs, hs = [], [], []
+                for mid, p in zip(chunk["media_id"], chunk["content"]):
+                    for i, fr in enumerate(decode_mjpeg(bytes(p))):
+                        ids.append(mid)
+                        idxs.append(i)
+                        hs.append(phash63(fr))
+                yield pd.DataFrame(
+                    {"media_id": ids, "frame_idx": np.array(idxs, dtype=np.int32),
+                     "phash": np.array(hs, dtype=np.int64)}
+                )
+
+    id_type = dict(media.dtypes)["media_id"]
+    return media.filter(F.col("kind") == "video").mapInPandas(
+        run, f"media_id {id_type}, frame_idx int, phash long"
+    )
+
+
+def video_keyframes(frame_hashes: DataFrame, max_hamming: int = 2) -> DataFrame:
+    """Shot-boundary keyframes: frame 0 plus every frame whose phash
+    moves more than ``max_hamming`` bits from its predecessor (lag
+    window per video — partitioned by media_id, so the sort is
+    per-clip, never global)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    prev = F.lag("phash").over(w)
+    return (
+        frame_hashes.withColumn("__prev", prev)
+        .filter(
+            F.col("__prev").isNull()
+            | (F.bit_count(F.col("phash").bitwiseXOR(F.col("__prev"))) > max_hamming)
+        )
+        .drop("__prev")
     )
