@@ -546,3 +546,61 @@ def video_keyframe_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dup_videos_removable"),
         F.sum(F.col("kf") * F.col("n_videos")).cast("long").alias("total_keyframes"),
     )
+
+
+@register(
+    "text_compression_signal",
+    None,
+    doc="training-data ext (rows-only): deflate-compressibility quality "
+        "signal — zlib level-6 compressed size / raw size per doc (the "
+        "CCNet/RefinedWeb-style heuristic: highly compressible text is "
+        "repetitive/templated, incompressible text is noise). Ratios are "
+        "fixed-point micro-units (exact-integer aggregation), profiled "
+        "per source with a flag count for the extreme tails. zlib is not "
+        "SQL-expressible; per-doc values + partition invariance pinned "
+        "in tests/test_text_compression.py",
+)
+def text_compression_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import zlib
+
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    # single-file scan is ONE partition; the per-doc deflate below would
+    # otherwise run serially on one core (CLAUDE.md scan-layout pitfall)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+    def ratios(batches):
+        for pdf in batches:
+            raw = [t.encode("utf-8") for t in pdf["text"]]
+            comp = [len(zlib.compress(b, 6)) for b in raw]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "source": pdf["source"].values,
+                    "raw_bytes": [len(b) for b in raw],
+                    # exact integer micro-ratio: no doubles shuffle
+                    "ratio_micro": [
+                        (c * 1_000_000) // max(r, 1)
+                        for c, r in zip(comp, (len(b) for b in raw))
+                    ],
+                }
+            )
+
+    r = docs.mapInPandas(
+        ratios, "doc_id long, source string, raw_bytes long, ratio_micro long"
+    )
+    return (
+        r.groupBy("source")
+        .agg(
+            F.count("*").alias("docs"),
+            (F.sum("ratio_micro").cast("double") / F.lit(1_000_000.0) / F.count("*"))
+            .alias("avg_ratio"),
+            (F.min("ratio_micro").cast("double") / F.lit(1_000_000.0)).alias("min_ratio"),
+            (F.max("ratio_micro").cast("double") / F.lit(1_000_000.0)).alias("max_ratio"),
+            F.sum(F.when(F.col("ratio_micro") < 300_000, 1).otherwise(0))
+            .cast("long")
+            .alias("highly_compressible"),
+        )
+        .orderBy("source")
+    )

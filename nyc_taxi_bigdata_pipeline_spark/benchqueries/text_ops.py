@@ -490,3 +490,60 @@ def text_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WITH d AS (SELECT doc_id, tok FROM bq_assoc_incidence)"
         + _assoc_read_sql("d")
     )
+
+
+# -------------------------------------------------- token-entropy quality
+
+
+def _token_entropy(engine: str, table: str) -> str:
+    """Per-doc Shannon token entropy (bits) aggregated per language —
+    the diversity face of the Gopher/CCNet quality-signal family
+    (low entropy = repetitive/templated text). Cross-engine math: each
+    per-doc c·ln(c) term snaps to fixed-point MICRO-NATS (the
+    text_unigram_logprob idiom) so the doc sum is exact-integer; the
+    per-doc entropy snaps to micro-bits before the per-lang SUM, so no
+    raw double ever accumulates."""
+    unnest = D.unnest_col(D.split_ws("lower(trim(text))", engine), engine)
+    return f"""
+    WITH toks AS (SELECT doc_id, lang, {unnest} AS tok FROM {table}),
+    cnt AS (SELECT doc_id, lang, tok, CAST(COUNT(*) AS BIGINT) AS c
+            FROM toks GROUP BY doc_id, lang, tok),
+    ent AS (SELECT doc_id, lang,
+                   CAST(SUM(c) AS BIGINT) AS n,
+                   CAST(SUM(CAST(FLOOR(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE))
+                                       * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+                     AS s_micro
+            FROM cnt GROUP BY doc_id, lang),
+    h AS (SELECT doc_id, lang, n,
+                 CAST(FLOOR((LN(CAST(n AS DOUBLE))
+                             - CAST(s_micro AS DOUBLE) / CAST(1000000 AS DOUBLE)
+                               / CAST(n AS DOUBLE))
+                            / LN(CAST(2 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+                   AS h_micro
+          FROM ent)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS docs,
+           CAST(SUM(h_micro) AS DOUBLE) / CAST(1000000 AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS avg_entropy_bits,
+           CAST(MIN(h_micro) AS DOUBLE) / CAST(1000000 AS DOUBLE) AS min_entropy_bits,
+           CAST(MAX(h_micro) AS DOUBLE) / CAST(1000000 AS DOUBLE) AS max_entropy_bits
+    FROM h GROUP BY lang ORDER BY lang"""
+
+
+@register(
+    "text_token_entropy",
+    _token_entropy(D.DUCK, "documents"),
+    doc="training-data ext: per-doc Shannon token entropy (bits), "
+        "profiled per language — the diversity quality signal beside "
+        "repetition (curation_repetition) and LM scores "
+        "(text_unigram_logprob). H = (ln n − Σ c·ln c / n) / ln 2 over "
+        "exact integer token counts; transcendental terms snap to "
+        "micro-nat/micro-bit integers so both engines aggregate "
+        "bit-identically (one explode + two map-combined aggregates — "
+        "no joins, no windows)",
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "bq_entropy_docs"
+    )
+    return spark.sql(_token_entropy(D.SPARK, "bq_entropy_docs"))
