@@ -337,3 +337,51 @@ def _ohlc_sql(engine: str, table: str) -> str:
 def ohlc_daily_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("bq_ohlc_events")
     return spark.sql(_ohlc_sql(D.SPARK, "bq_ohlc_events"))
+
+
+# 1-hour windows hopping every 15 minutes: each event lands in exactly
+# WIN/HOP = 4 windows, k = floor(sec/HOP) down to k-3 (epoch-aligned,
+# matching Structured Streaming's window(ts, '1 hour', '15 minutes')
+# grid — the equivalence to F.window is pinned in
+# tests/test_streaming.py::test_hopping_sql_matches_native_window).
+_HOP_S = 900
+_HOP_PER_WIN = 4
+
+
+def _hopping_topk(engine: str, table: str, k: int = 25) -> str:
+    sec = D.idiv(D.epoch_us("ts", engine), "1000000", engine)
+    kidx = D.idiv("sec", str(_HOP_S), engine)
+    hop = D.unnest_col(
+        D.iseq(f"{kidx} - {_HOP_PER_WIN - 1}", kidx, engine), engine
+    )
+    return f"""
+    WITH e AS (
+      SELECT CAST({sec} AS BIGINT) AS sec, event_type, value
+      FROM {table} WHERE ts IS NOT NULL
+    ),
+    h AS (SELECT {hop} AS w, event_type, value FROM e),
+    agg AS (
+      SELECT CAST(w * {_HOP_S} AS BIGINT) AS window_start, event_type,
+             COUNT(*) AS cnt,
+             {C.sum_exact(C.money('value'), 'sum_value')}
+      FROM h GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, cnt, sum_value
+    FROM agg ORDER BY cnt DESC, window_start, event_type LIMIT {k}"""
+
+
+@register(
+    "hopping_window_topk",
+    _hopping_topk(D.DUCK, "events"),
+    doc="§2.9 extension: HOPPING (sliding) window agg — 1 h windows every "
+        "15 min, top-25 busiest (window, type) cells; batch semantics of "
+        "streaming window(ts, '1 hour', '15 minutes'). Each event explodes "
+        "into exactly 4 hop indices (constant fan-out, integer epoch-second "
+        "math), then one map-side-combinable hash agg and a TakeOrdered "
+        "top-k — no windows-without-partition anywhere, scale cost is 4x "
+        "row amplification into a partial agg",
+    bench=True,
+)
+def hopping_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("bq_hop_events")
+    return spark.sql(_hopping_topk(D.SPARK, "bq_hop_events"))

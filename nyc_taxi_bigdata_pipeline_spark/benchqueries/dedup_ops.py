@@ -357,6 +357,68 @@ def dedup_ssjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_join_prefix(docs, threshold=0.8).orderBy("id_a", "id_b")
 
 
+def _containment_oracle(table: str, n: int = 14, thr: str = "0.8") -> str:
+    """Brute-force DIRECTED containment over ALL shared-shingle pairs —
+    |S_src ∩ S_dst| / |S_src| per ordered pair, no pruning; feasible only
+    at test SF. The Spark side must reproduce it via the source-prefix ⋈
+    full-postings join (lossless by the pigeonhole argument), so
+    hash-equality proves the prefix/size/positional filters dropped no
+    directed pair. Shingle n=14 (not the ssjoin's 5): the containment
+    index side is FULL postings, so the saturated 5-gram fixture
+    vocabulary would degenerate the candidate join far harder than the
+    symmetric prefix×prefix form — n=14 is the documented de-saturation
+    tier (312k distinct shingles at sf0.1, median df 2)."""
+    return f"""
+    WITH pos AS (
+      SELECT doc_id, text, unnest(range(1, greatest(len(text) - {n - 1}, 1) + 1)) AS i
+      FROM {table} WHERE text IS NOT NULL
+    ),
+    sh AS (SELECT DISTINCT doc_id, substr(text, i, {n}) AS g FROM pos),
+    sz AS (SELECT doc_id, COUNT(*) AS s FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    dir AS (
+      SELECT id_a AS src_id, id_b AS dst_id,
+             CAST(i AS DOUBLE) / sa.s AS containment
+      FROM inter JOIN sz sa ON sa.doc_id = id_a
+      UNION ALL
+      SELECT id_b, id_a, CAST(i AS DOUBLE) / sb.s
+      FROM inter JOIN sz sb ON sb.doc_id = id_b
+    )
+    SELECT src_id, dst_id, containment FROM dir
+    WHERE containment >= {thr}
+    ORDER BY src_id, dst_id"""
+
+
+@register(
+    "dedup_containment",
+    _containment_oracle("documents"),
+    doc="training-data ext: EXACT directed set-CONTAINMENT self-join at "
+        "C(src→dst) = |S_src∩S_dst|/|S_src| ≥ 0.8 over char-14-gram "
+        "shingles — the asymmetric quote/subset-detection complement to "
+        "dedup_ssjoin_prefix (Jaccard union-normalizes, so a short doc "
+        "quoted inside a long one scores near zero; containment is the "
+        "predicate inclusion-dedup needs). Source-prefix ⋈ full-postings "
+        "candidates + size + positional filters, exact relational verify; "
+        "the oracle brute-forces all shared-shingle directed pairs, so "
+        "hash-equality proves the pruning lossless "
+        "(operators/dedup.py:containment_join_prefix)",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import containment_join_prefix
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # single-file scan is ONE partition; the explode/window stages inherit
+    # it (CLAUDE.md layout pitfall) — spread by key before the heavy work
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    return containment_join_prefix(docs, threshold=0.8, shingle_n=14).orderBy(
+        "src_id", "dst_id"
+    )
+
+
 def _components_oracle(table: str) -> str:
     """Transitive closure via WITH RECURSIVE over the same brute-force
     near-dup pair SQL as `_ssjoin_oracle` — DuckDB can express the

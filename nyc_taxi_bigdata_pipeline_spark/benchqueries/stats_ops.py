@@ -90,3 +90,84 @@ def grouped_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bq_corr_lineitem"
     )
     return spark.sql(_CORR_SQL.format(table="bq_corr_lineitem"))
+
+
+# Robust per-group outlier profile: median + MAD + modified-z-score
+# counts (Iglewicz–Hoaglin: |0.6745·(x−med)/MAD| > 3.5) — the outlier
+# rule a mean/stddev z-score can't provide when the outliers themselves
+# inflate the stddev (anomaly_zscore's known blind spot). Medians use
+# the same rank-interpolation idiom as grouped_percentiles; the
+# interpolation fraction is structurally 0.0 or 0.5 (exact in binary),
+# so the multiply-add can't FMA-diverge. Constants go through CAST(..AS
+# DOUBLE) — bare decimal literals are DECIMAL in Spark SQL.
+_MAD_SQL = """
+WITH v AS (
+  SELECT event_type, value AS x FROM {table} WHERE value IS NOT NULL
+),
+o AS (
+  SELECT event_type, x,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM v
+),
+g AS (SELECT DISTINCT event_type, n FROM o),
+med AS (
+  SELECT g.event_type, g.n,
+         CAST(lov.x + (hiv.x - lov.x)
+              * ((1.0 + (g.n - 1) * 0.5) - FLOOR(1.0 + (g.n - 1) * 0.5))
+              AS DOUBLE) AS med
+  FROM g
+  JOIN o lov ON lov.event_type = g.event_type
+            AND lov.rn = CAST(FLOOR(1.0 + (g.n - 1) * 0.5) AS BIGINT)
+  JOIN o hiv ON hiv.event_type = g.event_type
+            AND hiv.rn = CAST(CEILING(1.0 + (g.n - 1) * 0.5) AS BIGINT)
+),
+d AS (
+  SELECT v.event_type, v.x, m.med, ABS(v.x - m.med) AS dev
+  FROM v JOIN med m ON m.event_type = v.event_type
+),
+od AS (
+  SELECT event_type, dev,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM d
+),
+mad AS (
+  SELECT g.event_type,
+         CAST(lov.dev + (hiv.dev - lov.dev)
+              * ((1.0 + (g.n - 1) * 0.5) - FLOOR(1.0 + (g.n - 1) * 0.5))
+              AS DOUBLE) AS mad
+  FROM (SELECT DISTINCT event_type, n FROM od) g
+  JOIN od lov ON lov.event_type = g.event_type
+             AND lov.rn = CAST(FLOOR(1.0 + (g.n - 1) * 0.5) AS BIGINT)
+  JOIN od hiv ON hiv.event_type = g.event_type
+             AND hiv.rn = CAST(CEILING(1.0 + (g.n - 1) * 0.5) AS BIGINT)
+)
+SELECT d.event_type, MAX(m.n) AS n,
+       MAX(d.med) AS median_value, MAX(a.mad) AS mad,
+       CAST(SUM(CASE WHEN CAST(0.6745 AS DOUBLE) * d.dev
+                          > CAST(3.5 AS DOUBLE) * a.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM d
+JOIN mad a ON a.event_type = d.event_type
+JOIN med m ON m.event_type = d.event_type
+GROUP BY d.event_type
+ORDER BY d.event_type"""
+
+
+@register(
+    "robust_zscore_mad",
+    _MAD_SQL.format(table="events"),
+    doc="analytics ext: per-group robust outlier profile — exact "
+        "interpolated median, MAD, and modified-z-score (Iglewicz–"
+        "Hoaglin 0.6745·dev/MAD > 3.5) outlier counts per event type. "
+        "Rank windows partition by group (each group sorts "
+        "independently, no global window); two passes over values plus "
+        "a broadcast-sized (group, median/mad) join back. The scale "
+        "path for the median itself is the bucketed two-pass selection "
+        "(percentiles) or hdr_quantile_sketch; this is the exact "
+        "oracle-checkable form",
+)
+def robust_zscore_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("bq_mad_events")
+    return spark.sql(_MAD_SQL.format(table="bq_mad_events"))

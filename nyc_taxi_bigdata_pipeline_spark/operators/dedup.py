@@ -557,6 +557,123 @@ def jaccard_join_prefix(
     )
 
 
+def containment_join_prefix(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """EXACT directed set-CONTAINMENT self-join: all ordered pairs
+    (src, dst), src ≠ dst, with |S_src ∩ S_dst| / |S_src| ≥ threshold
+    over char-n-gram shingle sets — the asymmetric complement to
+    :func:`jaccard_join_prefix`. Jaccard misses subset relationships by
+    construction (a short doc quoted inside a long one has tiny union-
+    normalized similarity); containment is the predicate quote/subset
+    dedup and decontamination-by-inclusion actually need (the overlap
+    notion behind suffix-array substring dedup, relaxed to shingle
+    sets).
+
+    Prefix filter, containment form: overlap α = ⌈t·|S_src|⌉ is
+    demanded relative to the SOURCE only, so under a global token order
+    the source must expose its first |S_src| − α + 1 tokens (pigeonhole)
+    — but the destination can be ANY superset, so the index side stays
+    FULL postings (no dst prefix; that is the structural cost vs the
+    symmetric join). Size filter: |S_dst| ≥ α (an α-overlap needs α
+    tokens in dst); no upper bound on dst. Positional filter: a
+    collision at ranks (p_s, p_d) of the shared frequency order bounds
+    the remaining overlap by 1 + min(|S_src|−p_s, |S_dst|−p_d) ≥ α —
+    lossless as an OR over a pair's collisions (the first common token
+    satisfies it). Candidates then get the exact relational verify
+    (pair × shingle equi-join count), so the output equals brute force:
+    the registry oracle brute-forces ALL shared-shingle pairs and
+    hash-equality proves the pruning dropped nothing.
+
+    Scale shape mirrors jaccard_join_prefix: one shingle build (lazily
+    checkpointed — freq / prefix / postings / sizes all re-reference
+    it under different keys), a vocabulary-sized frequency agg, the
+    prefix ⋈ postings candidate equi-join, and the verify joins — all
+    corpus-scaled frames carry ``merge`` hints (the static-broadcast
+    OOM class). Same long-tail caveat as the Jaccard join: a saturated
+    shingle vocabulary (tiny fixture vocab at small n) defeats
+    frequency-ordered prefixes; ``shingle_n`` is the de-saturation
+    knob and CHANGES the similarity definition, not approximates it.
+    """
+    from pyspark.sql import Window
+
+    assert 0.0 < threshold <= 1.0
+    sh = hashed_shingles(docs, id_col, text_col, n=shingle_n).localCheckpoint(
+        eager=False
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("__sz"))
+    freq = sh.groupBy("__h").agg(F.count("*").alias("__f"))
+    w = Window.partitionBy(id_col).orderBy(F.asc("__f"), F.asc("__h"))
+    ranked = (
+        sh.join(freq.hint("merge"), "__h")
+        .withColumn("__rn", F.row_number().over(w))
+        .join(sizes.hint("merge"), id_col)
+    )
+    # α = ceil(t·|src|): required overlap, source-relative
+    src = ranked.filter(
+        F.col("__rn")
+        <= F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz")) + 1
+    ).select(
+        F.col(id_col).alias("src_id"),
+        "__h",
+        F.col("__sz").alias("__sz_s"),
+        F.col("__rn").alias("__p_s"),
+    )
+    dst = ranked.select(
+        F.col(id_col).alias("dst_id"),
+        "__h",
+        F.col("__sz").alias("__sz_d"),
+        F.col("__rn").alias("__p_d"),
+    )
+    alpha = F.ceil(F.lit(threshold) * F.col("__sz_s").cast("double"))
+    cand = (
+        src.join(dst.hint("merge"), "__h")
+        .filter(
+            (F.col("src_id") != F.col("dst_id"))
+            & (F.col("__sz_d") >= alpha)
+            & (
+                1
+                + F.least(
+                    F.col("__sz_s") - F.col("__p_s"),
+                    F.col("__sz_d") - F.col("__p_d"),
+                )
+                >= alpha
+            )
+        )
+        .select("src_id", "dst_id")
+        .distinct()
+    )
+    # exact verify: intersection count per DIRECTED candidate, then the
+    # source-normalized ratio — one long/long division (IEEE-exact in
+    # both engines, the jaccard_verify precedent)
+    ids = (
+        cand.select(F.col("src_id").alias(id_col))
+        .union(cand.select(F.col("dst_id").alias(id_col)))
+        .distinct()
+    )
+    vsh = hashed_shingles(
+        docs.join(ids, id_col, "left_semi"), id_col, text_col, n=shingle_n
+    ).localCheckpoint(eager=False)
+    vsizes = vsh.groupBy(id_col).agg(F.count("*").alias("__sz"))
+    inter = (
+        cand.join(vsh.select(F.col(id_col).alias("src_id"), "__h"), "src_id")
+        .join(vsh.select(F.col(id_col).alias("dst_id"), "__h"), ["dst_id", "__h"])
+        .groupBy("src_id", "dst_id")
+        .agg(F.count("*").alias("__inter"))
+    )
+    out = inter.join(
+        vsizes.select(F.col(id_col).alias("src_id"), F.col("__sz").alias("__sz_s")),
+        "src_id",
+    ).withColumn("containment", F.col("__inter") / F.col("__sz_s"))
+    return out.filter(F.col("containment") >= threshold).select(
+        "src_id", "dst_id", "containment"
+    )
+
+
 def minhash_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -116,6 +116,27 @@ def test_dedup_clusters_and_canonical(spark, docs_with_dups):
         assert doc + 100000 not in kept_ids  # its exact copy does not
 
 
+def test_containment_asymmetric_subset(spark):
+    """A doc that is a strict prefix of a longer doc: containment finds
+    the src→dst direction at 1.0, NOT the reverse, and the symmetric
+    Jaccard join misses the pair entirely (union-normalized similarity
+    |S_A|/|S_B| is far below threshold) — the semantics that justify the
+    operator's existence."""
+    long_text = " ".join(f"tok{i:03d}" for i in range(80))
+    short_text = " ".join(f"tok{i:03d}" for i in range(20))
+    other = " ".join(f"oth{i:03d}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, short_text), (2, long_text), (3, other)], "doc_id long, text string"
+    )
+    out = dedup.containment_join_prefix(df, threshold=0.8, shingle_n=14).collect()
+    pairs = {(r.src_id, r.dst_id): r.containment for r in out}
+    assert pairs[(1, 2)] == 1.0  # every 14-gram of the prefix is in the long doc
+    assert (2, 1) not in pairs  # reverse direction well below 0.8
+    assert not any(3 in p for p in pairs)  # disjoint vocab never collides
+    jac = dedup.jaccard_join_prefix(df, threshold=0.8, shingle_n=14).collect()
+    assert jac == []  # the subset pair is invisible to symmetric Jaccard
+
+
 def test_simhash_near_pairs(docs_with_dups):
     pairs = dedup.simhash_near_pairs(docs_with_dups, max_hamming=3).collect()
     found = {(r["id_a"], r["id_b"]) for r in pairs}

@@ -51,6 +51,31 @@ def test_sliding_window_counts(spark, events_df):
         assert (r["window_end"] - r["window_start"]).total_seconds() == 3600
 
 
+def test_hopping_sql_matches_native_window(spark, events_df):
+    """The hopping_window_topk registry SQL's integer hop arithmetic
+    (explode k-3..k of sec div 900) must reproduce Structured Streaming's
+    window(ts, '1 hour', '15 minutes') grid exactly — window starts are
+    epoch-aligned multiples of the hop, end-exclusive."""
+    e = events_df.filter(F.col("ts").isNotNull())
+    native = (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .count()
+        .select(
+            F.expr("unix_micros(w.start) div 1000000").alias("window_start"),
+            "event_type",
+            F.col("count").alias("cnt"),
+        )
+    )
+    k = F.expr("unix_micros(ts) div 1000000 div 900")
+    hop = e.select(F.explode(F.sequence(k - 3, k)).alias("w"), "event_type")
+    twin = hop.groupBy((F.col("w") * 900).alias("window_start"), "event_type").agg(
+        F.count("*").alias("cnt")
+    )
+    n = sorted(map(tuple, native.collect()))
+    t = sorted(map(tuple, twin.collect()))
+    assert n == t and len(n) > 0
+
+
 def test_sessionize_batch_twin(spark, events_df):
     sessions = ev.sessionize_batch(events_df, gap="30 minutes")
     rows = sessions.collect()
