@@ -171,3 +171,63 @@ ORDER BY d.event_type"""
 def robust_zscore_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView("bq_mad_events")
     return spark.sql(_MAD_SQL.format(table="bq_mad_events"))
+
+
+# Pearson chi-square test of independence on the lang × source
+# contingency table. Cell statistic rewritten to an exact-integer core:
+# (o−e)²/e = (o·N − r·c)² / (N·r·c) — the subtraction happens on exact
+# BIGINTs (no catastrophic cancellation), each cell's double value snaps
+# to a 1e-9 grid, and the cross-cell SUM runs on the snapped integers so
+# float accumulation order can't diverge between engines.
+_CHI2_DOCS_SQL = """
+SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+FROM {table} GROUP BY lang, source"""
+
+
+def _chi2_read_sql(ob: str, cont: bool = False) -> str:
+    diff = "CAST(o.o * n.n - r.r * c.c AS DOUBLE)"
+    den = "CAST(n.n AS DOUBLE) * CAST(r.r AS DOUBLE) * CAST(c.c AS DOUBLE)"
+    lead = "," if cont else "WITH"
+    return f"""
+    {lead} r AS (SELECT lang, SUM(o) AS r FROM {ob} GROUP BY lang),
+    c AS (SELECT source, SUM(o) AS c FROM {ob} GROUP BY source),
+    n AS (SELECT SUM(r) AS n FROM r),
+    cells AS (
+      SELECT o.lang, o.source,
+             CAST(FLOOR(({diff}) * ({diff}) / ({den})
+                        * 1000000000.0 + 0.5) AS BIGINT) AS contrib_nano
+      FROM {ob} o
+      JOIN r ON r.lang = o.lang
+      JOIN c ON c.source = o.source
+      CROSS JOIN n
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST((COUNT(DISTINCT lang) - 1) * (COUNT(DISTINCT source) - 1)
+                AS BIGINT) AS df,
+           CAST(SUM(contrib_nano) AS DOUBLE)
+             / CAST(1000000000 AS DOUBLE) AS chi2
+    FROM cells"""
+
+
+@register(
+    "chi_square_independence",
+    f"WITH ob AS ({_CHI2_DOCS_SQL.format(table='documents')})\n"
+    + _chi2_read_sql("ob", cont=True),
+    doc="analytics ext: Pearson chi-square independence test on the "
+        "lang × source contingency table — the categorical-drift gate a "
+        "dataset mixture monitor runs. One corpus-pass groupBy builds "
+        "the table; margins and the statistic run on the tiny "
+        "aggregated relation (Spark side lazily checkpoints it into a "
+        "temp view — multi-reference read-back, the CTE-inlining "
+        "class). Cell math is (oN−rc)²/(Nrc) on exact BIGINT cores, "
+        "snapped to 1e-9 before the cross-cell sum",
+)
+def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "bq_chi2_docs"
+    )
+    ob = spark.sql(_CHI2_DOCS_SQL.format(table="bq_chi2_docs")).localCheckpoint(
+        eager=False
+    )
+    ob.createOrReplaceTempView("bq_chi2_table")
+    return spark.sql(_chi2_read_sql("bq_chi2_table"))

@@ -306,6 +306,74 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob_features(docs, id_col="doc_id", col="text")
 
 
+# --------------------------------------------- per-source KL divergence
+
+
+def _kl_docs_sql(engine: str, table: str) -> str:
+    """Full-data pass: per-(source, token) exact counts — the only part
+    that touches the corpus; everything downstream is vocabulary-sized."""
+    unnest = D.unnest_col(D.split_ws("lower(trim(text))", engine), engine)
+    return f"""
+    SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+    FROM (SELECT source, {unnest} AS tok FROM {table}) t
+    GROUP BY source, tok"""
+
+
+def _fp_ln(x: str) -> str:
+    """ln(x) snapped to integer micro-nats (the unigram-logprob idiom):
+    both engines round the same double to the same grid point, so sums
+    of these are exact integers."""
+    return f"CAST(FLOOR(LN(CAST({x} AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"
+
+
+def _kl_read_sql(sf: str, cont: bool = False) -> str:
+    # KL(P_s || Q) = (1/n_s) * Σ_t c_st · (ln c_st − ln n_s − ln C_t + ln N)
+    # with every ln pre-snapped to micro-nats → the Σ is exact integer;
+    # only the final per-source division is float (textually shared).
+    # cont=True continues an enclosing WITH clause (the oracle wraps the
+    # docs pass as its first CTE) instead of opening a second one.
+    lead = "," if cont else "WITH"
+    return f"""
+    {lead} st AS (SELECT source, SUM(c) AS n FROM {sf} GROUP BY source),
+    cf AS (SELECT tok, SUM(c) AS ctot FROM {sf} GROUP BY tok),
+    nt AS (SELECT SUM(n) AS ntot FROM st),
+    terms AS (
+      SELECT s.source, st.n,
+             s.c * ({_fp_ln('s.c')} + {_fp_ln('nt.ntot')}
+                    - {_fp_ln('st.n')} - {_fp_ln('cf.ctot')}) AS contrib
+      FROM {sf} s
+      JOIN st ON st.source = s.source
+      JOIN cf ON cf.tok = s.tok
+      CROSS JOIN nt
+    )
+    SELECT source, CAST(MAX(n) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab_used,
+           CAST(SUM(contrib) AS DOUBLE)
+             / (CAST(MAX(n) AS DOUBLE) * 1000000.0) AS kl_nats
+    FROM terms GROUP BY source ORDER BY source"""
+
+
+@register(
+    "text_kl_divergence",
+    f"WITH sf AS ({_kl_docs_sql(D.DUCK, 'documents')})\n"
+    + _kl_read_sql("sf", cont=True),
+    doc="training-data ext: per-source unigram KL divergence vs the "
+        "corpus distribution — the domain-shift / mixture-drift monitor "
+        "a training-data pipeline runs per ingest batch. Every ln snaps "
+        "to integer micro-nats (unigram-logprob idiom) so the Σ c·(…) "
+        "is exact-integer and order-independent; one corpus pass builds "
+        "the (source, token) counts, the divergence itself runs on the "
+        "vocabulary-sized table (Spark side: counts lazily checkpointed "
+        "into a temp view so the multi-reference read-back never "
+        "re-scans the corpus — the CTE-inlining class)",
+)
+def text_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("bq_kl_docs")
+    sf = spark.sql(_kl_docs_sql(D.SPARK, "bq_kl_docs")).localCheckpoint(eager=False)
+    sf.createOrReplaceTempView("bq_kl_counts")
+    return spark.sql(_kl_read_sql("bq_kl_counts"))
+
+
 @register(
     "text_bpe_merges",
     None,

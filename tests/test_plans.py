@@ -195,6 +195,11 @@ _SCALAR_ANCHOR_OK = {
                                       # (same shape as hll_segment_overlap)
     "graph_clustering_coefficient": 1,  # 1-row triangles × 1-row wedges
                                         # cross (same as graph_triangle_count)
+    "text_kl_divergence": 1,          # 1-row corpus-total-tokens anchor
+                                      # folded into every (source, token)
+                                      # term (same shape as text_rarity)
+    "chi_square_independence": 1,     # 1-row grand-total anchor over the
+                                      # ≤(langs×sources) contingency cells
 }
 
 
