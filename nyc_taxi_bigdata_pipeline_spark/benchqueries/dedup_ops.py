@@ -474,3 +474,101 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     pairs = jaccard_join_prefix(docs, threshold=0.8)
     return dedup_clusters(pairs, id_col="doc_id").orderBy("doc_id")
+
+
+def _cluster_canonical_oracle(table: str) -> str:
+    """End-to-end removal counts over a PLANTED-dup corpus: the
+    `_components_oracle` recursive closure extended with the canonical
+    (min-id) collapse. The corpus plants an exact copy AND a one-token
+    append of every base doc (doc_id < 50), so clusters of size ≥ 3
+    exist and transitive chaining matters; the corpus is bounded to
+    doc_id < 2500 at every SF so the brute-force pair CTE stays
+    fixture-feasible (the operators are scale-probed separately —
+    500k docs, RESULTS.md)."""
+    return f"""
+    WITH RECURSIVE corpus AS (
+      SELECT doc_id, text FROM {table}
+      WHERE text IS NOT NULL AND doc_id < 2500
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM {table}
+      WHERE text IS NOT NULL AND doc_id < 50
+      UNION ALL
+      SELECT doc_id + 2000000, concat(text, ' zzextra') FROM {table}
+      WHERE text IS NOT NULL AND doc_id < 50
+    ),
+    pos AS (
+      SELECT doc_id, text, unnest(range(1, greatest(len(text) - 4, 1) + 1)) AS i
+      FROM corpus
+    ),
+    sh AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS g FROM pos),
+    sz AS (SELECT doc_id, COUNT(*) AS s FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sz sa ON sa.doc_id = id_a
+      JOIN sz sb ON sb.doc_id = id_b
+      WHERE CAST(i AS DOUBLE) / (sa.s + sb.s - i) >= 0.8
+    ),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(src, dst) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    dropped AS (
+      SELECT src AS doc_id FROM reach GROUP BY src HAVING MIN(dst) <> src
+    )
+    SELECT (SELECT COUNT(*) FROM corpus) AS docs_in,
+           (SELECT COUNT(*) FROM corpus) - (SELECT COUNT(*) FROM dropped)
+             AS docs_kept,
+           (SELECT COUNT(*) FROM dropped) AS docs_removed"""
+
+
+@register(
+    "dedup_cluster_canonical",
+    _cluster_canonical_oracle("documents"),
+    doc="training-data ext: near-dup REMOVAL end-to-end — exact pair "
+        "graph (lossless prefix-filtered SSJoin) → connected components "
+        "(operators/dedup.dedup_clusters) → collapse each cluster to its "
+        "canonical min-id member (keep_canonical); returns corpus size "
+        "before/after. Oracle-backed since r7 (was rows-only): DuckDB "
+        "replays the whole chain declaratively — recursive-CTE closure "
+        "over the brute-force pair SQL plus the min-id collapse — over "
+        "the SAME planted-dup corpus (exact copy + one-token append of "
+        "every base doc), so hash-equality pins the removal COUNTS, not "
+        "just cluster labels",
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import jaccard_join_prefix, keep_canonical
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull() & (F.col("doc_id") < 2500))
+    )
+    base = docs.filter(F.col("doc_id") < 50)
+    corpus = (
+        docs.unionByName(base.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+        .unionByName(
+            base.withColumn("doc_id", F.col("doc_id") + 2_000_000)
+            .withColumn("text", F.concat(F.col("text"), F.lit(" zzextra")))
+        )
+    )
+    # single-file scan is ONE partition; spread before the shingle explode
+    corpus = corpus.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    pairs = jaccard_join_prefix(corpus, threshold=0.8)
+    kept = keep_canonical(corpus, pairs)
+    return (
+        corpus.agg(F.count("*").alias("docs_in"))
+        .crossJoin(kept.agg(F.count("*").alias("docs_kept")))
+        .select(
+            "docs_in",
+            "docs_kept",
+            (F.col("docs_in") - F.col("docs_kept")).alias("docs_removed"),
+        )
+    )

@@ -125,43 +125,6 @@ def dedup_minhash_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "dedup_cluster_canonical",
-    None,
-    doc="training-data ext (rows-only): near-dup removal end-to-end — "
-        "MinHash→LSH pairs → connected components (iterative min-label "
-        "propagation, the genuinely non-SQL step) → collapse each cluster "
-        "to its canonical doc; returns the corpus size before/after",
-)
-def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import keep_canonical, minhash_dedup
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    base = docs.filter(F.col("doc_id") < 50)
-    # plant a dup family: exact copy + one-token edit of the same docs,
-    # so clusters of size 3 exist and chaining matters
-    corpus = (
-        docs.unionByName(base.withColumn("doc_id", F.col("doc_id") + 1_000_000))
-        .unionByName(
-            base.withColumn("doc_id", F.col("doc_id") + 2_000_000)
-            .withColumn("text", F.concat(F.col("text"), F.lit(" zzextra")))
-        )
-    )
-    # bands=4 → 4 rows/band (banding threshold ≈ 0.7): on this tiny-vocab
-    # synthetic corpus 2-row bands collide for ~4% of ALL pairs (528k
-    # candidates from 5.1k docs, measured) — band width must track the
-    # corpus' baseline similarity, not just the target threshold
-    pairs = minhash_dedup(corpus, num_hashes=16, bands=4, threshold=0.5)
-    kept = keep_canonical(corpus, pairs)
-    return corpus.agg(F.count("*").alias("docs_in")).crossJoin(
-        kept.agg(F.count("*").alias("docs_kept"))
-    ).select(
-        "docs_in",
-        "docs_kept",
-        (F.col("docs_in") - F.col("docs_kept")).alias("docs_removed"),
-    )
-
-
-@register(
     "ml_gbt_quick",
     None,
     doc="§2.10 (rows-only): end-to-end MLlib pipeline fit+transform on "
