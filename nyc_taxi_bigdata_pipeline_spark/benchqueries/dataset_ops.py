@@ -367,3 +367,63 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"),
         window=_CHUNK_W, stride=_CHUNK_S,
     )
+
+
+# Balanced-mixture resample: downsample every source to the smallest
+# source's count with content-stable hash acceptance — the domain-
+# rebalancing step a pre-training mixture applies after measuring
+# proportions (curation_domain_mixture measures; this one ACTS). The
+# acceptance test is ALL-INTEGER: accept doc iff
+# (h % 1e6) * n_source < n_min * 1e6 — no float rate whose rounding
+# could flip a boundary doc between engines; h is the positive 60-bit
+# portable hash, so % is engine-agnostic. Expected kept count per
+# source is n_min ± binomial noise; the output pins the exact counts.
+_MIX_COUNTS = """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_in
+FROM {table} GROUP BY source"""
+
+
+def _mixture_read_sql(engine: str, table: str, counts: str) -> str:
+    h = D.seeded_h64("CAST(doc_id AS STRING)", 29, engine)
+    return f"""
+    WITH tgt AS (SELECT MIN(n_in) AS n_min FROM {counts}),
+    kept AS (
+      SELECT d.source
+      FROM {table} d
+      JOIN {counts} c ON c.source = d.source
+      CROSS JOIN tgt
+      WHERE ({h} % 1000000) * c.n_in < tgt.n_min * 1000000
+    ),
+    outc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept
+             FROM kept GROUP BY source)
+    SELECT c.source, c.n_in, t.n_min AS n_target,
+           COALESCE(o.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+           CAST(COALESCE(o.n_kept, CAST(0 AS BIGINT)) AS DOUBLE)
+             / c.n_in AS achieved_rate
+    FROM {counts} c
+    CROSS JOIN tgt t
+    LEFT JOIN outc o ON o.source = c.source
+    ORDER BY c.source"""
+
+
+@register(
+    "dataset_mixture_resample",
+    "WITH counts AS (" + _MIX_COUNTS.format(table="documents") + "),\n"
+    + _mixture_read_sql(D.DUCK, "documents", "counts").lstrip().removeprefix("WITH "),
+    doc="training-data ext: balanced-mixture resample — every source "
+        "deterministically downsampled to the smallest source's count "
+        "via integer-exact portable-hash acceptance ((h % 1e6)·n_src < "
+        "n_min·1e6; no float rate, no rand()). Two corpus passes "
+        "(count, filter) and a broadcast-sized source table; the Spark "
+        "side lazily checkpoints the counts so the CTE isn't re-scanned "
+        "per downstream reference",
+)
+def dataset_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "bq_mix_docs"
+    )
+    counts = spark.sql(_MIX_COUNTS.format(table="bq_mix_docs")).localCheckpoint(
+        eager=False
+    )
+    counts.createOrReplaceTempView("bq_mix_counts")
+    return spark.sql(_mixture_read_sql(D.SPARK, "bq_mix_docs", "bq_mix_counts"))

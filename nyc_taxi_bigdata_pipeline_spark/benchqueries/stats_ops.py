@@ -231,3 +231,66 @@ def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ob.createOrReplaceTempView("bq_chi2_table")
     return spark.sql(_chi2_read_sql("bq_chi2_table"))
+
+
+# Welch two-sample t-test per event type: the A/B-experiment readout.
+# Arms are a deterministic user split (user_id % 2 — content-stable, the
+# sampling discipline this repo uses instead of rand()). ONE
+# partial-aggregable pass collects both arms' exact decimal moments via
+# conditional aggregation (no moments self-join, no CTE re-scan); the
+# t statistic and Welch–Satterthwaite df are textually-shared double
+# expressions over the exact cores, snapped to the 1e-9 grid (the
+# pearson_r FMA-contraction class).
+_V0 = "(sxx0 - sx0 * sx0 / n0) / NULLIF(n0 - 1, 0)"
+_V1 = "(sxx1 - sx1 * sx1 / n1) / NULLIF(n1 - 1, 0)"
+_SE2 = f"(({_V0}) / n0 + ({_V1}) / n1)"
+_T = f"(sx0 / n0 - sx1 / n1) / SQRT({_SE2})"
+_DF_W = (
+    f"({_SE2}) * ({_SE2}) / NULLIF("
+    f"(({_V0}) / n0) * (({_V0}) / n0) / NULLIF(n0 - 1, 0)"
+    f" + (({_V1}) / n1) * (({_V1}) / n1) / NULLIF(n1 - 1, 0), 0)"
+)
+
+_WELCH_SQL = f"""
+WITH m AS (
+  SELECT event_type,
+         CAST(COUNT(CASE WHEN user_id % 2 = 0 THEN 1 END) AS BIGINT) AS n0,
+         CAST(COUNT(CASE WHEN user_id % 2 = 1 THEN 1 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN user_id % 2 = 0 THEN {C.money('value')} END)
+              AS DOUBLE) AS sx0,
+         CAST(SUM(CASE WHEN user_id % 2 = 1 THEN {C.money('value')} END)
+              AS DOUBLE) AS sx1,
+         CAST(SUM(CASE WHEN user_id % 2 = 0
+                       THEN {C.money('value')} * {C.money('value')} END)
+              AS DOUBLE) AS sxx0,
+         CAST(SUM(CASE WHEN user_id % 2 = 1
+                       THEN {C.money('value')} * {C.money('value')} END)
+              AS DOUBLE) AS sxx1
+  FROM {{table}}
+  WHERE value IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY event_type
+)
+SELECT event_type, n0 AS n_a, n1 AS n_b,
+       {_snap9('sx0 / n0', 'mean_a')},
+       {_snap9('sx1 / n1', 'mean_b')},
+       {_snap9(_T, 't_stat')},
+       {_snap9(_DF_W, 'df_welch')}
+FROM m ORDER BY event_type"""
+
+
+@register(
+    "ab_test_welch",
+    _WELCH_SQL.format(table="events"),
+    doc="analytics ext: Welch two-sample t-test per event type over a "
+        "deterministic user split (user_id parity) — the unequal-"
+        "variance A/B readout (t statistic + Welch–Satterthwaite df). "
+        "Both arms' exact decimal moments come from ONE conditional-"
+        "aggregation pass (map-side combinable; no self-join), so the "
+        "scan count is identical at 100 TB; outputs snap to the 1e-9 "
+        "grid (FMA-contraction class, see module docstring)",
+)
+def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "bq_welch_events"
+    )
+    return spark.sql(_WELCH_SQL.format(table="bq_welch_events"))

@@ -940,3 +940,94 @@ def bracket_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         sx(C.sum_exact(_DISC, "revenue")),
         F.count("*").cast("bigint").alias("n_lines"),
     )
+
+
+# -------------------------------------------------------------- Q2 shape
+
+_MIN_COST_ORACLE = f"""
+WITH cost AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk,
+         MIN({C.money('l_extendedprice')}) AS cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey AND r_name = 'EUROPE'
+),
+cand AS (
+  SELECT p_partkey, p_brand, s_name, n_name, s_acctbal, cost
+  FROM part
+  JOIN cost ON pk = p_partkey
+  JOIN eu ON s_suppkey = sk
+  WHERE p_size <= 10 AND p_type = 'STANDARD'
+)
+SELECT CAST(x.s_acctbal AS DOUBLE) AS s_acctbal, x.s_name, x.n_name,
+       x.p_partkey, x.p_brand, CAST(x.cost AS DOUBLE) AS min_cost
+FROM cand x
+WHERE x.cost = (SELECT MIN(y.cost) FROM cand y
+                WHERE y.p_partkey = x.p_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100"""
+
+
+@register(
+    "min_cost_supplier",
+    _MIN_COST_ORACLE,
+    doc="TPC-H Q2 shape: minimum-cost supplier per part within one "
+        "region — the correlated-MIN-subquery pattern (partsupp's "
+        "supplycost stood in by the cheapest observed line price per "
+        "supplier-part pair, exact DECIMAL so the min/equality never "
+        "float-diverges). The oracle keeps Q2's correlated scalar "
+        "subquery; the Spark side decorrelates it the way Catalyst "
+        "would — per-part MIN aggregate broadcast-joined back on "
+        "(partkey, cost). Dims broadcast; the only corpus-scale shuffle "
+        "is the (partkey, suppkey) cost aggregate, map-side combinable. "
+        "Deterministic LIMIT: the ORDER BY chain ends in the unique "
+        "(n_name, s_name, p_partkey) triple",
+)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "lineitem", "part", "supplier", "nation", "region")
+    cost = (
+        t["lineitem"]
+        .groupBy(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk"))
+        .agg(F.min(F.expr(C.money("l_extendedprice"))).alias("cost"))
+    )
+    eu = (
+        t["supplier"]
+        .join(broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            broadcast(t["region"].filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    parts = t["part"].filter(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "STANDARD")
+    )
+    cand = (
+        cost.join(broadcast(parts), F.col("pk") == F.col("p_partkey"))
+        .join(broadcast(eu), F.col("sk") == F.col("s_suppkey"))
+        .select("p_partkey", "p_brand", "s_name", "n_name", "s_acctbal", "cost")
+    )
+    best = cand.groupBy(F.col("p_partkey").alias("bpk")).agg(
+        F.min("cost").alias("mincost")
+    )
+    return (
+        cand.join(
+            broadcast(best),
+            (F.col("p_partkey") == F.col("bpk"))
+            & (F.col("cost") == F.col("mincost")),
+        )
+        .select(
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            F.col("cost").cast("double").alias("min_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )

@@ -200,6 +200,9 @@ _SCALAR_ANCHOR_OK = {
                                       # term (same shape as text_rarity)
     "chi_square_independence": 1,     # 1-row grand-total anchor over the
                                       # ≤(langs×sources) contingency cells
+    "dataset_mixture_resample": 1,    # 1-row MIN(source-count) target
+                                      # anchor folded into the acceptance
+                                      # predicate and the report rows
 }
 
 
