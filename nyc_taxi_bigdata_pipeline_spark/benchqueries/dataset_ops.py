@@ -427,3 +427,59 @@ def dataset_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts.createOrReplaceTempView("bq_mix_counts")
     return spark.sql(_mixture_read_sql(D.SPARK, "bq_mix_docs", "bq_mix_counts"))
+
+
+# Contrastive negative sampling: k pseudo-random candidate negatives per
+# anchor doc via the portable hash ring (cand_id = h(doc_id, j) % N over
+# the contiguous id space), joined back to the corpus and validated
+# (different source, not the anchor itself). The output is the
+# anchor-source × candidate-source pair matrix with valid counts — the
+# quantity a contrastive-training mixture monitor tracks (are negatives
+# actually cross-domain?). No rand(): the ring is content-stable, so
+# re-sharding or re-running never changes a pair.
+_NEG_K = 4
+
+
+def _negative_sample_sql(engine: str, table: str) -> str:
+    h = D.seeded_h64(
+        "CONCAT(CAST(a.doc_id AS STRING), '#', CAST(a.j AS STRING))", 31, engine
+    )
+    j = D.unnest_col(D.iseq("1", str(_NEG_K), engine), engine)
+    return f"""
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM {table}),
+    a AS (SELECT doc_id, source, {j} AS j FROM {table}),
+    cand AS (
+      SELECT a.doc_id, a.source AS anchor_source,
+             {h} % n.n_docs AS cand_id
+      FROM a CROSS JOIN n
+    ),
+    pairs AS (
+      SELECT c.anchor_source, d2.source AS cand_source,
+             CASE WHEN d2.source <> c.anchor_source
+                       AND d2.doc_id <> c.doc_id
+                  THEN 1 ELSE 0 END AS valid
+      FROM cand c JOIN {table} d2 ON d2.doc_id = c.cand_id
+    )
+    SELECT anchor_source, cand_source,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(valid) AS BIGINT) AS n_valid
+    FROM pairs
+    GROUP BY anchor_source, cand_source
+    ORDER BY anchor_source, cand_source"""
+
+
+@register(
+    "dataset_negative_sample",
+    _negative_sample_sql(D.DUCK, "documents"),
+    doc=f"training-data ext: contrastive negative sampling — {_NEG_K} "
+        "hash-ring candidate negatives per anchor (portable h(doc_id,j) "
+        "% N over the contiguous id space, no rand()), equi-joined back "
+        "to the corpus and validated cross-source; output is the "
+        "anchor×candidate source matrix with valid counts. Scale shape: "
+        f"one {_NEG_K}× explode, one shuffle join on cand_id, map-side-"
+        "combinable counts; the 1-row corpus-count anchor broadcasts",
+)
+def dataset_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_rendered(
+        spark, sf_dir, "documents", _negative_sample_sql, "bq_neg_docs"
+    )

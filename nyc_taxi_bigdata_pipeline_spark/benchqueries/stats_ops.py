@@ -294,3 +294,60 @@ def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bq_welch_events"
     )
     return spark.sql(_WELCH_SQL.format(table="bq_welch_events"))
+
+
+# One-way ANOVA F-test across event types — the k-arm generalization of
+# ab_test_welch (does ANY arm's mean differ?). Between/within sums of
+# squares come from the same exact decimal moment pass; the CROSS-GROUP
+# accumulations (Σsx, Σsx²/n, Σsxx) snap each group's term to integer
+# nanos FIRST and sum BIGINTs (the chi-square discipline) — summing raw
+# doubles across groups would be accumulation-order-dependent between
+# engines.
+_ANOVA_MOMS = f"""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM({C.money('value')}) AS DOUBLE) AS sx,
+       CAST(SUM({C.money('value')} * {C.money('value')}) AS DOUBLE) AS sxx
+FROM {{table}}
+WHERE value IS NOT NULL
+GROUP BY event_type"""
+
+_SSB = "(CAST(sgs_nano AS DOUBLE) / 1000000000.0" \
+    " - (CAST(g_nano AS DOUBLE) / 1000000000.0)" \
+    " * (CAST(g_nano AS DOUBLE) / 1000000000.0) / nn)"
+_SSW = "(CAST(sxx_nano AS DOUBLE) / 1000000000.0" \
+    " - CAST(sgs_nano AS DOUBLE) / 1000000000.0)"
+
+_ANOVA_SQL = f"""
+WITH m AS ({_ANOVA_MOMS}),
+t AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nn,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         SUM(CAST(FLOOR(sx * sx / n * 1000000000.0 + 0.5) AS BIGINT))
+           AS sgs_nano,
+         SUM(CAST(FLOOR(sxx * 1000000000.0 + 0.5) AS BIGINT)) AS sxx_nano,
+         SUM(CAST(FLOOR(sx * 1000000000.0 + 0.5) AS BIGINT)) AS g_nano
+  FROM m
+)
+SELECT nn AS n_total, k AS n_groups,
+       {_snap9(_SSB, 'ss_between')},
+       {_snap9(_SSW, 'ss_within')},
+       {_snap9(f'({_SSB} / (k - 1)) / ({_SSW} / (nn - k))', 'f_stat')}
+FROM t"""
+
+
+@register(
+    "anova_oneway",
+    _ANOVA_SQL.format(table="events"),
+    doc="analytics ext: one-way ANOVA F-test of value across event "
+        "types — the k-arm mean-difference gate (ab_test_welch's "
+        "generalization). One exact-decimal moment pass per group; "
+        "cross-group sums run on per-group integer-nano terms (the "
+        "chi-square accumulation discipline), so engine accumulation "
+        "order can't diverge; F and the sums of squares snap to 1e-9",
+)
+def anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "bq_anova_events"
+    )
+    return spark.sql(_ANOVA_SQL.format(table="bq_anova_events"))

@@ -203,6 +203,8 @@ _SCALAR_ANCHOR_OK = {
     "dataset_mixture_resample": 1,    # 1-row MIN(source-count) target
                                       # anchor folded into the acceptance
                                       # predicate and the report rows
+    "dataset_negative_sample": 1,     # 1-row corpus-count anchor folded
+                                      # into the hash-ring modulus
 }
 
 
