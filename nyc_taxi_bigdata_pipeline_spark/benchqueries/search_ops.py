@@ -146,3 +146,85 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob_features(docs, id_col="doc_id", col="text").orderBy(
         "doc_id"
     )
+
+
+# ------------------------------------------------------ TF-IDF cosine
+
+_TFIDF_TF_SQL_T = """
+SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+FROM (SELECT doc_id, {unnest} AS tok FROM {table} WHERE text IS NOT NULL) t
+GROUP BY doc_id, tok"""
+
+
+def _tfidf_tf_sql(engine: str, table: str) -> str:
+    unnest = D.unnest_col(D.split_ws("lower(trim(text))", engine), engine)
+    return _TFIDF_TF_SQL_T.format(unnest=unnest, table=table)
+
+
+def _tfidf_read_sql(tf_rel: str) -> str:
+    """Cosine of tf·idf vectors over the bounded adjacent-id pair set.
+    Weights are EXACT INTEGERS: tf · idf_milli where idf_milli =
+    FLOOR((LN(N) − LN(df)) · 1e3 + 0.5) — LN only ever sees
+    integer-valued doubles (the proven unigram-LM idiom), and the
+    milli-unit scale keeps Σw² under 2^63 (micro-units would overflow
+    at tf ≈ 54). Dot products and norms are exact BIGINT sums; the one
+    float op is the final dot/√(na·nb), snapped to 1e-9. Engine-shared
+    text for both engines."""
+    return f"""
+    WITH n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
+               FROM {tf_rel}),
+    dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+              FROM {tf_rel} GROUP BY tok),
+    w AS (
+      SELECT t.doc_id, t.tok,
+             t.tf * CAST(FLOOR((LN(CAST(n.nd AS DOUBLE))
+                                - LN(CAST(dfreq.df AS DOUBLE)))
+                               * 1000.0 + 0.5) AS BIGINT) AS w
+      FROM {tf_rel} t
+      JOIN dfreq ON dfreq.tok = t.tok
+      CROSS JOIN n
+    ),
+    norms AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2
+              FROM w GROUP BY doc_id),
+    dot AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(SUM(a.w * b.w) AS BIGINT) AS dot,
+             CAST(COUNT(*) AS BIGINT) AS shared_terms
+      FROM w a JOIN w b ON b.tok = a.tok AND b.doc_id = a.doc_id + 1
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, shared_terms,
+           CAST(FLOOR(CAST(dot AS DOUBLE)
+                      / SQRT(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))
+                      * 1000000000.0 + 0.5) AS BIGINT)
+             / CAST(1000000000 AS DOUBLE) AS cosine
+    FROM dot
+    JOIN norms na ON na.doc_id = doc_a
+    JOIN norms nb ON nb.doc_id = doc_b
+    ORDER BY doc_a"""
+
+
+@register(
+    "text_tfidf_cosine",
+    "WITH tfq AS (" + _tfidf_tf_sql(D.DUCK, "documents") + "),"
+    + _tfidf_read_sql("tfq").lstrip().removeprefix("WITH"),
+    doc="training-data ext: vector-space TF-IDF cosine similarity on a "
+        "bounded deterministic pair set (adjacent doc ids) — the "
+        "classic-IR sibling of BM25 and the lexical complement of the "
+        "embedding-cosine family. Weights are exact-integer tf·idf_milli "
+        "(LN only sees integer-valued doubles — the unigram-LM idiom), "
+        "dot/norms are exact BIGINT sums, one final float division "
+        "snapped to 1e-9. Spark side materializes the one corpus "
+        "tokenize pass into the small tf relation (CTE-inlining class); "
+        "the scale path for UNBOUNDED pairs is LSH/ANN candidate "
+        "generation feeding this exact scorer",
+)
+def text_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    docs.createOrReplaceTempView("bq_tfidf_docs")
+    tf = spark.sql(_tfidf_tf_sql(D.SPARK, "bq_tfidf_docs")).localCheckpoint(
+        eager=False
+    )
+    tf.createOrReplaceTempView("bq_tfidf_tf")
+    return spark.sql(_tfidf_read_sql("bq_tfidf_tf"))

@@ -79,17 +79,29 @@ def main() -> None:
     args = ap.parse_args()
     spark = get_spark("bench-r7b-newops")
 
+    # NOTE: every probe COLLECTS and folds the output into a checksum —
+    # a bare .count() lets Catalyst prune the expensive columns (count
+    # of a groupBy needs only the grouping keys, and a LEFT JOIN against
+    # an aggregate with provably-unique keys is eliminated outright), so
+    # a count-timed "probe" can measure a plan that skipped the work.
     ev_tiers = [1_000_000, 10_000_000] + ([100_000_000] if args.full else [])
     for n in ev_tiers:
         ev = synth_events(spark, n).localCheckpoint(eager=True)
         ev.createOrReplaceTempView("probe_events")
         timed(
             f"ab_test_welch shape @ {n} events",
-            lambda: spark.sql(_WELCH_SQL.format(table="probe_events")).count(),
+            lambda: sum(
+                r.t_stat
+                for r in spark.sql(
+                    _WELCH_SQL.format(table="probe_events")
+                ).collect()
+            ),
         )
         timed(
             f"anova_oneway shape @ {n} events",
-            lambda: spark.sql(_ANOVA_SQL.format(table="probe_events")).count(),
+            lambda: spark.sql(_ANOVA_SQL.format(table="probe_events"))
+            .collect()[0]
+            .f_stat,
         )
         ev.unpersist()
 
@@ -99,9 +111,12 @@ def main() -> None:
         docs.createOrReplaceTempView("probe_docs")
         timed(
             f"dataset_negative_sample shape @ {n} docs",
-            lambda: spark.sql(
-                _negative_sample_sql(D.SPARK, "probe_docs")
-            ).count(),
+            lambda: sum(
+                r.n_valid
+                for r in spark.sql(
+                    _negative_sample_sql(D.SPARK, "probe_docs")
+                ).collect()
+            ),
         )
 
         def _mixture():
@@ -109,9 +124,12 @@ def main() -> None:
                 _MIX_COUNTS.format(table="probe_docs")
             ).localCheckpoint(eager=False)
             counts.createOrReplaceTempView("probe_mix_counts")
-            return spark.sql(
-                _mixture_read_sql(D.SPARK, "probe_docs", "probe_mix_counts")
-            ).count()
+            return sum(
+                r.n_kept
+                for r in spark.sql(
+                    _mixture_read_sql(D.SPARK, "probe_docs", "probe_mix_counts")
+                ).collect()
+            )
 
         timed(f"dataset_mixture_resample shape @ {n} docs", _mixture)
         docs.unpersist()

@@ -205,6 +205,8 @@ _SCALAR_ANCHOR_OK = {
                                       # predicate and the report rows
     "dataset_negative_sample": 1,     # 1-row corpus-count anchor folded
                                       # into the hash-ring modulus
+    "text_tfidf_cosine": 1,           # 1-row doc-count anchor inside the
+                                      # idf term (same shape as BM25's)
 }
 
 
