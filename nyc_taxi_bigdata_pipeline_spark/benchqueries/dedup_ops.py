@@ -207,20 +207,39 @@ def dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _mhv_fragments(engine: str, table: str) -> tuple[str, str, str]:
+def _mhv_corpus_body(table: str) -> str:
+    """Default planted-dup relation: the corpus plus an exact copy AND
+    a one-token append of every doc_id < 50 base doc, so confirmed
+    pairs at threshold 0.7 are non-trivial and clusters chain."""
+    return f"""
+      SELECT doc_id, text FROM {table} WHERE text IS NOT NULL
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM {table}
+      WHERE text IS NOT NULL AND doc_id < 50
+      UNION ALL
+      SELECT doc_id + 2000000, concat(text, ' zzextra') FROM {table}
+      WHERE text IS NOT NULL AND doc_id < 50"""
+
+
+def _mhv_fragments(
+    engine: str,
+    table: str,
+    corpus_body: str | None = None,
+    sfx: str = "",
+) -> tuple[str, str, str]:
     """(prefix, brows_tail, g_tail) for the MinHash verify pipeline:
-    ``prefix`` is the shared corpus/toks/sigs/banded CTE list (no WITH
-    keyword); ``WITH {prefix} {brows_tail}`` and ``WITH {prefix}
-    {g_tail}`` are standalone statements. Split out so the Spark side
-    can materialize the two full-corpus passes ONCE each (CTE-inlining
-    pitfall) while the oracle chains everything in one WITH.
+    ``prefix`` is the corpus{sfx}/toks{sfx}/sigs{sfx}/banded{sfx} CTE
+    list (no WITH keyword); ``WITH {prefix} {brows_tail}`` and ``WITH
+    {prefix} {g_tail}`` are standalone statements. Split out so the
+    Spark side can materialize the two full-corpus passes ONCE each
+    (CTE-inlining pitfall) while the oracle chains everything in one
+    WITH; ``sfx`` disambiguates CTE names when one statement carries
+    two relations (dedup_incremental_verify's corpus + batch).
 
     Band geometry: 2 bands × 4 rows (collision threshold ≈ 0.84) —
     on this tiny-vocab synthetic corpus 2-row bands collide for ~4% of
     ALL pairs (measured, operators/dedup docstrings); 4-row bands keep
-    candidates in the hundreds. The corpus plants an exact copy and a
-    one-token append of every doc_id < 50 base doc so confirmed pairs
-    at threshold 0.7 are non-trivial."""
+    candidates in the hundreds."""
     shingles, stages, sigs = _minhash_sig(engine)
     stage_cols = ", ".join(f"{s} AS __m{k}" for k, s in enumerate(stages))
     sig_cols = ", ".join(f"{s} AS mh{i}" for i, s in enumerate(sigs))
@@ -231,29 +250,23 @@ def _mhv_fragments(engine: str, table: str) -> tuple[str, str, str]:
         banded = "concat_ws('#', " + cols + ")"
         band_exprs.append(f"{D.h64(banded, engine)} AS band{b}")
     toks = D.split_ws("lower(trim(text))", engine)
-    prefix = f"""corpus AS (
-      SELECT doc_id, text FROM {table} WHERE text IS NOT NULL
-      UNION ALL
-      SELECT doc_id + 1000000, text FROM {table}
-      WHERE text IS NOT NULL AND doc_id < 50
-      UNION ALL
-      SELECT doc_id + 2000000, concat(text, ' zzextra') FROM {table}
-      WHERE text IS NOT NULL AND doc_id < 50
+    body = corpus_body if corpus_body is not None else _mhv_corpus_body(table)
+    prefix = f"""corpus{sfx} AS ({body}
     ),
-    toks AS (SELECT doc_id, {toks} AS __t FROM corpus),
-    sigs AS (
+    toks{sfx} AS (SELECT doc_id, {toks} AS __t FROM corpus{sfx}),
+    sigs{sfx} AS (
       SELECT doc_id, {sig_cols}
       FROM (
         SELECT doc_id, {stage_cols}
-        FROM (SELECT doc_id, {shingles} AS __sh FROM toks) s0
+        FROM (SELECT doc_id, {shingles} AS __sh FROM toks{sfx}) s0
       ) s
     ),
-    banded AS (SELECT doc_id, {', '.join(band_exprs)} FROM sigs)"""
-    brows_tail = """
-    SELECT doc_id, 0 AS band_id, band0 AS bh FROM banded
+    banded{sfx} AS (SELECT doc_id, {', '.join(band_exprs)} FROM sigs{sfx})"""
+    brows_tail = f"""
+    SELECT doc_id, 0 AS band_id, band0 AS bh FROM banded{sfx}
     UNION ALL
-    SELECT doc_id, 1 AS band_id, band1 AS bh FROM banded"""
-    g_tail = f"SELECT doc_id, {shingles} AS g FROM toks"
+    SELECT doc_id, 1 AS band_id, band1 AS bh FROM banded{sfx}"""
+    g_tail = f"SELECT doc_id, {shingles} AS g FROM toks{sfx}"
     return prefix, brows_tail, g_tail
 
 
@@ -328,6 +341,200 @@ def dedup_minhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = spark.sql(f"WITH {prefix} {g_tail}").localCheckpoint(eager=False)
     g.createOrReplaceTempView("bq_mhv_g")
     return spark.sql(_mhv_verify_sql(D.SPARK, "bq_mhv_brows", "bq_mhv_g"))
+
+
+# ----------------------------------------- incremental batch-vs-corpus
+
+
+def _inc_batch_body(table: str) -> str:
+    """Synthetic ingest batch with a known composition: 60 exact copies
+    of corpus docs, 60 one-token-append near-dups of OTHER corpus docs,
+    and 40 reversed-text docs planted TWICE (fresh vs the corpus —
+    char-reversal destroys every word shingle — but exact dups of each
+    other, so the within-batch collapse has work to do)."""
+    return f"""
+      SELECT doc_id + 1000000 AS doc_id, text FROM {table}
+      WHERE text IS NOT NULL AND doc_id < 60
+      UNION ALL
+      SELECT doc_id + 2000000, concat(text, ' zzextra') FROM {table}
+      WHERE text IS NOT NULL AND doc_id >= 60 AND doc_id < 120
+      UNION ALL
+      SELECT doc_id + 3000000, reverse(text) FROM {table}
+      WHERE text IS NOT NULL AND doc_id < 40
+      UNION ALL
+      SELECT doc_id + 4000000, reverse(text) FROM {table}
+      WHERE text IS NOT NULL AND doc_id < 40"""
+
+
+def _jacc(engine: str, a: str, b: str) -> str:
+    inter = D.alen(D.arr_intersect(a, b, engine), engine)
+    return (
+        f"CAST({inter} AS DOUBLE) / NULLIF({D.alen(a, engine)}"
+        f" + {D.alen(b, engine)} - {inter}, 0)"
+    )
+
+
+def _inc_cross_dropped_sql(engine: str, brows_b: str, brows_c: str,
+                           g_b: str, g_c: str) -> str:
+    """Batch docs confirmed (≥0.7) against any colliding corpus doc —
+    the corpus is touched only through its band index + the candidate
+    docs' shingle arrays (the dedup_incremental contract)."""
+    jac = _jacc(engine, "gb.g", "gc.g")
+    return f"""
+    WITH cross_cand AS (
+      SELECT DISTINCT b.doc_id AS bid, c.doc_id AS cid
+      FROM {brows_b} b JOIN {brows_c} c
+        ON c.band_id = b.band_id AND c.bh = b.bh
+    )
+    SELECT DISTINCT cand.bid AS doc_id
+    FROM cross_cand cand
+    JOIN {g_b} gb ON gb.doc_id = cand.bid
+    JOIN {g_c} gc ON gc.doc_id = cand.cid
+    WHERE {jac} >= 0.7"""
+
+
+def _inc_win_pairs_sql(engine: str, brows_b: str, g_b: str,
+                       dropped: str) -> str:
+    """Confirmed within-batch pairs among the corpus-survivors."""
+    jac = _jacc(engine, "ga.g", "gb2.g")
+    return f"""
+    WITH surv AS (
+      SELECT DISTINCT bb.doc_id FROM {brows_b} bb
+      WHERE NOT EXISTS (SELECT 1 FROM {dropped} dr
+                        WHERE dr.doc_id = bb.doc_id)
+    ),
+    win_cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM {brows_b} a JOIN {brows_b} b
+        ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id
+      WHERE EXISTS (SELECT 1 FROM surv sa WHERE sa.doc_id = a.doc_id)
+        AND EXISTS (SELECT 1 FROM surv sb WHERE sb.doc_id = b.doc_id)
+    )
+    SELECT id_a, id_b
+    FROM win_cand
+    JOIN {g_b} ga ON ga.doc_id = id_a
+    JOIN {g_b} gb2 ON gb2.doc_id = id_b
+    WHERE {jac} >= 0.7"""
+
+
+def _inc_status_sql(brows_b: str, cross_dropped: str, win_dropped: str) -> str:
+    return f"""
+    SELECT bb.doc_id,
+           CASE WHEN EXISTS (SELECT 1 FROM {cross_dropped} cd
+                             WHERE cd.doc_id = bb.doc_id)
+                THEN 'dup_of_corpus'
+                WHEN EXISTS (SELECT 1 FROM {win_dropped} wd
+                             WHERE wd.doc_id = bb.doc_id)
+                THEN 'dup_in_batch'
+                ELSE 'kept' END AS status
+    FROM (SELECT DISTINCT doc_id FROM {brows_b}) bb
+    ORDER BY bb.doc_id"""
+
+
+def _inc_verify_oracle(table: str) -> str:
+    """One-shot DuckDB replay of the whole incremental chain; the
+    within-batch collapse is the WITH RECURSIVE closure (the
+    dedup_components idiom)."""
+    pc, bc_tail, gc_tail = _mhv_fragments(
+        D.DUCK, table, corpus_body=f"""
+      SELECT doc_id, text FROM {table} WHERE text IS NOT NULL""", sfx="_c")
+    pb, bb_tail, gb_tail = _mhv_fragments(
+        D.DUCK, table, corpus_body=_inc_batch_body(table), sfx="_b")
+    cross = _inc_cross_dropped_sql(
+        D.DUCK, "brows_b", "brows_c", "g_b", "g_c"
+    ).lstrip().removeprefix("WITH")
+    cross_prefix, cross_select = cross.split(")\n", 1)
+    win = _inc_win_pairs_sql(D.DUCK, "brows_b", "g_b", "cross_dropped")
+    win_prefix, win_select = (
+        win.lstrip().removeprefix("WITH").rsplit(")\n", 1)
+    )
+    status = _inc_status_sql("brows_b", "cross_dropped", "win_dropped")
+    return f"""
+    WITH RECURSIVE {pc},
+    {pb},
+    brows_c AS ({bc_tail}),
+    g_c AS ({gc_tail}),
+    brows_b AS ({bb_tail}),
+    g_b AS ({gb_tail}),
+    {cross_prefix}),
+    cross_dropped AS ({cross_select}),
+    {win_prefix}),
+    win_pairs AS ({win_select}),
+    edges AS (SELECT id_a AS a, id_b AS b FROM win_pairs
+              UNION SELECT id_b, id_a FROM win_pairs),
+    reach(src, dst) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    win_dropped AS (
+      SELECT src AS doc_id FROM reach GROUP BY src HAVING MIN(dst) <> src
+    )
+    {status}"""
+
+
+@register(
+    "dedup_incremental_verify",
+    _inc_verify_oracle("documents"),
+    doc="training-data ext: incremental (batch-vs-corpus) dedup "
+        "oracle-backed end-to-end — a synthetic ingest batch (60 exact "
+        "corpus copies, 60 near-dups, 40 fresh reversed docs planted "
+        "twice) is checked against the CORPUS BAND INDEX (the corpus is "
+        "never re-shingled beyond colliding candidates), survivors are "
+        "collapsed within-batch via the iterative component operator, "
+        "and every batch doc gets a status (dup_of_corpus / "
+        "dup_in_batch / kept). DuckDB replays the whole chain, closing "
+        "the within-batch collapse with WITH RECURSIVE; "
+        "operators/dedup.dedup_incremental is the xxhash64 production "
+        "twin with a persisted parquet index",
+)
+def dedup_incremental_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    docs.createOrReplaceTempView("bq_inc_docs")
+    # materialize each relation's full-text pass ONCE (CTE-inlining
+    # class): band rows are the persisted-index analog, shingle arrays
+    # the candidate-verify working set
+    pc, bc_tail, gc_tail = _mhv_fragments(
+        D.SPARK, "bq_inc_docs", corpus_body="""
+      SELECT doc_id, text FROM bq_inc_docs WHERE text IS NOT NULL""",
+        sfx="_c")
+    pb, bb_tail, gb_tail = _mhv_fragments(
+        D.SPARK, "bq_inc_docs", corpus_body=_inc_batch_body("bq_inc_docs"),
+        sfx="_b")
+    for view, prefix, tail in (
+        ("bq_inc_brows_c", pc, bc_tail),
+        ("bq_inc_g_c", pc, gc_tail),
+        ("bq_inc_brows_b", pb, bb_tail),
+        ("bq_inc_g_b", pb, gb_tail),
+    ):
+        spark.sql(f"WITH {prefix} {tail}").localCheckpoint(
+            eager=False
+        ).createOrReplaceTempView(view)
+    cross_dropped = spark.sql(
+        _inc_cross_dropped_sql(
+            D.SPARK, "bq_inc_brows_b", "bq_inc_brows_c",
+            "bq_inc_g_b", "bq_inc_g_c",
+        )
+    ).localCheckpoint(eager=False)
+    cross_dropped.createOrReplaceTempView("bq_inc_cross_dropped")
+    win_pairs = spark.sql(
+        _inc_win_pairs_sql(
+            D.SPARK, "bq_inc_brows_b", "bq_inc_g_b", "bq_inc_cross_dropped"
+        )
+    )
+    clusters = dedup_clusters(win_pairs, id_col="doc_id")
+    win_dropped = clusters.filter(
+        F.col("doc_id") != F.col("cluster")
+    ).select("doc_id")
+    win_dropped.createOrReplaceTempView("bq_inc_win_dropped")
+    return spark.sql(
+        _inc_status_sql(
+            "bq_inc_brows_b", "bq_inc_cross_dropped", "bq_inc_win_dropped"
+        )
+    )
 
 
 # ---------------------------------------------------------------- SimHash

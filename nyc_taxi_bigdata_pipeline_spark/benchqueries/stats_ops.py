@@ -177,8 +177,13 @@ def robust_zscore_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 # contingency table. Cell statistic rewritten to an exact-integer core:
 # (o−e)²/e = (o·N − r·c)² / (N·r·c) — the subtraction happens on exact
 # BIGINTs (no catastrophic cancellation), each cell's double value snaps
-# to a 1e-9 grid, and the cross-cell SUM runs on the snapped integers so
-# float accumulation order can't diverge between engines.
+# to a 1e-9 grid, and the cross-cell SUM runs on the snapped integers
+# (DECIMAL(38,0) — a BIGINT sum overflows once cell contributions reach
+# ~1e10, the ANOVA probe's overflow class) so float accumulation order
+# can't diverge between engines. Domain bound, documented: the o·N
+# BIGINT product core is exact to N ≈ 3·10⁹ observations per table;
+# beyond that, pre-scale o/r/c/N to doubles and accept the (o−e)
+# cancellation, or shard the table and sum per-shard chi².
 _CHI2_DOCS_SQL = """
 SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
 FROM {table} GROUP BY lang, source"""
@@ -195,7 +200,8 @@ def _chi2_read_sql(ob: str, cont: bool = False) -> str:
     cells AS (
       SELECT o.lang, o.source,
              CAST(FLOOR(({diff}) * ({diff}) / ({den})
-                        * 1000000000.0 + 0.5) AS BIGINT) AS contrib_nano
+                        * 1000000000.0 + 0.5) AS DECIMAL(38,0))
+               AS contrib_nano
       FROM {ob} o
       JOIN r ON r.lang = o.lang
       JOIN c ON c.source = o.source
@@ -300,9 +306,11 @@ def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ab_test_welch (does ANY arm's mean differ?). Between/within sums of
 # squares come from the same exact decimal moment pass; the CROSS-GROUP
 # accumulations (Σsx, Σsx²/n, Σsxx) snap each group's term to integer
-# nanos FIRST and sum BIGINTs (the chi-square discipline) — summing raw
-# doubles across groups would be accumulation-order-dependent between
-# engines.
+# nanos FIRST and sum exact integers (the chi-square discipline) —
+# summing raw doubles across groups would be accumulation-order-
+# dependent between engines. The term sums are DECIMAL(38,0), not
+# BIGINT: sx²/n·1e9 passes 2^63 near ~10M rows/group (the r7 scale
+# probe hit the overflow), while 38 digits hold to ~1e38.
 _ANOVA_MOMS = f"""
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
@@ -323,10 +331,11 @@ WITH m AS ({_ANOVA_MOMS}),
 t AS (
   SELECT CAST(SUM(n) AS BIGINT) AS nn,
          CAST(COUNT(*) AS BIGINT) AS k,
-         SUM(CAST(FLOOR(sx * sx / n * 1000000000.0 + 0.5) AS BIGINT))
+         SUM(CAST(FLOOR(sx * sx / n * 1000000000.0 + 0.5) AS DECIMAL(38,0)))
            AS sgs_nano,
-         SUM(CAST(FLOOR(sxx * 1000000000.0 + 0.5) AS BIGINT)) AS sxx_nano,
-         SUM(CAST(FLOOR(sx * 1000000000.0 + 0.5) AS BIGINT)) AS g_nano
+         SUM(CAST(FLOOR(sxx * 1000000000.0 + 0.5) AS DECIMAL(38,0)))
+           AS sxx_nano,
+         SUM(CAST(FLOOR(sx * 1000000000.0 + 0.5) AS DECIMAL(38,0))) AS g_nano
   FROM m
 )
 SELECT nn AS n_total, k AS n_groups,
