@@ -37,11 +37,23 @@ _MOMS = f"""
 def _snap9(expr: str, alias: str) -> str:
     """Fixed-point snap: kills FMA-contraction last-ulp divergence.
     Divisor is CAST AS DOUBLE — a bare N.0 literal is DECIMAL in Spark
-    SQL and BIGINT/DECIMAL division truncates scale (working notes)."""
+    SQL and BIGINT/DECIMAL division truncates scale (working notes).
+    For O(1)-magnitude statistics only: Spark's FLOOR(double) returns
+    BIGINT and CLAMPS at 2^63 while DuckDB's floor stays double —
+    unbounded statistics must come straight off exact DECIMAL integers
+    instead (see the ANOVA t CTE and the re-snap-tie note below)."""
     return (
         f"CAST(FLOOR(({expr}) * 1000000000.0 + 0.5) AS BIGINT)"
         f" / CAST(1000000000 AS DOUBLE) AS {alias}"
     )
+
+
+# Re-snapping a statistic REBUILT from already-snapped integers is a
+# trap: (a_nano − b_nano)/1e9·1e9 lands on exactly-representable x.5
+# doubles structurally often (ulp 0.25 at 2e15), and the engines broke
+# the tie differently (hit at sf0.001). Derive such outputs from the
+# exact DECIMAL integers directly — identical integers through
+# identical single IEEE ops need no snap at all.
 
 
 _SLOPE = "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
@@ -199,9 +211,8 @@ def _chi2_read_sql(ob: str, cont: bool = False) -> str:
     n AS (SELECT SUM(r) AS n FROM r),
     cells AS (
       SELECT o.lang, o.source,
-             CAST(FLOOR(({diff}) * ({diff}) / ({den})
-                        * 1000000000.0 + 0.5) AS DECIMAL(38,0))
-               AS contrib_nano
+             CAST(({diff}) * ({diff}) / ({den})
+                  * 1000000000.0 AS DECIMAL(38,0)) AS contrib_nano
       FROM {ob} o
       JOIN r ON r.lang = o.lang
       JOIN c ON c.source = o.source
@@ -323,25 +334,24 @@ GROUP BY event_type"""
 _SSB = "(CAST(sgs_nano AS DOUBLE) / 1000000000.0" \
     " - (CAST(g_nano AS DOUBLE) / 1000000000.0)" \
     " * (CAST(g_nano AS DOUBLE) / 1000000000.0) / nn)"
-_SSW = "(CAST(sxx_nano AS DOUBLE) / 1000000000.0" \
-    " - CAST(sgs_nano AS DOUBLE) / 1000000000.0)"
+# within-SS straight from the exact integer difference — no re-snap
+_SSW = "(CAST(sxx_nano - sgs_nano AS DOUBLE) / 1000000000.0)"
 
 _ANOVA_SQL = f"""
 WITH m AS ({_ANOVA_MOMS}),
 t AS (
   SELECT CAST(SUM(n) AS BIGINT) AS nn,
          CAST(COUNT(*) AS BIGINT) AS k,
-         SUM(CAST(FLOOR(sx * sx / n * 1000000000.0 + 0.5) AS DECIMAL(38,0)))
+         SUM(CAST(sx * sx / n * 1000000000.0 AS DECIMAL(38,0)))
            AS sgs_nano,
-         SUM(CAST(FLOOR(sxx * 1000000000.0 + 0.5) AS DECIMAL(38,0)))
-           AS sxx_nano,
-         SUM(CAST(FLOOR(sx * 1000000000.0 + 0.5) AS DECIMAL(38,0))) AS g_nano
+         SUM(CAST(sxx * 1000000000.0 AS DECIMAL(38,0))) AS sxx_nano,
+         SUM(CAST(sx * 1000000000.0 AS DECIMAL(38,0))) AS g_nano
   FROM m
 )
 SELECT nn AS n_total, k AS n_groups,
-       {_snap9(_SSB, 'ss_between')},
-       {_snap9(_SSW, 'ss_within')},
-       {_snap9(f'({_SSB} / (k - 1)) / ({_SSW} / (nn - k))', 'f_stat')}
+       {_SSB} AS ss_between,
+       {_SSW} AS ss_within,
+       ({_SSB} / (k - 1)) / ({_SSW} / (nn - k)) AS f_stat
 FROM t"""
 
 
