@@ -615,3 +615,68 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bq_entropy_docs"
     )
     return spark.sql(_token_entropy(D.SPARK, "bq_entropy_docs"))
+
+
+# Train/eval vocabulary coverage: the OOV-rate gate a tokenizer/LM prep
+# runs before accepting a split — if the eval slice's tokens aren't
+# covered by the train slice's vocabulary, metrics on it are
+# meaningless. Splits are the content-stable 80/20 hash assignment
+# (dataset_split_assign's discipline, never rand()); OOV is a hash
+# anti-semantics LEFT JOIN against the train vocabulary, reported per
+# language.
+_OOV_TOKS = """
+SELECT doc_id, lang, ({h}) % 100 AS bucket, {unnest} AS tok
+FROM {table} WHERE text IS NOT NULL"""
+
+
+def _oov_toks_sql(engine: str, table: str) -> str:
+    return _OOV_TOKS.format(
+        h=D.seeded_h64("CAST(doc_id AS STRING)", 7, engine),
+        unnest=D.unnest_col(D.split_ws("lower(trim(text))", engine), engine),
+        table=table,
+    )
+
+
+def _oov_read_sql(toks_rel: str) -> str:
+    return f"""
+    WITH vocab AS (
+      SELECT DISTINCT tok FROM {toks_rel} WHERE bucket < 80
+    ),
+    ev AS (
+      SELECT t.lang, t.tok, v.tok AS hit
+      FROM {toks_rel} t LEFT JOIN vocab v ON v.tok = t.tok
+      WHERE t.bucket >= 80
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS eval_tokens,
+           CAST(SUM(CASE WHEN hit IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS oov_tokens,
+           CAST(COUNT(DISTINCT tok) AS BIGINT) AS eval_vocab,
+           CAST(COUNT(DISTINCT CASE WHEN hit IS NULL THEN tok END)
+                AS BIGINT) AS oov_vocab,
+           CAST(SUM(CASE WHEN hit IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS oov_rate
+    FROM ev GROUP BY lang ORDER BY lang"""
+
+
+@register(
+    "text_oov_rate",
+    "WITH toksq AS (" + _oov_toks_sql(D.DUCK, "documents") + "),"
+    + _oov_read_sql("toksq").lstrip().removeprefix("WITH"),
+    doc="training-data ext: train→eval vocabulary coverage — OOV token "
+        "and type rates per language for the content-stable 80/20 hash "
+        "split (the split-acceptance gate before LM evaluation). Train "
+        "vocabulary is one distinct pass; eval coverage is a LEFT JOIN "
+        "on the token (broadcastable vocab at any real SF); the Spark "
+        "side materializes the tokenize+bucket pass once (CTE-inlining "
+        "class: vocab and eval both read it)",
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    docs.createOrReplaceTempView("bq_oov_docs")
+    toks = spark.sql(_oov_toks_sql(D.SPARK, "bq_oov_docs")).localCheckpoint(
+        eager=False
+    )
+    toks.createOrReplaceTempView("bq_oov_toks")
+    return spark.sql(_oov_read_sql("bq_oov_toks"))
