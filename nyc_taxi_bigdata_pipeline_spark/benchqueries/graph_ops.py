@@ -307,3 +307,76 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             "global_clustering"
         ),
     )
+
+
+# ------------------------------------------- weighted shortest paths
+
+_SSSP_ROUNDS = 6
+# integer edge cost favoring high-traffic routes; exact in both engines
+_COST = "1000000 // w + 1"
+
+
+def _sssp_ctes() -> str:
+    out = []
+    for i in range(_SSSP_ROUNDS):
+        out.append(
+            f"""d{i + 1} AS (
+  SELECT n, CAST(MIN(d) AS BIGINT) AS d FROM (
+    SELECT n, d FROM d{i}
+    UNION ALL
+    SELECT e.dst AS n, p.d + e.cost AS d
+    FROM d{i} p JOIN edges e ON e.src = p.n
+  ) u{i} GROUP BY n)"""
+        )
+    return ",\n".join(out)
+
+
+_SSSP_ORACLE = f"""
+WITH base AS ({_EDGES_SQL}),
+edges AS (SELECT src, dst, CAST({_COST} AS BIGINT) AS cost
+          FROM base WHERE src <> dst),
+d0 AS (SELECT CAST(0 AS BIGINT) AS n, CAST(0 AS BIGINT) AS d),
+{_sssp_ctes()}
+SELECT nat.n_name, fin.d AS dist
+FROM d{_SSSP_ROUNDS} fin JOIN nation nat ON nat.n_nationkey = fin.n
+ORDER BY dist, n_name"""
+
+
+@register(
+    "graph_shortest_paths",
+    _SSSP_ORACLE,
+    doc="beyond-reference graph analytics: weighted single-source "
+        "shortest paths over the nation trade graph (integer edge cost "
+        "1e6//w + 1 — heavy trade routes are cheap), source nation 0. "
+        "The Spark side is the bounded-round Bellman–Ford operator "
+        "(operators/graph.sssp_relax — one relax join + integer MIN "
+        "aggregate per round, eager localCheckpoint, early exit on the "
+        "exact (count, Σdist) fixpoint signature); the oracle unrolls "
+        f"the same {_SSSP_ROUNDS} relaxations as chained CTEs (the "
+        "PageRank idiom) — all-integer arithmetic, so the two "
+        "formulations hash-match exactly",
+)
+def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import sssp_relax
+
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    edges = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst"))
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", F.expr("CAST(1000000 DIV w + 1 AS BIGINT)").alias("cost"))
+    )
+    sources = spark.range(1).select(F.lit(0).cast("long").alias("node"))
+    dists = sssp_relax(edges, sources, rounds=_SSSP_ROUNDS)
+    return (
+        dists.join(F.broadcast(nat), dists["node"] == nat["n_nationkey"])
+        .select("n_name", F.col("dist").alias("dist"))
+        .orderBy("dist", "n_name")
+    )

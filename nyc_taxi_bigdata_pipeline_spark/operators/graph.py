@@ -232,3 +232,67 @@ def bfs_distances(
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return visited
+
+
+def sssp_relax(
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+    cost: str = "cost",
+) -> DataFrame:
+    """Bounded-round Bellman–Ford single/multi-source shortest paths
+    over an (src, dst, cost) edge table with non-negative INTEGER
+    costs: returns (node, dist) for every node reachable from
+    ``sources`` within ``rounds`` relaxations.
+
+    Each round unions the current distance table with every edge's
+    relaxation (dist[src] + cost) and min-aggregates per node — one
+    shuffle join + one map-side-combinable aggregate, all integer
+    arithmetic (no float accumulation to diverge from an oracle).
+    ``rounds`` bounds path EDGE COUNT the way graph_bfs_hops bounds
+    hops, so a bounded-unroll SQL oracle replays it exactly; rounds ≥
+    diameter ⇒ true shortest paths. Early exit when a round changes
+    nothing — an exact check on the integer (count, Σdist) signature,
+    valid because the node set only grows and distances only fall.
+
+    Iterative-loop hygiene (the PageRank depth-OOM lesson): the
+    distance table is eagerly localCheckpointed every round.
+    """
+    dist = (
+        sources.toDF("node")
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    e = edges.select(
+        F.col(src).alias("node"),
+        F.col(dst).alias("__nxt"),
+        F.col(cost).alias("__c"),
+    )
+    sig = dist.agg(
+        F.count("*").alias("n"), F.sum("dist").alias("s")
+    ).first()
+    for _ in range(rounds):
+        relaxed = (
+            dist.join(e, "node")
+            .select(
+                F.col("__nxt").alias("node"),
+                (F.col("dist") + F.col("__c")).alias("dist"),
+            )
+        )
+        new_dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").cast("long").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        new_sig = new_dist.agg(
+            F.count("*").alias("n"), F.sum("dist").alias("s")
+        ).first()
+        dist = new_dist
+        if (new_sig.n, new_sig.s) == (sig.n, sig.s):
+            break
+        sig = new_sig
+    return dist
