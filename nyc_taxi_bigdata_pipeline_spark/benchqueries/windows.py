@@ -198,3 +198,70 @@ def _distribution_windows(engine: str, table: str) -> str:
 def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("bq_dist_orders")
     return spark.sql(_distribution_windows("spark", "bq_dist_orders"))
+
+
+# Tail-exceedance profile: the p95 threshold computed per group (same
+# rank-interpolation as grouped_percentiles) joined back to tag and
+# aggregate the offenders — the "p95 latency offenders" readout an SLO
+# dashboard runs. Group-partitioned windows only; the (group, p95)
+# threshold table is broadcast-sized at any scale; exceedance mass sums
+# the exact-decimal values (compat discipline).
+_P95_EXCEED_SQL = """
+WITH o AS (
+  SELECT event_type, value AS v,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM {table} WHERE value IS NOT NULL
+),
+g AS (SELECT DISTINCT event_type, n FROM o),
+k AS (
+  SELECT g.event_type, g.n,
+         1.0 + (g.n - 1) * CAST(0.95 AS DOUBLE) AS r,
+         CAST(FLOOR(1.0 + (g.n - 1) * CAST(0.95 AS DOUBLE)) AS BIGINT) AS lo,
+         CAST(CEILING(1.0 + (g.n - 1) * CAST(0.95 AS DOUBLE)) AS BIGINT) AS hi
+  FROM g
+),
+thr AS (
+  SELECT k.event_type, k.n,
+         CAST(lov.v + (hiv.v - lov.v) * (k.r - k.lo) AS DOUBLE) AS p95
+  FROM k
+  JOIN o lov ON lov.event_type = k.event_type AND lov.rn = k.lo
+  JOIN o hiv ON hiv.event_type = k.event_type AND hiv.rn = k.hi
+)
+SELECT o.event_type,
+       MAX(t.n) AS n,
+       MAX(t.p95) AS p95,
+       CAST(SUM(CASE WHEN o.v > t.p95 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exceed,
+       MAX(o.v) AS max_value,
+       {exceed_mass}
+FROM o JOIN thr t ON t.event_type = o.event_type
+GROUP BY o.event_type
+ORDER BY o.event_type"""
+
+
+def _p95_sql(table: str) -> str:
+    mass = C.sum_exact(
+        f"CASE WHEN o.v > t.p95 THEN {C.money('o.v')} "
+        f"ELSE {C.money('0')} END",
+        "exceed_mass",
+    )
+    return _P95_EXCEED_SQL.format(table=table, exceed_mass=mass)
+
+
+@register(
+    "p95_exceedances",
+    _p95_sql("events"),
+    doc="A12/O3 composition: per-group p95 tail-exceedance profile — "
+        "the grouped rank-interpolated percentile (grouped_percentiles' "
+        "idiom) joined back to count offenders and sum their exact-"
+        "decimal mass (the SLO-offenders readout). Group-partitioned "
+        "windows; the per-group threshold table is broadcast-sized at "
+        "any scale; scale path for the quantile itself is the bucketed "
+        "two-pass selection (percentiles) or hdr_quantile_sketch",
+)
+def p95_exceedances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "bq_p95_events"
+    )
+    return spark.sql(_p95_sql("bq_p95_events"))
