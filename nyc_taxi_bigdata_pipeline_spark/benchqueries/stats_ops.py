@@ -17,6 +17,7 @@ ulp-scale FMA difference is ~1e-17, eight orders below the grid.
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions import compat as C
@@ -173,16 +174,49 @@ ORDER BY d.event_type"""
     doc="analytics ext: per-group robust outlier profile — exact "
         "interpolated median, MAD, and modified-z-score (Iglewicz–"
         "Hoaglin 0.6745·dev/MAD > 3.5) outlier counts per event type. "
-        "Rank windows partition by group (each group sorts "
-        "independently, no global window); two passes over values plus "
-        "a broadcast-sized (group, median/mad) join back. The scale "
-        "path for the median itself is the bucketed two-pass selection "
-        "(percentiles) or hdr_quantile_sketch; this is the exact "
-        "oracle-checkable form",
+        "Spark side computes BOTH medians with the SCALE shape (r7 "
+        "verdict finding 1): grouped bucketed two-pass selection "
+        "(operators/quantiles.py) — no rank window ever sorts a whole "
+        "fixed-cardinality group in one task; the broadcast-sized "
+        "(group, median/mad) frames join back and the outlier test "
+        "mirrors the oracle's CASE arithmetic op-for-op (doubles match "
+        "bitwise). The oracle keeps the one-shot rank-window SQL",
 )
 def robust_zscore_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "events").createOrReplaceTempView("bq_mad_events")
-    return spark.sql(_MAD_SQL.format(table="bq_mad_events"))
+    from ..operators.quantiles import grouped_quantile_select
+
+    v = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", F.col("value").alias("x"))
+    )
+    med = grouped_quantile_select(v, ["event_type"], "x", [0.5]).select(
+        "event_type", "n", F.col("qvalue").alias("med")
+    )
+    d = v.join(F.broadcast(med), "event_type").select(
+        "event_type", "n", "med", F.abs(F.col("x") - F.col("med")).alias("dev")
+    )
+    mad = grouped_quantile_select(
+        d.select("event_type", "dev"), ["event_type"], "dev", [0.5]
+    ).select("event_type", F.col("qvalue").alias("mad"))
+    return (
+        d.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("med").alias("median_value"),
+            F.max("mad").alias("mad"),
+            F.sum(
+                F.when(
+                    F.lit(0.6745) * F.col("dev") > F.lit(3.5) * F.col("mad"),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
 
 
 # Pearson chi-square test of independence on the lang × source

@@ -117,14 +117,28 @@ JOIN o hiv ON hiv.event_type = k.event_type AND hiv.rn = k.hi"""
 @register(
     "grouped_percentiles",
     _GROUPED_PCT_SQL.format(table="events"),
-    doc="A12 extension: per-group exact interpolated percentiles — the "
-        "rank window partitions by group so each group sorts independently "
-        "(no global sort); the tiny (group × percentile) grid joins back "
-        "on (group, rank)",
+    doc="A12 extension: per-group exact interpolated percentiles. Spark "
+        "side is the SCALE shape (r7 verdict finding 1): grouped bucketed "
+        "two-pass selection (operators/quantiles.py) — per-(group, bucket) "
+        "bin counts locate the target ranks and only rank-holding cells "
+        "are sorted, so no window ever ranks a whole fixed-cardinality "
+        "group in one task; the oracle keeps the one-shot per-group rank "
+        "window SQL",
 )
 def grouped_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "events").createOrReplaceTempView("bq_gpct_events")
-    return spark.sql(_GROUPED_PCT_SQL.format(table="bq_gpct_events"))
+    from ..operators.quantiles import grouped_quantile_select
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    q = grouped_quantile_select(
+        ev, ["event_type"], "value", [0.25, 0.50, 0.75, 0.95]
+    )
+    return q.select(
+        "event_type", F.col("p").alias("pct"), F.col("qvalue").alias("pct_value")
+    )
 
 
 def _range_frame(engine: str, table: str) -> str:
@@ -228,6 +242,12 @@ thr AS (
   JOIN o lov ON lov.event_type = k.event_type AND lov.rn = k.lo
   JOIN o hiv ON hiv.event_type = k.event_type AND hiv.rn = k.hi
 )
+{final}"""
+
+# final aggregation over (rows o ⋈ per-group threshold t) — the SAME text
+# runs in DuckDB (over the window-built thr CTE) and in Spark (over the
+# operator-built threshold view), so the exceed arithmetic is shared
+_P95_FINAL = """
 SELECT o.event_type,
        MAX(t.n) AS n,
        MAX(t.p95) AS p95,
@@ -235,18 +255,22 @@ SELECT o.event_type,
          AS n_exceed,
        MAX(o.v) AS max_value,
        {exceed_mass}
-FROM o JOIN thr t ON t.event_type = o.event_type
+FROM {o} o JOIN {thr} t ON t.event_type = o.event_type
 GROUP BY o.event_type
 ORDER BY o.event_type"""
 
 
-def _p95_sql(table: str) -> str:
+def _p95_final(o: str, thr: str) -> str:
     mass = C.sum_exact(
         f"CASE WHEN o.v > t.p95 THEN {C.money('o.v')} "
         f"ELSE {C.money('0')} END",
         "exceed_mass",
     )
-    return _P95_EXCEED_SQL.format(table=table, exceed_mass=mass)
+    return _P95_FINAL.format(o=o, thr=thr, exceed_mass=mass)
+
+
+def _p95_sql(table: str) -> str:
+    return _P95_EXCEED_SQL.format(table=table, final=_p95_final("o", "thr"))
 
 
 @register(
@@ -255,13 +279,29 @@ def _p95_sql(table: str) -> str:
     doc="A12/O3 composition: per-group p95 tail-exceedance profile — "
         "the grouped rank-interpolated percentile (grouped_percentiles' "
         "idiom) joined back to count offenders and sum their exact-"
-        "decimal mass (the SLO-offenders readout). Group-partitioned "
-        "windows; the per-group threshold table is broadcast-sized at "
-        "any scale; scale path for the quantile itself is the bucketed "
-        "two-pass selection (percentiles) or hdr_quantile_sketch",
+        "decimal mass (the SLO-offenders readout). Spark side computes "
+        "the threshold with the SCALE shape (r7 verdict finding 1): "
+        "grouped bucketed two-pass selection (operators/quantiles.py) — "
+        "no rank window over raw rows; the shared final-aggregation text "
+        "then runs over the broadcast-sized (group, p95) view, and the "
+        "oracle replays the threshold with the one-shot rank-window SQL",
 )
 def p95_exceedances(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "events").createOrReplaceTempView(
-        "bq_p95_events"
+    from ..operators.quantiles import grouped_quantile_select
+
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("bq_p95_events")
+    thr = grouped_quantile_select(
+        ev.filter(F.col("value").isNotNull()).select("event_type", "value"),
+        ["event_type"],
+        "value",
+        [0.95],
+    ).select("event_type", "n", F.col("qvalue").alias("p95"))
+    thr.createOrReplaceTempView("bq_p95_thr")
+    return spark.sql(
+        _p95_final(
+            "(SELECT event_type, value AS v FROM bq_p95_events "
+            "WHERE value IS NOT NULL)",
+            "bq_p95_thr",
+        )
     )
-    return spark.sql(_p95_sql("bq_p95_events"))

@@ -253,7 +253,16 @@ def key_skew_profile(df: DataFrame, key: str, top_n: int = 10) -> DataFrame:
         F.sum("cnt").cast("bigint").alias("total_rows"),
         F.max("cnt").cast("bigint").alias("max_cnt"),
     )
-    top = counts.orderBy(F.desc("cnt"), F.asc(key)).limit(top_n)
+    # the lazy checkpoint is a PLAN boundary, not eager work: without it
+    # Catalyst collapses orderBy+limit into the downstream window's
+    # single-partition sort (Exchange SinglePartition of ALL keys → Sort
+    # → GlobalLimit — measured 1,000 rows through the exchange at sf0.1
+    # instead of 10), silently re-creating the global sort this operator
+    # exists to avoid; the boundary keeps TakeOrderedAndProject below and
+    # hands the window exactly top_n rows (r8 measured-window gate)
+    top = counts.orderBy(F.desc("cnt"), F.asc(key)).limit(top_n).localCheckpoint(
+        eager=False
+    )
     w = Window.orderBy(F.desc("cnt"), F.asc(key))
     ranked = (
         top.withColumn("rn", F.row_number().over(w).cast("int"))

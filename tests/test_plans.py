@@ -162,6 +162,10 @@ _SCALAR_ANCHOR_OK = {
     "percentiles": 64,                # ≤64-bin offsets / ≤10 target ranks /
                                       # 1-row (mn, mx, n) anchor
     "grouped_percentiles": 64,        # per-group rank anchors (≤ groups×ps)
+    "p95_exceedances": 64,            # grouped two-pass selection: 1-row
+                                      # percentile grid × per-group side
+                                      # frames (groups×bins broadcast)
+    "robust_zscore_mad": 64,          # same operator, twice (median + MAD)
     "curation_domain_mixture": 20,    # 20-row domain table × 1-row total
     "curation_pipeline_full": 20,     # ≤20-row mixture fractions + 1-row
                                       # corpus-count/source-count anchors
@@ -367,17 +371,38 @@ def test_grouped_topk_plans_window_group_limit(spark):
 # SinglePartition → Sort → Window): tolerated only over bounded
 # aggregated frames or documented oracle-inspectable miniatures — an
 # unpartitioned window over raw rows is a single-task sort at any scale
-# (r6 verdict finding 2). name → (max count, why it's bounded).
+# (r6 verdict finding 2). name → (max count, max rows through the
+# SinglePartition exchange, why it's bounded). The row bound has
+# MEASURED teeth (r7 verdict finding 2): test_global_window_inputs_
+# stay_bounded EXECUTES each query and asserts shuffleRecordsWritten of
+# every exchange feeding an unpartitioned window. max_rows=None marks
+# the one checkpoint-hidden case (the window materializes inside a lazy
+# localCheckpoint's own job, invisible from the final executed plan) —
+# there the bound is LITERAL-constrained instead: percentiles' offsets
+# window rides groupBy(width_bucket(..., 64)) ≤ 64 rows by construction.
+# Row bounds hold at BOTH sf0.01 (test SF, measured r8) and sf0.1.
 _GLOBAL_WINDOW_OK = {
-    "percentiles": (1, "cumulative offsets over ≤64 aggregated bins"),
-    "hdr_quantile_sketch": (2, "probe walk over ≤600 aggregated bins"),
-    "skew_key_profile": (1, "rank over the top-10 frame"),
-    "moving_average_daily": (1, "7-day MA over the daily aggregate — "
-                                "bounded by distinct calendar days"),
-    "ntile_equidepth": (1, "documented miniature (sql_surface.py NOTE); "
-                           "scale path = percentile-boundary binning"),
-    "dataset_interleave_sources": (1, "documented miniature "
-                                      "(dataset_ops.py NOTE)"),
+    "percentiles": (1, None, "cumulative offsets over ≤64 aggregated "
+                             "bins (width_bucket literal)"),
+    "hdr_quantile_sketch": (2, 600, "probe walk over ≤600 aggregated "
+                                    "bins (measured 144 at sf0.1)"),
+    "skew_key_profile": (1, 16, "rank over the top-10 frame (plan "
+                                "boundary in key_skew_profile keeps "
+                                "TakeOrdered below the window)"),
+    "moving_average_daily": (1, 3000, "7-day MA over the daily aggregate "
+                                      "— bounded by distinct calendar "
+                                      "days of the synthetic era "
+                                      "(measured 2,405 at sf0.1)"),
+    "ntile_equidepth": (1, 200_000, "documented surface pin (sql_surface"
+                                    ".py NOTE): full orders through the "
+                                    "NTILE sort — 15k at sf0.01, 150k at "
+                                    "sf0.1; scale path = percentile-"
+                                    "boundary binning"),
+    "dataset_interleave_sources": (1, 6000, "documented miniature "
+                                            "(dataset_ops.py NOTE): the "
+                                            "≤5k-doc documents table "
+                                            "through the virtual-time "
+                                            "merge audit"),
 }
 
 
@@ -420,3 +445,123 @@ def test_no_unpartitioned_windows_over_raw_rows(spark, sf_dir):
                 f"{name}: plans {n} unpartitioned window(s) — justify and "
                 "whitelist in _GLOBAL_WINDOW_OK or repartition the window"
             )
+
+
+def _unpartitioned_window_input_rows(df) -> list[int]:
+    """Execute ``df`` and return shuffleRecordsWritten of every exchange
+    feeding an unpartitioned Window — the size of the one-task sort the
+    whitelist tolerates. Mirrors _bnlj_build_rows."""
+    df.collect()
+    root = df._jdf.queryExecution().executedPlan()
+    out = []
+    for node in _walk_executed(root):
+        if not node.nodeName().startswith("Window"):
+            continue
+        try:
+            if node.partitionSpec().size() != 0:
+                continue
+        except Exception:
+            continue
+        for sub in _walk_executed(node):
+            nn = sub.nodeName()
+            if "Exchange" in nn and "Broadcast" not in nn:
+                rows = _metric(sub, "shuffleRecordsWritten")
+                if rows is not None:
+                    out.append(int(rows))
+                break
+    return out
+
+
+@pytest.mark.parametrize("name", sorted(_GLOBAL_WINDOW_OK))
+def test_global_window_inputs_stay_bounded(spark, sf_dir, name):
+    """The size teeth behind the global-window whitelist (r7 verdict
+    finding 2, mirroring test_bnlj_build_sides_stay_bounded): EXECUTE
+    each whitelisted query and assert the rows moved into every
+    unpartitioned window's SinglePartition exchange hold the documented
+    bound — a bounded window's input silently growing now fails here
+    instead of hiding behind name membership."""
+    max_count, max_rows, why = _GLOBAL_WINDOW_OK[name]
+    rows = _unpartitioned_window_input_rows(
+        REGISTRY[name].spark_fn(spark, sf_dir)
+    )
+    if max_rows is None:
+        # checkpoint-hidden window: bounded by a literal in the plan
+        # (see the whitelist comment); nothing measurable from the final
+        # executed plan, and that must stay true — a visible
+        # unpartitioned exchange appearing here means the structure
+        # changed and the entry needs a measured bound again
+        assert rows == [], f"{name}: expected checkpoint-hidden window, saw {rows}"
+        return
+    assert rows, (
+        f"{name}: no unpartitioned-window exchange measured — structure "
+        "changed; update _GLOBAL_WINDOW_OK (drop the entry or mark it "
+        "checkpoint-hidden)"
+    )
+    for r in rows:
+        assert r <= max_rows, (
+            f"{name}: {r} rows through an unpartitioned window's exchange "
+            f"> documented bound {max_rows} ({why})"
+        )
+
+
+# The r7-verdict scale-hole class: grouped quantiles over a FIXED-
+# cardinality key (event_type, ~5 values at every SF) must never rank a
+# whole group in one task. These queries ride operators/quantiles.
+# grouped_quantile_select — every Window in their plans must either
+# partition by ≥2 columns ((group, bucket) cells, ~n_g/64 rows each) or
+# ride an aggregated frame (the groups×64 offset window).
+_GROUPED_QUANTILE_QUERIES = [
+    "grouped_percentiles",
+    "p95_exceedances",
+    "robust_zscore_mad",
+]
+
+
+def _skip_to_meaningful_input(node):
+    """Descend through Sort/Exchange/codegen/AQE wrappers to the node
+    that actually produces a Window's input rows."""
+    wrappers = (
+        "InputAdapter", "WholeStageCodegen", "Sort", "Exchange",
+        "ShuffleQueryStage", "AQEShuffleRead", "CollectMetrics",
+    )
+    while True:
+        nn = node.nodeName()
+        if nn.startswith("ShuffleQueryStage"):
+            node = node.plan()
+            continue
+        if nn == "AdaptiveSparkPlan":
+            node = node.executedPlan()
+            continue
+        if nn.startswith(wrappers):
+            node = node.children().apply(0)
+            continue
+        return node
+
+
+@pytest.mark.parametrize("name", _GROUPED_QUANTILE_QUERIES)
+def test_grouped_quantile_windows_never_rank_whole_groups(spark, sf_dir, name):
+    """No Window partitioned ONLY by the fixed-cardinality group key may
+    consume raw-scale rows: partition spec ≥2 columns (per-(group,
+    bucket) cells) or an aggregate input (the bin-count frame)."""
+    df = REGISTRY[name].spark_fn(spark, sf_dir)
+    df.collect()
+    root = df._jdf.queryExecution().executedPlan()
+    seen = 0
+    for node in _walk_executed(root):
+        if not node.nodeName().startswith("Window"):
+            continue
+        seen += 1
+        try:
+            psize = node.partitionSpec().size()
+        except Exception:
+            continue
+        if psize >= 2:
+            continue
+        src = _skip_to_meaningful_input(node.children().apply(0))
+        assert "Aggregate" in src.nodeName(), (
+            f"{name}: Window partitioned by {psize} column(s) rides "
+            f"{src.nodeName()} — a whole-group rank over raw rows"
+        )
+    # windows hidden inside lazy-checkpoint jobs aren't visible here;
+    # the operator builds its rank window over (group, bkt) cells and
+    # its offset window over the aggregated bin counts by construction
