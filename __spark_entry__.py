@@ -35,6 +35,29 @@ _ANCHORS = (
     "dedup_minhash_bands",
 )
 
+# Re-front directive for REIMPLEMENTED queries (r8 verdict finding 2): a
+# query whose implementing source changed after its last green row keeps
+# that stale row forever and never re-enters the driver's 50-row sample.
+# name -> first round whose green row counts for it; rows from EARLIER
+# rounds are ignored by _driver_checked, so the query fronts again until
+# a CORRECTNESS_r{>=round}.json green row lands (self-clearing — no
+# manual cleanup step).
+_REFRONT: dict[str, int] = {
+    # r8 rewrote it onto operators/quantiles.grouped_quantile_select; its
+    # only green row is r05-era (old rank-window implementation)
+    "robust_zscore_mad": 9,
+}
+
+
+def _round_of(path: str) -> int:
+    """CORRECTNESS_r07.json -> 7 (0 when unparsable)."""
+    base = os.path.basename(path)
+    digits = "".join(ch for ch in base if ch.isdigit())
+    try:
+        return int(digits)
+    except ValueError:
+        return 0
+
 
 def _driver_checked() -> set[str]:
     """Query names whose strongest available driver check already ran.
@@ -44,15 +67,19 @@ def _driver_checked() -> set[str]:
     query still HAS no oracle — once a formerly rows-only query gains a
     DuckDB oracle (r7: curation_pipeline_full, taxi_domain_pipeline), it
     rotates back to the front so the driver can record the stronger
-    hash-checked row."""
+    hash-checked row. Names in ``_REFRONT`` additionally ignore rows from
+    rounds before their reimplementation round."""
     seen: set[str] = set()
     for path in sorted(glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json"))):
+        rnd = _round_of(path)
         try:
             with open(path) as f:
                 rows = json.load(f)
         except (OSError, ValueError):
             continue
         for name, row in rows.items():
+            if rnd < _REFRONT.get(name, 0):
+                continue
             if not isinstance(row, dict):
                 seen.add(name)
                 continue

@@ -54,7 +54,12 @@ def grouped_quantile_select(
 
     where ``qvalue`` is the rank-interpolated quantile (the value a
     ``PERCENTILE_CONT``-style window computes), ``n`` the group row
-    count. NULL values must be filtered by the caller. Groups sort only
+    count. NULL values must be filtered by the caller — and so must NaN:
+    ``width_bucket`` returns NULL for NaN input, so NaN rows would
+    silently drop from the bin counts and shift every global rank
+    relative to an ORDER BY (which sorts NaN last). Callers over
+    double-typed columns (events.value) own the isNotNull + NOT isnan
+    precondition. Groups sort only
     (group, bucket) cells that hold a target rank; nothing ever sorts a
     whole group in one task.
 

@@ -519,10 +519,13 @@ _GROUPED_QUANTILE_QUERIES = [
 
 def _skip_to_meaningful_input(node):
     """Descend through Sort/Exchange/codegen/AQE wrappers to the node
-    that actually produces a Window's input rows."""
-    wrappers = (
-        "InputAdapter", "WholeStageCodegen", "Sort", "Exchange",
-        "ShuffleQueryStage", "AQEShuffleRead", "CollectMetrics",
+    that actually produces a Window's input rows. Wrapper names match
+    EXACTLY (except the numbered WholeStageCodegen/ShuffleQueryStage
+    forms) — prefix matching would skip past SortAggregate/
+    SortMergeJoin and falsely assert on their children (r8 advice)."""
+    exact_wrappers = (
+        "InputAdapter", "Sort", "Exchange", "AQEShuffleRead",
+        "CollectMetrics",
     )
     while True:
         nn = node.nodeName()
@@ -532,7 +535,7 @@ def _skip_to_meaningful_input(node):
         if nn == "AdaptiveSparkPlan":
             node = node.executedPlan()
             continue
-        if nn.startswith(wrappers):
+        if nn in exact_wrappers or nn.startswith("WholeStageCodegen"):
             node = node.children().apply(0)
             continue
         return node
@@ -542,15 +545,19 @@ def _skip_to_meaningful_input(node):
 def test_grouped_quantile_windows_never_rank_whole_groups(spark, sf_dir, name):
     """No Window partitioned ONLY by the fixed-cardinality group key may
     consume raw-scale rows: partition spec ≥2 columns (per-(group,
-    bucket) cells) or an aggregate input (the bin-count frame)."""
+    bucket) cells) or an aggregate input (the bin-count frame).
+
+    May pass vacuously: the operator hides its rank and offset windows
+    inside lazy-localCheckpoint jobs, so the FINAL executed plan can show
+    zero Window nodes — that absence is itself the desired shape (no
+    whole-group window survives to the visible plan), and the operator's
+    by-construction partition specs are pinned by its own unit tests."""
     df = REGISTRY[name].spark_fn(spark, sf_dir)
     df.collect()
     root = df._jdf.queryExecution().executedPlan()
-    seen = 0
     for node in _walk_executed(root):
         if not node.nodeName().startswith("Window"):
             continue
-        seen += 1
         try:
             psize = node.partitionSpec().size()
         except Exception:
@@ -562,6 +569,3 @@ def test_grouped_quantile_windows_never_rank_whole_groups(spark, sf_dir, name):
             f"{name}: Window partitioned by {psize} column(s) rides "
             f"{src.nodeName()} — a whole-group rank over raw rows"
         )
-    # windows hidden inside lazy-checkpoint jobs aren't visible here;
-    # the operator builds its rank window over (group, bkt) cells and
-    # its offset window over the aggregated bin counts by construction
