@@ -46,6 +46,14 @@ _REFRONT: dict[str, int] = {
     # r8 rewrote it onto operators/quantiles.grouped_quantile_select; its
     # only green row is r05-era (old rank-window implementation)
     "robust_zscore_mad": 9,
+    # r9 inserted the model-based quality gate as stage 3 (six stage rows
+    # now, renumbered) — earlier green rows checked the 5-stage pipeline
+    "curation_pipeline_full": 9,
+    # r9 default-enabled corpus-affix stripping inside the PassJoin
+    # blocking (operators/editdist) — the verify now runs on stripped
+    # residues; earlier green rows checked the unstripped path
+    "fuzzy_join_levenshtein": 9,
+    "fuzzy_record_linkage": 9,
 }
 
 

@@ -365,14 +365,105 @@ def curation_top_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------- end-to-end composed curation pipeline
 
 
+# ------------------------------------------- model-based quality filter
+#
+# Logistic quality-classifier inference (operators/curation.
+# quality_logistic_scores is the xxhash64 production path): hashed
+# bag-of-words features, weights as a LITERAL 64-row table (the shape an
+# offline trainer ships), exact BIGINT nano dot product, length
+# normalization by integer division. The keep gate is z_nano >= 0
+# (⟺ sigmoid >= 0.5) — transcendental-free, so per-doc decisions are
+# engine-exact; the only float is ONE snapped sigmoid per source row.
+
+_QS_B = 64
+_QS_BIAS_NANO = 0
+
+
+def _qw_nano(b: int) -> int:
+    """Deterministic stand-in for trained weights: stable md5-derived
+    integer nanos in [-2e9, 2e9] (±2.0). The inference path under test
+    is weight-agnostic; tests additionally pin discrimination with
+    hand-built weights on a constructed corpus."""
+    import hashlib
+
+    h = int(hashlib.md5(f"qw#{b}".encode()).hexdigest()[:15], 16)
+    return (h % 4_000_000_001) - 2_000_000_000
+
+
+_QS_ROWS = ", ".join(f"({b}, {_qw_nano(b)})" for b in range(_QS_B))
+
+
+def _qs_weights_cte(engine: str) -> str:
+    """`w(fb, w_nano)` as a CTE body — inline-table syntax differs."""
+    if engine == D.DUCK:
+        return f"SELECT * FROM (VALUES {_QS_ROWS}) t(fb, w_nano)"
+    return f"SELECT * FROM VALUES {_QS_ROWS} AS t(fb, w_nano)"
+
+
+def _quality_score(engine: str, table: str) -> str:
+    from .stats_ops import _snap9
+
+    unnest = D.unnest_col(D.split_ws("lower(trim(text))", engine), engine)
+    avg_z = (
+        "CAST(SUM(z_nano) AS DOUBLE)"
+        " / (CAST(COUNT(*) AS DOUBLE) * CAST(1000000000 AS DOUBLE))"
+    )
+    sig = f"CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + EXP(-({avg_z})))"
+    return f"""
+    WITH w AS ({_qs_weights_cte(engine)}),
+    toks AS (SELECT doc_id, source, {unnest} AS tok
+             FROM {table} WHERE text IS NOT NULL),
+    fc AS (SELECT doc_id, source, ({D.h64('tok', engine)}) % {_QS_B} AS fb,
+                  CAST(COUNT(*) AS BIGINT) AS c
+           FROM toks GROUP BY doc_id, source, fb),
+    d AS (SELECT fc.doc_id, fc.source,
+                 SUM(fc.c * w.w_nano) AS dot, SUM(fc.c) AS nd
+          FROM fc JOIN w ON w.fb = fc.fb
+          GROUP BY fc.doc_id, fc.source),
+    z AS (SELECT doc_id, source, nd,
+                 {D.idiv('dot', 'nd', engine)} + {_QS_BIAS_NANO} AS z_nano
+          FROM d)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN z_nano >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pass,
+           {avg_z} AS avg_z,
+           {_snap9(sig, 'mean_sigmoid')}
+    FROM z GROUP BY source ORDER BY source"""
+
+
+@register(
+    "curation_quality_score",
+    _quality_score(D.DUCK, "documents"),
+    doc="training-data ext: model-based quality-classifier inference — "
+        "logistic scoring over hashed bag-of-words features with the "
+        "weight table an offline trainer ships (literal 64-row VALUES "
+        "relation, broadcast at scale). Dot product and length "
+        "normalization are exact BIGINT nanos; the keep gate is the "
+        "integer comparison z_nano >= 0 (sigmoid >= 0.5), so per-doc "
+        "decisions hash-match across engines; one snapped sigmoid per "
+        "source row is the only transcendental. Production path: "
+        "operators/curation.quality_logistic_scores (xxhash64)",
+)
+def curation_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # single-file scan = ONE partition; the explode+md5 map stage
+    # inherits it without this (working-notes REGISTRY pitfall)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    docs.createOrReplaceTempView("bq_quality_docs")
+    return spark.sql(_quality_score(D.SPARK, "bq_quality_docs"))
+
+
 def _pipeline_full(engine: str, table: str) -> str:
-    """The four oracle-checked stages composed into ONE statement:
+    """The five oracle-checked stages composed into ONE statement:
     PII-injected input → decontaminate (word-3-gram overlap with the
     doc_id%50 benchmark slice) → drop repetitive (Gopher 0.65/0.15) →
-    PII scrub → equal-weight domain mixture downsample to 25% of the
-    ORIGINAL corpus; reports per-stage surviving docs/chars. Converted
-    from rows-only in r7 (VERDICT r6 task 2): the composition is plain
-    SQL when each stage is."""
+    model-based quality gate (curation_quality_score's integer-exact
+    z_nano >= 0 logistic decision — r8 verdict missing #4) → PII scrub
+    → equal-weight domain mixture downsample to 25% of the ORIGINAL
+    corpus; reports per-stage surviving docs/chars. Converted from
+    rows-only in r7 (VERDICT r6 task 2): the composition is plain SQL
+    when each stage is."""
     toks = D.split_ws("lower(trim(text))", engine)
     g3 = _word_ngrams(engine, 3)
     g2 = _word_ngrams(engine, 2)
@@ -418,10 +509,22 @@ def _pipeline_full(engine: str, table: str) -> str:
     rep AS (SELECT m.doc_id FROM m JOIN tb ON m.doc_id = tb.doc_id
             WHERE 1.0 - CAST(distinct_tokens AS DOUBLE) / n_tokens > 0.65
                OR 2.0 * CAST(top_bigram_n AS DOUBLE) / n_tokens > 0.15),
-    s2 AS (SELECT s1.doc_id, s1.source, s1.text
+    s2 AS (SELECT s1.doc_id, s1.source, s1.text, s1.__t
            FROM s1 LEFT JOIN rep ON s1.doc_id = rep.doc_id
            WHERE rep.doc_id IS NULL),
-    s3 AS (SELECT doc_id, source, {scrub} AS text FROM s2),
+    w AS ({_qs_weights_cte(engine)}),
+    qfc AS (SELECT doc_id, ({D.h64('tok', engine)}) % {_QS_B} AS fb,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM (SELECT doc_id, {D.unnest_col('__t', engine)} AS tok
+                  FROM s2) tq
+            GROUP BY doc_id, fb),
+    qk AS (SELECT qfc.doc_id FROM qfc JOIN w ON w.fb = qfc.fb
+           GROUP BY qfc.doc_id
+           HAVING {D.idiv('SUM(qfc.c * w.w_nano)', 'SUM(qfc.c)', engine)}
+                  + {_QS_BIAS_NANO} >= 0),
+    s2q AS (SELECT s2.doc_id, s2.source, s2.text
+            FROM s2 JOIN qk ON s2.doc_id = qk.doc_id),
+    s3 AS (SELECT doc_id, source, {scrub} AS text FROM s2q),
     kd AS (SELECT CAST(COUNT(DISTINCT source) AS DOUBLE) AS k FROM corpus),
     td AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM corpus),
     nd AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS n_s FROM s3 GROUP BY source),
@@ -436,8 +539,9 @@ def _pipeline_full(engine: str, table: str) -> str:
       {stage.format(no=0, name='input', rel='corpus')}
       UNION ALL {stage.format(no=1, name='decontaminated', rel='s1')}
       UNION ALL {stage.format(no=2, name='derepetition', rel='s2')}
-      UNION ALL {stage.format(no=3, name='pii_scrubbed', rel='s3')}
-      UNION ALL {stage.format(no=4, name='mixture_sampled', rel='s4')}
+      UNION ALL {stage.format(no=3, name='quality_filtered', rel='s2q')}
+      UNION ALL {stage.format(no=4, name='pii_scrubbed', rel='s3')}
+      UNION ALL {stage.format(no=5, name='mixture_sampled', rel='s4')}
     ) stages ORDER BY stage_no"""
 
 
@@ -502,10 +606,41 @@ def curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 2^-64 collision class)
     s2 = curation.drop_repetitive(s1).localCheckpoint(eager=False)
 
-    # stage 3: PII scrub with the oracle's patterns
+    # stage 3: model-based quality gate — the h64-rendered twin of
+    # operators/curation.quality_logistic_scores; the keep decision is
+    # the integer comparison z_nano >= 0, so it composes engine-exactly
+    wdf = spark.createDataFrame(
+        [(b, _qw_nano(b)) for b in range(_QS_B)], "fb INT, w_nano BIGINT"
+    )
+    qfc = (
+        s2.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("__tok"),
+        )
+        .select("doc_id", (F.expr(D.h64("__tok", D.SPARK)) % _QS_B).alias("fb"))
+        .groupBy("doc_id", "fb")
+        .agg(F.count("*").alias("c"))
+    )
+    qk = (
+        qfc.join(F.broadcast(wdf), "fb")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("c") * F.col("w_nano")).alias("dot"),
+            F.sum("c").alias("nd"),
+        )
+        .filter(F.expr(f"dot DIV nd + {_QS_BIAS_NANO} >= 0"))
+        .select("doc_id")
+    )
+    s2q = (
+        s2.join(qk, "doc_id")
+        .select("doc_id", "source", "text")
+        .localCheckpoint(eager=False)
+    )
+
+    # stage 4: PII scrub with the oracle's patterns
     s3 = (
         curation.scrub_pii(
-            s2,
+            s2q,
             patterns=(
                 ("email", _EMAIL_PAT, "<EMAIL>"),
                 ("phone", _PHONE_PAT, "<PHONE>"),
@@ -515,7 +650,7 @@ def curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
 
-    # stage 4: equal-weight mixture targeting 25% of the ORIGINAL corpus
+    # stage 5: equal-weight mixture targeting 25% of the ORIGINAL corpus
     kd = corpus.select("source").distinct().agg(
         F.count("*").cast("double").alias("k")
     )
@@ -556,7 +691,8 @@ def curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         stage(corpus, "input", 0)
         .unionAll(stage(s1, "decontaminated", 1))
         .unionAll(stage(s2, "derepetition", 2))
-        .unionAll(stage(s3, "pii_scrubbed", 3))
-        .unionAll(stage(s4, "mixture_sampled", 4))
+        .unionAll(stage(s2q, "quality_filtered", 3))
+        .unionAll(stage(s3, "pii_scrubbed", 4))
+        .unionAll(stage(s4, "mixture_sampled", 5))
         .orderBy("stage_no")
     )

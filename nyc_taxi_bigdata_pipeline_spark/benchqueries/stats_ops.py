@@ -183,16 +183,24 @@ ORDER BY d.event_type"""
         "bitwise). The oracle keeps the one-shot rank-window SQL",
 )
 def robust_zscore_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mad_profile(load_table(spark, sf_dir, "events"))
+
+
+def mad_profile(events: DataFrame) -> DataFrame:
+    """The shipped robust_zscore_mad plan over any (event_type, value)
+    frame — the scale probe (scripts/bench_r9_quantiles.py) drives THIS
+    function so probe numbers measure the registry path, not a twin."""
     from ..operators.quantiles import grouped_quantile_select
 
-    # Lazy localCheckpoints (the repo-sanctioned honest cut — first
-    # caller action materializes them inside the timed run): `v` feeds
-    # the median operator's two passes AND the dev projection; `d` feeds
-    # the MAD operator's two passes AND the final outlier groupBy.
-    # Without the cuts each reference re-scans events through the whole
-    # subtree (CTE-inlining class, ~4 full scans per run).
+    # ONE corpus-scale cut: `v` is read by every refinement pass of both
+    # quantile calls plus the final groupBy (~8 reads), so the lazy
+    # localCheckpoint pays once. `d` is deliberately NOT checkpointed
+    # (r9 profile: its 100M-row checkpoint write alone cost 79 s): the
+    # eager operator returns literal-backed frames, so each re-
+    # evaluation of `d` is just a v-read + broadcast join + abs() —
+    # cheaper than materializing the projection ever is.
     v = (
-        load_table(spark, sf_dir, "events")
+        events
         .filter(F.col("value").isNotNull())
         .select("event_type", F.col("value").alias("x"))
         .localCheckpoint(eager=False)
@@ -200,13 +208,9 @@ def robust_zscore_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = grouped_quantile_select(v, ["event_type"], "x", [0.5]).select(
         "event_type", "n", F.col("qvalue").alias("med")
     )
-    d = (
-        v.join(F.broadcast(med), "event_type")
-        .select(
-            "event_type", "n", "med",
-            F.abs(F.col("x") - F.col("med")).alias("dev"),
-        )
-        .localCheckpoint(eager=False)
+    d = v.join(F.broadcast(med), "event_type").select(
+        "event_type", "n", "med",
+        F.abs(F.col("x") - F.col("med")).alias("dev"),
     )
     mad = grouped_quantile_select(
         d.select("event_type", "dev"), ["event_type"], "dev", [0.5]

@@ -680,3 +680,117 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     toks.createOrReplaceTempView("bq_oov_toks")
     return spark.sql(_oov_read_sql("bq_oov_toks"))
+
+
+# ------------------------------------------------ language identification
+#
+# Hashed char-n-gram multinomial language scorer — the langid stage a
+# curation pipeline runs before per-language filtering (fastText-style
+# model, reduced to its SQL-expressible core: multinomial Naive Bayes
+# over hashed character n-grams). The model is TRAINED on the corpus's
+# own labeled 80% hash-split slice (the text_oov_rate split, same seed)
+# and scores the held-out 20%: score(d, l) = Σ_b c_db·ln P̂(b|l) with
+# add-one smoothing over the fixed bucket space. Every ln snaps to
+# integer micro-nats (the unigram-logprob idiom) so per-(doc, lang)
+# scores are EXACT BIGINTs; argmax is the deterministic max(struct)
+# idiom; the confusion-cell avg divides two exact integers once.
+#
+# Scale shape: ONE corpus pass (position-explode → hash → per-(doc,
+# bucket) counts); the model is |langs| × 512 rows (broadcast-sized at
+# any SF), eval scoring joins doc-bucket counts against it per
+# candidate language.
+_LANGID_B = 512  # hashed feature buckets (fixed vocab for add-one)
+_LANGID_N = 3    # char n-gram width
+
+
+def _langid_grams_sql(engine: str, table: str) -> str:
+    """Corpus pass: per (doc, lang, split-bucket, feature-bucket) gram
+    counts. Positions 1..len-2 are safe ascending (len >= 3 enforced);
+    the split bucket reuses text_oov_rate's seeded h64 so 'train slice'
+    means the same docs across queries."""
+    split_h = D.seeded_h64("CAST(doc_id AS STRING)", 7, engine)
+    gram_h = D.h64(f"substring(s, CAST(i AS INT), {_LANGID_N})", engine)
+    pos = D.unnest_col(
+        D.iseq("1", f"length(s) - {_LANGID_N - 1}", engine), engine
+    )
+    return f"""
+    SELECT doc_id, lang, sb, ({gram_h}) % {_LANGID_B} AS fb,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM (
+      SELECT doc_id, lang, sb, s, {pos} AS i
+      FROM (
+        SELECT doc_id, lang, ({split_h}) % 100 AS sb,
+               lower(trim(text)) AS s
+        FROM {table}
+        WHERE text IS NOT NULL AND length(lower(trim(text))) >= {_LANGID_N}
+      ) d
+    ) p
+    GROUP BY doc_id, lang, sb, fb"""
+
+
+def _langid_read_sql(engine: str, g: str, cont: bool = False) -> str:
+    # pred_lang via the deterministic struct-argmax idiom (CLAUDE.md):
+    # max score wins, ties break toward the LARGEST lang in both engines
+    if engine == D.DUCK:
+        argmax = "(MAX({'v': score, 'k': cand_lang})).k"
+    else:
+        argmax = "(MAX(STRUCT(score AS v, cand_lang AS k))).k"
+    lead = "," if cont else "WITH"
+    return f"""
+    {lead} langs AS (SELECT DISTINCT lang AS cand_lang FROM {g} WHERE sb < 80),
+    lt AS (SELECT lang AS cand_lang, SUM(c) AS nl
+           FROM {g} WHERE sb < 80 GROUP BY lang),
+    model AS (SELECT lang AS cand_lang, fb, SUM(c) AS clb
+              FROM {g} WHERE sb < 80 GROUP BY lang, fb),
+    ed AS (SELECT doc_id, lang AS true_lang, fb, c FROM {g} WHERE sb >= 80),
+    en AS (SELECT doc_id, SUM(c) AS nd FROM ed GROUP BY doc_id),
+    pos AS (
+      SELECT ed.doc_id, ed.true_lang, l.cand_lang,
+             SUM(ed.c * {_fp_ln('COALESCE(m.clb, 0) + 1')}) AS s_pos
+      FROM ed CROSS JOIN langs l
+      LEFT JOIN model m ON m.cand_lang = l.cand_lang AND m.fb = ed.fb
+      GROUP BY ed.doc_id, ed.true_lang, l.cand_lang
+    ),
+    sc AS (
+      SELECT p.doc_id, p.true_lang, p.cand_lang,
+             p.s_pos - en.nd * {_fp_ln(f'lt.nl + {_LANGID_B}')} AS score,
+             en.nd AS nd
+      FROM pos p
+      JOIN lt ON lt.cand_lang = p.cand_lang
+      JOIN en ON en.doc_id = p.doc_id
+    ),
+    pred AS (
+      SELECT doc_id, true_lang, {argmax} AS pred_lang,
+             MAX(score) AS best, MAX(nd) AS nd
+      FROM sc GROUP BY doc_id, true_lang
+    )
+    SELECT true_lang, pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(best) AS DOUBLE)
+             / (CAST(SUM(nd) AS DOUBLE) * 1000000.0) AS avg_best_logprob
+    FROM pred GROUP BY true_lang, pred_lang
+    ORDER BY true_lang, pred_lang"""
+
+
+@register(
+    "text_langid_score",
+    f"WITH gq AS ({_langid_grams_sql(D.DUCK, 'documents')})\n"
+    + _langid_read_sql(D.DUCK, "gq", cont=True).lstrip().removeprefix("WITH"),
+    doc="training-data ext: hashed char-3-gram multinomial language "
+        "scorer — add-one NB trained on the content-stable 80% split, "
+        "confusion matrix over the held-out 20% (the langid gate before "
+        "per-language curation). Per-(doc,lang) scores are exact BIGINT "
+        "micro-nat sums (unigram-logprob idiom), argmax is the "
+        "deterministic struct-max; one corpus pass builds the hashed "
+        "gram counts (Spark side checkpoints them once — the model, "
+        "score, and doc-total reads are the CTE-inlining class)",
+)
+def text_langid_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    docs.createOrReplaceTempView("bq_langid_docs")
+    grams = spark.sql(
+        _langid_grams_sql(D.SPARK, "bq_langid_docs")
+    ).localCheckpoint(eager=False)
+    grams.createOrReplaceTempView("bq_langid_grams")
+    return spark.sql(_langid_read_sql(D.SPARK, "bq_langid_grams"))

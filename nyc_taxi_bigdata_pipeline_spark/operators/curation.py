@@ -253,6 +253,73 @@ def domain_mixture_sample(
     )
 
 
+def quality_logistic_scores(
+    docs: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+    bias_nano: int = 0,
+) -> DataFrame:
+    """Model-based quality-classifier INFERENCE — the gate between
+    dedup and mixture sampling that heuristic signals (repetition,
+    entropy, LM logprob) don't cover. The model is a logistic
+    classifier over hashed bag-of-words features whose weights arrive
+    as a TABLE (``(fb, w_nano)`` — integer nano-weights from an offline
+    trainer); inference is therefore pure relational algebra:
+
+      tokenize → hash tokens into ``n_buckets`` (xxhash64) → per-(doc,
+      bucket) counts → broadcast-join the weight table → exact BIGINT
+      dot product Σ c·w_nano → length-normalize by integer division →
+      ``z_nano = dot DIV n_tokens + bias_nano``.
+
+    The keep decision is ``z_nano >= 0`` (⟺ sigmoid(z) >= 0.5) — a pure
+    integer comparison, no transcendental in the gate, so composition
+    into a pipeline stays engine-exact. ``score = sigmoid(z)`` is also
+    returned for ranking/reporting (double; snap before cross-engine
+    comparison — see benchqueries/curation_ops._quality_score).
+
+    100-TB shape: one corpus pass (explode + map-side-combined count),
+    weight table is ``n_buckets`` rows → broadcast; the dot product is
+    a second map-side-combinable agg keyed by doc. Nothing corpus-
+    scaled ever shuffles except the (doc, bucket) count rows. BIGINT
+    bound: |dot| <= n_tokens·max|w_nano| — at 2e9 nano-weights a doc
+    would need ~4e9 tokens to overflow; per-doc, not per-corpus, so no
+    DECIMAL promotion is needed.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), " ")).alias("__tok"),
+    )
+    fc = (
+        toks.select(
+            id_col,
+            F.pmod(F.xxhash64("__tok"), F.lit(n_buckets)).alias("fb"),
+        )
+        .groupBy(id_col, "fb")
+        .agg(F.count("*").alias("__c"))
+    )
+    dot = (
+        fc.join(F.broadcast(weights), "fb")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("__c") * F.col("w_nano")).alias("__dot"),
+            F.sum("__c").alias("n_tokens"),
+        )
+    )
+    z = F.expr(f"__dot DIV n_tokens + {bias_nano}")
+    return dot.select(
+        id_col,
+        "n_tokens",
+        z.alias("z_nano"),
+        (
+            F.lit(1.0)
+            / (F.lit(1.0) + F.exp(-z.cast("double") / F.lit(1_000_000_000.0)))
+        ).alias("score"),
+        (z >= 0).alias("keep"),
+    )
+
+
 def duplicated_spans(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -211,6 +211,10 @@ _SCALAR_ANCHOR_OK = {
                                       # into the hash-ring modulus
     "text_tfidf_cosine": 1,           # 1-row doc-count anchor inside the
                                       # idf term (same shape as BM25's)
+    "text_langid_score": 5,           # candidate-language table: every
+                                      # eval doc scores against ALL langs
+                                      # (bounded by language cardinality,
+                                      # 5 in testdata — never the corpus)
 }
 
 

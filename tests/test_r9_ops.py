@@ -1,0 +1,146 @@
+"""r9 additions: corpus-affix stripping in the PassJoin blocker,
+model-based quality-classifier inference, and the hashed char-n-gram
+language scorer (semantic pins beyond the DuckDB oracle gates)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from nyc_taxi_bigdata_pipeline_spark.benchqueries import dialect as D
+from nyc_taxi_bigdata_pipeline_spark.benchqueries.text_ops import (
+    _langid_grams_sql,
+    _langid_read_sql,
+)
+from nyc_taxi_bigdata_pipeline_spark.operators import curation
+from nyc_taxi_bigdata_pipeline_spark.operators.editdist import (
+    _lcp_len,
+    _strip_common_affixes,
+    levenshtein_self_join,
+)
+
+
+# ------------------------------------------------- affix stripping
+
+
+def test_lcp_len():
+    assert _lcp_len("", "x") == 0
+    assert _lcp_len("abc", "abd") == 2
+    assert _lcp_len("abc", "abc") == 3
+    assert _lcp_len("abc", "ab") == 2
+
+
+def _strings(spark, vals):
+    return spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], ["id", "s"]
+    )
+
+
+def test_strip_common_affixes_prefix_and_suffix(spark):
+    df = _strings(spark, ["PRE-a-SUF", "PRE-b-SUF", "PRE-cc-SUF"])
+    got = {r.s for r in _strip_common_affixes(df, "s").collect()}
+    assert got == {"a", "b", "cc"}
+
+
+def test_strip_common_affixes_overlap_clamped(spark):
+    # shortest string IS prefix+suffix material: lcp=2 ("ab"), reversed
+    # lcp=2 ("ba" reversed = "ab"...), but ml - lcp caps the suffix strip
+    df = _strings(spark, ["abab", "ab"])
+    out = {r.id: r.s for r in _strip_common_affixes(df, "s").collect()}
+    # lcp("ab","abab")=2; suffix clamp = min(lcs, ml-lcp) = min(?, 0) = 0
+    assert out[1] == ""
+    assert out[0] == "ab"
+
+
+def test_strip_common_affixes_noop_without_common_affix(spark):
+    df = _strings(spark, ["xa", "yb", "zc"])
+    got = {r.s for r in _strip_common_affixes(df, "s").collect()}
+    assert got == {"xa", "yb", "zc"}
+
+
+@pytest.mark.parametrize("k", [1, 2])
+def test_self_join_strip_equals_unstripped(spark, k):
+    # template corpus: constant prefix + zero-padded id + constant suffix
+    # (the TPC-H name pathology) with planted near-dup pairs
+    vals = [f"Record#{i:06d}-end" for i in range(0, 400, 2)]
+    vals += [f"Record#{i + 1:06d}-end" for i in range(0, 100, 2)]  # dist 1 pairs
+    df = _strings(spark, vals).repartition(8)
+    on = levenshtein_self_join(df, "id", "s", k=k, strip_affixes=True)
+    off = levenshtein_self_join(df, "id", "s", k=k, strip_affixes=False)
+    assert sorted(map(tuple, on.collect())) == sorted(map(tuple, off.collect()))
+    assert on.count() > 0  # the planted pairs are actually found
+
+
+def test_self_join_strip_identical_corpus(spark):
+    # every string equal to the affix itself -> residue is empty
+    df = _strings(spark, ["same", "same", "same"])
+    got = sorted((r.id_a, r.id_b, r.dist) for r in
+                 levenshtein_self_join(df, "id", "s", k=1).collect())
+    assert got == [(0, 1, 0), (0, 2, 0), (1, 2, 0)]
+
+
+# ------------------------------------- quality-classifier inference
+
+
+def test_quality_logistic_scores_discriminates(spark):
+    import pyspark.sql.functions as SF
+
+    docs = spark.createDataFrame(
+        [
+            (1, "good good good good"),
+            (2, "bad bad bad bad"),
+            (3, "good bad good good"),  # 3:1 good
+        ],
+        ["doc_id", "text"],
+    )
+    n_buckets = 64
+    fb = {
+        tok: spark.sql(
+            f"SELECT pmod(xxhash64('{tok}'), {n_buckets}) AS b"
+        ).first().b
+        for tok in ("good", "bad")
+    }
+    assert fb["good"] != fb["bad"], "rehash buckets if this ever collides"
+    weights = spark.createDataFrame(
+        [(int(fb["good"]), 1_000_000_000), (int(fb["bad"]), -1_000_000_000)],
+        "fb BIGINT, w_nano BIGINT",
+    )
+    out = {
+        r.doc_id: r
+        for r in curation.quality_logistic_scores(docs, weights).collect()
+    }
+    assert out[1].keep and not out[2].keep and out[3].keep
+    # z is the exact integer mean weight: doc 3 = (3e9 - 1e9) DIV 4
+    assert out[1].z_nano == 1_000_000_000
+    assert out[2].z_nano == -1_000_000_000
+    assert out[3].z_nano == 500_000_000
+    assert out[1].score > 0.7 and out[2].score < 0.3
+    # unweighted buckets drop out of the dot product (inner join):
+    # a doc of only unknown tokens produces no row — the caller decides
+    unk = spark.createDataFrame([(9, "zz zz")], ["doc_id", "text"])
+    assert curation.quality_logistic_scores(unk, weights).count() == 0
+
+
+# --------------------------------------------------- language scorer
+
+
+def test_langid_confusion_on_disjoint_vocab(spark):
+    # two "languages" with disjoint character sets -> every held-out doc
+    # must score higher under its own language's model
+    rows = []
+    for i in range(200):
+        rows.append((i, "aaa bbb aab abb baa " * 4, "aa", "s"))
+    for i in range(200, 400):
+        rows.append((i, "xxx yyy xxy xyy yxx " * 4, "xx", "s"))
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source"]
+    ).createOrReplaceTempView("r9_langid_docs")
+    grams = spark.sql(_langid_grams_sql(D.SPARK, "r9_langid_docs"))
+    grams.createOrReplaceTempView("r9_langid_grams")
+    conf = spark.sql(_langid_read_sql(D.SPARK, "r9_langid_grams")).collect()
+    assert len(conf) > 0
+    for r in conf:
+        assert r.true_lang == r.pred_lang, conf
+        assert r.avg_best_logprob < 0
+    # both splits non-empty per language (hash split sanity)
+    assert {r.true_lang for r in conf} == {"aa", "xx"}
