@@ -512,6 +512,117 @@ def video_keyframe_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "video_crossclip_dedup",
+    None,
+    doc="training-data ext (rows-only): CROSS-CLIP temporal video "
+        "dedup — the copy-detection stage over real MJPEG clips "
+        "(r8 verdict stretch task). Every 10th doc_id becomes a 3-scene "
+        "x 2-frame clip of smooth sinusoid-gradient scenes (low-"
+        "frequency content, so phash survives re-encoding); ids "
+        "≡ 10 (mod 100) replay the previous clip BYTE-identically and "
+        "ids ≡ 20/70 (mod 100) re-encode the previous clip's scenes at "
+        "JPEG quality 70 vs 85 (same content, different bytes — the "
+        "re-upload case byte-level dedup can't see). Keyframe phashes "
+        "-> 16-bit-block pigeonhole candidate join -> offset-aligned "
+        "verification (operators/multimodal.crossclip_segment_pairs); "
+        "only hash rows shuffle. Planted exact+re-encoded recovery "
+        "pinned in tests/test_multimodal_video.py",
+)
+def video_crossclip_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import (
+        crossclip_segment_pairs,
+        encode_mjpeg,
+        video_frame_phashes,
+        video_keyframes,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 10 == 0)
+    )
+    # single-file scan is ONE partition; the per-clip JPEG encode/decode
+    # below would otherwise run serially on one core (CLAUDE.md
+    # scan-layout pitfall)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+    def synth(batches):
+        yy, xx = np.mgrid[0:24, 0:24]
+
+        def _mix(s: int) -> int:  # splitmix64 finalizer
+            s = (s * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+            s ^= s >> 31
+            s = (s * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+            s ^= s >> 29
+            return s
+
+        def scene(seed: int) -> np.ndarray:
+            # smooth per-channel sinusoid gradients with CONTINUOUS
+            # hash-derived parameters (distinct seeds -> distinct
+            # patterns; a mod-quantized first cut collided across seeds
+            # and flooded the fixture with unplanned true dups):
+            # low-frequency DCT mass keeps the 63-bit phash within a few
+            # bits between JPEG quality 70 and 85 (noise scenes are
+            # re-encode-unstable)
+            img = np.zeros((24, 24, 3), dtype=np.uint8)
+            for c in range(3):
+                h = _mix(seed * 4 + c + 1)
+                fx = 0.4 + (h & 0xFFFF) / 65536.0 * 2.6
+                fy = 0.4 + ((h >> 16) & 0xFFFF) / 65536.0 * 2.6
+                ph = ((h >> 32) & 0xFFFF) / 65536.0 * 2 * np.pi
+                img[..., c] = np.round(
+                    127.5
+                    + 120.0
+                    * np.sin(2 * np.pi * (fx * xx / 24 + fy * yy / 24) + ph)
+                ).astype(np.uint8)
+            return img
+
+        for pdf in batches:
+            out = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 100 == 10:  # byte-identical replay of d-10
+                    base, quality = d - 10, 85
+                elif d % 50 == 20:  # same scenes, re-encoded at q70 —
+                    # resolve through the replay rule so the plant
+                    # points at the clip CONTENT of d-10, not its id
+                    b = d - 10
+                    base = b - 10 if b % 100 == 10 else b
+                    quality = 70
+                else:
+                    base, quality = d, 85
+                scenes = [scene(base * 3 + j) for j in range(3)]
+                clip = encode_mjpeg(
+                    [s for s in scenes for _ in range(2)], quality=quality
+                )
+                out.append((str(d), "video", clip))
+            yield pd.DataFrame(out, columns=["media_id", "kind", "content"])
+
+    media = docs.mapInPandas(
+        synth, "media_id string, kind string, content binary"
+    )
+    kf = video_keyframes(video_frame_phashes(media), max_hamming=2)
+    pairs = crossclip_segment_pairs(kf, max_hamming=6, min_aligned=2)
+    return (
+        pairs.withColumn(
+            "dup_kind",
+            F.when(F.col("mean_hamming") == 0.0, F.lit("exact"))
+            .otherwise(F.lit("near")),
+        )
+        .groupBy("dup_kind")
+        .agg(
+            F.count("*").cast("long").alias("clip_pairs"),
+            F.sum("aligned_keyframes").cast("long").alias("aligned_keyframes"),
+            F.avg("mean_hamming").alias("avg_hamming"),
+        )
+        .orderBy("dup_kind")
+    )
+
+
+@register(
     "text_compression_signal",
     None,
     doc="training-data ext (rows-only): deflate-compressibility quality "

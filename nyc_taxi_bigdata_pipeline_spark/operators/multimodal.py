@@ -1215,6 +1215,88 @@ def video_frame_phashes(media: DataFrame, batch_limit: int = 64) -> DataFrame:
     )
 
 
+def crossclip_segment_pairs(
+    keyframes: DataFrame,
+    max_hamming: int = 6,
+    min_aligned: int = 2,
+) -> DataFrame:
+    """Cross-clip temporal near-duplicate detection — the video
+    copy-detection stage (re-uploads, edits, compilations) over keyframe
+    perceptual hashes, bucketed end to end:
+
+      1. keyframes get a per-clip sequence number (window per media_id);
+      2. each 63-bit phash splits into four 16-bit BLOCKS (pigeonhole:
+         <= 3 flipped bits leave >= 1 block intact) — candidates are an
+         EQUI-join on (block_idx, block_value), never all-pairs, with
+         per-key fan-in bounded by corpus block frequency (the simhash
+         hamming_near_pairs discipline);
+      3. candidate keyframe matches verify with the exact JVM
+         ``bit_count(xor)`` distance, then group by (clip_a, clip_b,
+         seq_offset): a real shared SEGMENT shows up as >= ``min_aligned``
+         matched keyframes at ONE consistent temporal offset — random
+         block collisions don't align.
+
+    Input: ``(media_id, frame_idx, phash)`` (the :func:`video_keyframes`
+    output). Returns one row per detected directed-free pair segment::
+
+        media_a, media_b, seq_offset, aligned_keyframes, mean_hamming
+
+    with ``media_a < media_b``. 100-TB shape: only 12-byte hash rows
+    shuffle; the block join is the single corpus-scale exchange and the
+    alignment groupBy rides candidate matches only.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    seq = keyframes.select(
+        "media_id", "phash", F.row_number().over(w).alias("seq")
+    )
+    blocks = seq.select(
+        "media_id",
+        "seq",
+        "phash",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), i -> "
+                "struct(i AS bi, shiftright(phash, 16 * i) & 65535 AS bv))"
+            )
+        ).alias("b"),
+    ).select("media_id", "seq", "phash", F.col("b.bi").alias("bi"), F.col("b.bv").alias("bv"))
+
+    a, b = blocks.alias("a"), blocks.alias("b")
+    matches = (
+        a.join(
+            b,
+            [
+                F.col("a.bi") == F.col("b.bi"),
+                F.col("a.bv") == F.col("b.bv"),
+                F.col("a.media_id") < F.col("b.media_id"),
+            ],
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+            (F.col("b.seq") - F.col("a.seq")).alias("seq_offset"),
+            F.col("a.seq").alias("seq_a"),
+            F.bit_count(
+                F.col("a.phash").bitwiseXOR(F.col("b.phash"))
+            ).alias("hd"),
+        )
+        .filter(F.col("hd") <= max_hamming)
+        # one row per matched keyframe pair (a hash pair can collide on
+        # several blocks; hd is a function of the pair, so distinct is safe)
+        .distinct()
+    )
+    return (
+        matches.groupBy("media_a", "media_b", "seq_offset")
+        .agg(
+            F.count("*").cast("long").alias("aligned_keyframes"),
+            F.avg("hd").alias("mean_hamming"),
+        )
+        .filter(F.col("aligned_keyframes") >= min_aligned)
+    )
+
+
 def video_keyframes(frame_hashes: DataFrame, max_hamming: int = 2) -> DataFrame:
     """Shot-boundary keyframes: frame 0 plus every frame whose phash
     moves more than ``max_hamming`` bits from its predecessor (lag

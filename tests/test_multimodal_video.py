@@ -83,3 +83,51 @@ def test_video_keyframe_dedup_recovers_planted_dups(spark, sf_dir):
     assert row["dup_videos_removable"] == 5
     assert row["distinct_videos"] == 45
     assert row["total_keyframes"] == 2 * 50
+
+
+def test_crossclip_segment_pairs_alignment_logic(spark):
+    """Pure operator semantics on constructed keyframes: a shared
+    3-keyframe segment at a consistent offset is found; scattered
+    single-block collisions at inconsistent offsets are not."""
+    import pandas as pd
+
+    from nyc_taxi_bigdata_pipeline_spark.operators.multimodal import (
+        crossclip_segment_pairs,
+    )
+
+    h = [0x1111_2222_3333_4444, 0x5555_6666_7777_0888, 0x0123_4567_89AB_CDEF]
+    rows = []
+    # clip A: segment at frames 0,2,4; clip B: same hashes shifted by
+    # one keyframe position (seq offset 1); one hash with 2 flipped bits
+    for i, ph in enumerate(h):
+        rows.append(("a", i * 2, ph))
+    rows.append(("b", 0, 0x0F0F_0F0F_0F0F_0F0F))
+    for i, ph in enumerate(h):
+        rows.append(("b", 10 + i, ph ^ (0b11 if i == 1 else 0)))
+    # clip C shares ONE block value with A's first hash but at hamming
+    # distance way beyond the verify bound -> no pair
+    rows.append(("c", 0, 0x7FFF_FFFF_FFFF_4444))
+    kf = spark.createDataFrame(rows, "media_id string, frame_idx int, phash long")
+    got = crossclip_segment_pairs(kf, max_hamming=6, min_aligned=2).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.media_a, r.media_b, r.seq_offset, r.aligned_keyframes) == ("a", "b", 1, 3)
+    assert abs(r.mean_hamming - 2.0 / 3.0) < 1e-12
+    # raising the alignment bar above the planted run drops it
+    assert crossclip_segment_pairs(kf, max_hamming=6, min_aligned=4).count() == 0
+
+
+def test_video_crossclip_dedup_recovers_planted_pairs(spark, sf_dir):
+    """At the 500-doc fixture: 50 clips; per hundred doc_ids the plant
+    yields 1 byte-exact pair (0,10), 2 re-encoded pairs (0,20),(10,20)
+    and 1 re-encoded pair (60,70) -> 20 clip pairs total, every one a
+    full 3-keyframe alignment at offset 0. The exact/near split by
+    mean hamming is codec-dependent (a re-encode may land on the
+    identical phash - that is phash stability, not a miss), so the pin
+    is on the TOTALS."""
+    rows = REGISTRY["video_crossclip_dedup"].spark_fn(spark, sf_dir).collect()
+    assert sum(r.clip_pairs for r in rows) == 20
+    assert sum(r.aligned_keyframes for r in rows) == 60
+    exact = [r for r in rows if r.dup_kind == "exact"]
+    assert exact and exact[0].avg_hamming == 0.0
+    assert exact[0].clip_pairs >= 5  # the 5 byte-identical replays at least
