@@ -703,19 +703,19 @@ _LANGID_B = 512  # hashed feature buckets (fixed vocab for add-one)
 _LANGID_N = 3    # char n-gram width
 
 
-def _langid_grams_sql(engine: str, table: str) -> str:
-    """Corpus pass: per (doc, lang, split-bucket, feature-bucket) gram
-    counts. Positions 1..len-2 are safe ascending (len >= 3 enforced);
-    the split bucket reuses text_oov_rate's seeded h64 so 'train slice'
-    means the same docs across queries."""
+def _langid_rows_sql(engine: str, table: str) -> str:
+    """Corpus pass, UNGROUPED: one (doc, lang, split-bucket,
+    feature-bucket) row per char n-gram occurrence. Positions 1..len-2
+    are safe ascending (len >= 3 enforced); the split bucket reuses
+    text_oov_rate's seeded h64 so 'train slice' means the same docs
+    across queries."""
     split_h = D.seeded_h64("CAST(doc_id AS STRING)", 7, engine)
     gram_h = D.h64(f"substring(s, CAST(i AS INT), {_LANGID_N})", engine)
     pos = D.unnest_col(
         D.iseq("1", f"length(s) - {_LANGID_N - 1}", engine), engine
     )
     return f"""
-    SELECT doc_id, lang, sb, ({gram_h}) % {_LANGID_B} AS fb,
-           CAST(COUNT(*) AS BIGINT) AS c
+    SELECT doc_id, lang, sb, ({gram_h}) % {_LANGID_B} AS fb
     FROM (
       SELECT doc_id, lang, sb, s, {pos} AS i
       FROM (
@@ -724,11 +724,36 @@ def _langid_grams_sql(engine: str, table: str) -> str:
         FROM {table}
         WHERE text IS NOT NULL AND length(lower(trim(text))) >= {_LANGID_N}
       ) d
-    ) p
+    ) p"""
+
+
+def _langid_grams_sql(engine: str, table: str) -> str:
+    """Per-(doc, lang, split-bucket, feature-bucket) gram counts — the
+    oracle's one-shot CTE form (the Spark side aggregates the raw rows
+    separately per slice; see text_langid_score)."""
+    return f"""
+    SELECT doc_id, lang, sb, fb, CAST(COUNT(*) AS BIGINT) AS c
+    FROM ({_langid_rows_sql(engine, table)}) r
     GROUP BY doc_id, lang, sb, fb"""
 
 
-def _langid_read_sql(engine: str, g: str, cont: bool = False) -> str:
+def _langid_model_sql(g: str) -> str:
+    """Train-slice model: |langs| x 512 rows — the ONLY train-side
+    materialization (per-doc train counts are never needed; the r9
+    probe's 300k-doc tier showed the dense per-(doc, bucket) matrix
+    checkpoint going superlinear at 78M rows)."""
+    return (
+        f"SELECT lang AS cand_lang, fb, SUM(c) AS clb"
+        f" FROM {g} WHERE sb < 80 GROUP BY lang, fb"
+    )
+
+
+def _langid_ed_sql(g: str) -> str:
+    """Eval-slice per-doc bucket counts (20% of the corpus)."""
+    return f"SELECT doc_id, lang AS true_lang, fb, c FROM {g} WHERE sb >= 80"
+
+
+def _langid_read_sql(engine: str, model: str, ed: str, cont: bool = False) -> str:
     # pred_lang via the deterministic struct-argmax idiom (CLAUDE.md):
     # max score wins, ties break toward the LARGEST lang in both engines
     if engine == D.DUCK:
@@ -737,12 +762,10 @@ def _langid_read_sql(engine: str, g: str, cont: bool = False) -> str:
         argmax = "(MAX(STRUCT(score AS v, cand_lang AS k))).k"
     lead = "," if cont else "WITH"
     return f"""
-    {lead} langs AS (SELECT DISTINCT lang AS cand_lang FROM {g} WHERE sb < 80),
-    lt AS (SELECT lang AS cand_lang, SUM(c) AS nl
-           FROM {g} WHERE sb < 80 GROUP BY lang),
-    model AS (SELECT lang AS cand_lang, fb, SUM(c) AS clb
-              FROM {g} WHERE sb < 80 GROUP BY lang, fb),
-    ed AS (SELECT doc_id, lang AS true_lang, fb, c FROM {g} WHERE sb >= 80),
+    {lead} model AS (SELECT * FROM {model}),
+    ed AS (SELECT * FROM {ed}),
+    langs AS (SELECT DISTINCT cand_lang FROM model),
+    lt AS (SELECT cand_lang, SUM(clb) AS nl FROM model GROUP BY cand_lang),
     en AS (SELECT doc_id, SUM(c) AS nd FROM ed GROUP BY doc_id),
     pos AS (
       SELECT ed.doc_id, ed.true_lang, l.cand_lang,
@@ -774,23 +797,47 @@ def _langid_read_sql(engine: str, g: str, cont: bool = False) -> str:
 
 @register(
     "text_langid_score",
-    f"WITH gq AS ({_langid_grams_sql(D.DUCK, 'documents')})\n"
-    + _langid_read_sql(D.DUCK, "gq", cont=True).lstrip().removeprefix("WITH"),
+    f"WITH gq AS ({_langid_grams_sql(D.DUCK, 'documents')}),\n"
+    + f"mq AS ({_langid_model_sql('gq')}),\n"
+    + f"eq AS ({_langid_ed_sql('gq')})\n"
+    + _langid_read_sql(D.DUCK, "mq", "eq", cont=True),
     doc="training-data ext: hashed char-3-gram multinomial language "
         "scorer — add-one NB trained on the content-stable 80% split, "
         "confusion matrix over the held-out 20% (the langid gate before "
         "per-language curation). Per-(doc,lang) scores are exact BIGINT "
         "micro-nat sums (unigram-logprob idiom), argmax is the "
-        "deterministic struct-max; one corpus pass builds the hashed "
-        "gram counts (Spark side checkpoints them once — the model, "
-        "score, and doc-total reads are the CTE-inlining class)",
+        "deterministic struct-max. Spark side materializes ONLY the "
+        "|langs|x512 model and the eval slice's per-doc bucket counts — "
+        "never per-doc train counts (the dense doc x bucket matrix went "
+        "superlinear at the 300k-doc probe tier); the oracle keeps the "
+        "one-shot per-doc-counts WITH",
 )
 def text_langid_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     docs.createOrReplaceTempView("bq_langid_docs")
-    grams = spark.sql(
-        _langid_grams_sql(D.SPARK, "bq_langid_docs")
+    return langid_confusion(spark, "bq_langid_docs")
+
+
+def langid_confusion(spark: SparkSession, docs_view: str) -> DataFrame:
+    """Shipped langid plan over any registered (doc_id, lang, text)
+    view — shared by the registry query, the scale probe
+    (scripts/bench_r9_textops.py) and the discrimination test."""
+    rows = _langid_rows_sql(D.SPARK, docs_view)
+    # two tokenize passes (model, eval) — each aggregates map-side to a
+    # small frame; both checkpoint lazily because the read SQL references
+    # each twice (CTE-inlining class would re-tokenize per reference)
+    model = spark.sql(
+        f"SELECT lang AS cand_lang, fb, CAST(COUNT(*) AS BIGINT) AS clb"
+        f" FROM ({rows}) r WHERE sb < 80 GROUP BY lang, fb"
     ).localCheckpoint(eager=False)
-    grams.createOrReplaceTempView("bq_langid_grams")
-    return spark.sql(_langid_read_sql(D.SPARK, "bq_langid_grams"))
+    model.createOrReplaceTempView("bq_langid_model")
+    ed = spark.sql(
+        f"SELECT doc_id, lang AS true_lang, fb,"
+        f" CAST(COUNT(*) AS BIGINT) AS c"
+        f" FROM ({rows}) r WHERE sb >= 80 GROUP BY doc_id, lang, fb"
+    ).localCheckpoint(eager=False)
+    ed.createOrReplaceTempView("bq_langid_ed")
+    return spark.sql(
+        _langid_read_sql(D.SPARK, "bq_langid_model", "bq_langid_ed")
+    )

@@ -7,10 +7,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 import pytest
 
-from nyc_taxi_bigdata_pipeline_spark.benchqueries import dialect as D
 from nyc_taxi_bigdata_pipeline_spark.benchqueries.text_ops import (
-    _langid_grams_sql,
-    _langid_read_sql,
+    langid_confusion,
 )
 from nyc_taxi_bigdata_pipeline_spark.operators import curation
 from nyc_taxi_bigdata_pipeline_spark.operators.editdist import (
@@ -135,9 +133,7 @@ def test_langid_confusion_on_disjoint_vocab(spark):
     spark.createDataFrame(
         rows, ["doc_id", "text", "lang", "source"]
     ).createOrReplaceTempView("r9_langid_docs")
-    grams = spark.sql(_langid_grams_sql(D.SPARK, "r9_langid_docs"))
-    grams.createOrReplaceTempView("r9_langid_grams")
-    conf = spark.sql(_langid_read_sql(D.SPARK, "r9_langid_grams")).collect()
+    conf = langid_confusion(spark, "r9_langid_docs").collect()
     assert len(conf) > 0
     for r in conf:
         assert r.true_lang == r.pred_lang, conf
