@@ -30,6 +30,11 @@ from scripts.bench_r7_newops import synth_events
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=100_000_000)
+    ap.add_argument(
+        "--no-phases",
+        action="store_true",
+        help="time only old-shape vs shipped end-to-end (big tiers)",
+    )
     args = ap.parse_args()
     spark = get_spark("bench-r9-qprof")
     n = args.rows
@@ -45,6 +50,8 @@ def main() -> None:
 
     # ---- shipped path end-to-end
     timed(f"shipped mad_profile @ {n}", lambda: len(mad_profile(ev).collect()))
+    if args.no_phases:
+        return
 
     # ---- phase breakdown of the shipped path
     v = (
