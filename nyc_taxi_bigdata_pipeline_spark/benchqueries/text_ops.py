@@ -841,3 +841,90 @@ def langid_confusion(spark: SparkSession, docs_view: str) -> DataFrame:
     return spark.sql(
         _langid_read_sql(D.SPARK, "bq_langid_model", "bq_langid_ed")
     )
+
+
+# --------------------------------------------- winnowing fingerprints
+#
+# Document fingerprinting via winnowing (Schleimer/Wilkerson/Aiken,
+# SIGMOD'03 — the MOSS algorithm): hash every char k-gram, slide a
+# w-hash window, keep each window's MINIMUM hash. The guarantee: any
+# shared substring of length >= k + w - 1 between two docs yields at
+# least one shared fingerprint, while storage is ~2/(w+1) of the k-gram
+# count — the standard copy/boilerplate detector a curation pipeline
+# runs beside dedup. Both engines share the text: positions explode,
+# portable h64, a per-doc ROWS window MIN (doc-bounded partitions, never
+# global), DISTINCT fingerprint sets, then aggregate-only reporting
+# (boilerplate = fingerprints appearing in many docs) — no pair join,
+# so the fixture's saturated vocabulary can't blow it up.
+_WIN_K = 8   # k-gram width (chars)
+_WIN_W = 4   # winnowing window (hashes)
+_WIN_BOILER_DF = 25  # a fingerprint in > this many docs is boilerplate
+
+
+def _winnow_fps_sql(engine: str, table: str) -> str:
+    """Per-doc DISTINCT winnowing fingerprints (doc_id, source, fp)."""
+    h = D.h64(f"substring(s, CAST(i AS INT), {_WIN_K})", engine)
+    pos = D.unnest_col(D.iseq("1", f"length(s) - {_WIN_K - 1}", engine), engine)
+    return f"""
+    SELECT DISTINCT doc_id, source, fp FROM (
+      SELECT doc_id, source, i, length(s) AS ln,
+             MIN(kh) OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING)
+               AS fp
+      FROM (
+        SELECT doc_id, source, s, i, ({h}) AS kh
+        FROM (
+          SELECT doc_id, source, s, {pos} AS i
+          FROM (
+            SELECT doc_id, source, lower(trim(text)) AS s FROM {table}
+            WHERE text IS NOT NULL
+              AND length(lower(trim(text))) >= {_WIN_K + _WIN_W - 1}
+          ) d0
+        ) d
+      ) kg
+    ) w
+    WHERE i <= ln - {_WIN_K + _WIN_W - 2}"""
+
+
+def _winnow_read_sql(fps: str, cont: bool = False) -> str:
+    lead = "," if cont else "WITH"
+    return f"""
+    {lead} dfq AS (SELECT fp, CAST(COUNT(*) AS BIGINT) AS d
+                   FROM {fps} GROUP BY fp),
+    j AS (SELECT f.source, f.doc_id, dfq.d FROM {fps} f
+          JOIN dfq ON dfq.fp = f.fp)
+    SELECT source,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS fingerprints,
+           CAST(CAST(COUNT(*) AS DOUBLE)
+                / CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS DOUBLE)
+             AS fp_per_doc,
+           CAST(SUM(CASE WHEN d > {_WIN_BOILER_DF} THEN 1 ELSE 0 END)
+                AS BIGINT) AS boilerplate_hits,
+           CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS unique_fps
+    FROM j GROUP BY source ORDER BY source"""
+
+
+@register(
+    "text_winnowing_fingerprints",
+    f"WITH fpq AS ({_winnow_fps_sql(D.DUCK, 'documents')})\n"
+    + _winnow_read_sql("fpq", cont=True),
+    doc="training-data ext: MOSS-style winnowing document fingerprints "
+        "(rolling k-gram hash, per-window minimum — any shared "
+        "substring of length >= k+w-1 shares a fingerprint) with "
+        "per-source boilerplate profiling (fingerprint doc-frequency "
+        "> 25 = boilerplate, = 1 = unique content). Window MIN rides "
+        "per-doc partitions; reporting is aggregate-only (no pair "
+        "join). Spark side checkpoints the fingerprint set once (df "
+        "and the report both read it — CTE-inlining class)",
+)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    docs.createOrReplaceTempView("bq_winnow_docs")
+    fps = spark.sql(_winnow_fps_sql(D.SPARK, "bq_winnow_docs")).localCheckpoint(
+        eager=False
+    )
+    fps.createOrReplaceTempView("bq_winnow_fps")
+    return spark.sql(_winnow_read_sql("bq_winnow_fps"))

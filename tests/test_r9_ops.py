@@ -140,3 +140,38 @@ def test_langid_confusion_on_disjoint_vocab(spark):
         assert r.avg_best_logprob < 0
     # both splits non-empty per language (hash split sanity)
     assert {r.true_lang for r in conf} == {"aa", "xx"}
+
+
+# --------------------------------------------- winnowing fingerprints
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """The winnowing theorem: docs sharing a substring of length >=
+    k + w - 1 (= 11 here) share at least one fingerprint; disjoint-
+    alphabet docs share none."""
+    from nyc_taxi_bigdata_pipeline_spark.benchqueries import dialect as D
+    from nyc_taxi_bigdata_pipeline_spark.benchqueries.text_ops import (
+        _WIN_K,
+        _WIN_W,
+        _winnow_fps_sql,
+    )
+
+    shared = "the quick brown fox jumps"
+    rows = [
+        (1, f"aaa aaa {shared} bbb bbb", "s"),
+        (2, f"ccc ddd eee fff {shared}", "s"),
+        (3, "zzz yyy xxx www vvv uuu qqq ppp", "s"),
+    ]
+    assert len(shared) >= _WIN_K + _WIN_W - 1
+    spark.createDataFrame(rows, ["doc_id", "text", "source"]).createOrReplaceTempView(
+        "r9_winnow_docs"
+    )
+    fps = spark.sql(_winnow_fps_sql(D.SPARK, "r9_winnow_docs")).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "shared substring must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+    # storage bound sanity: far fewer fingerprints than k-gram positions
+    n_positions = len(rows[0][1]) - _WIN_K + 1
+    assert len(by_doc[1]) < n_positions
