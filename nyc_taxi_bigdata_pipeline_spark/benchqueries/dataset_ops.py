@@ -483,3 +483,71 @@ def dataset_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_rendered(
         spark, sf_dir, "documents", _negative_sample_sql, "bq_neg_docs"
     )
+
+
+# ------------------------------------- temperature-scaled mixture
+
+
+_TMIX_SEED = 29
+_TMIX_BUDGET_DIV = 2  # target doc budget = total DIV 2
+
+
+def _temperature_mixture(engine: str, table: str) -> str:
+    """Temperature-scaled domain mixture at alpha = 0.5 (the
+    multilingual-LM standard: target share p_d ∝ n_d^alpha, flattening
+    the head and boosting the tail vs proportional sampling). Keep
+    fraction f_d = min(1, T·n_d^(alpha-1)/Σ n^alpha) with T = half the
+    corpus; membership is the content-stable hash gate.
+
+    Cross-engine exactness: IEEE SQRT is correctly rounded, so both
+    engines compute identical doubles per domain — but a SUM over them
+    is accumulation-ORDER-dependent, so each sqrt snaps to integer
+    micros first (the micro-nat idiom) and the sum is exact BIGINT.
+    Thresholds are then pure integer products/divisions. BIGINT bound:
+    (total/2)·sqrt_micro·2^20 stays under 2^63 to ~1e9 docs per table;
+    past that, lift the products to DECIMAL(38,0) (ANOVA overflow
+    class)."""
+    h = D.seeded_h64("CAST(doc_id AS STRING)", _TMIX_SEED, engine)
+    budget = D.idiv("total", str(_TMIX_BUDGET_DIV), engine)
+    thr = D.idiv(f"{budget} * sqm * 1048576", "(nd * ssq)", engine)
+    return f"""
+    WITH n AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS nd
+               FROM {table} GROUP BY lang),
+    sq AS (SELECT lang, nd,
+                  CAST(FLOOR(SQRT(CAST(nd AS DOUBLE)) * 1000000.0 + 0.5)
+                       AS BIGINT) AS sqm
+           FROM n),
+    tot AS (SELECT CAST(SUM(nd) AS BIGINT) AS total,
+                   CAST(SUM(sqm) AS BIGINT) AS ssq FROM sq),
+    th AS (SELECT lang, nd, sqm,
+                  LEAST(CAST(1048576 AS BIGINT), {thr}) AS thr
+           FROM sq CROSS JOIN tot),
+    kept AS (SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS docs_kept
+             FROM {table} d JOIN th ON th.lang = d.lang
+             WHERE ({h}) % 1048576 < th.thr
+             GROUP BY d.lang)
+    SELECT th.lang, th.nd AS docs_in,
+           COALESCE(k.docs_kept, CAST(0 AS BIGINT)) AS docs_kept,
+           CAST(th.sqm AS DOUBLE) / CAST(ssq AS DOUBLE) AS target_share,
+           CAST(th.thr AS DOUBLE) / CAST(1048576 AS DOUBLE) AS keep_frac
+    FROM th CROSS JOIN tot
+    LEFT JOIN kept k ON k.lang = th.lang
+    ORDER BY th.lang"""
+
+
+@register(
+    "dataset_temperature_mixture",
+    _temperature_mixture(D.DUCK, "documents"),
+    doc="training-data ext: temperature-scaled mixture sampling at "
+        "alpha = 0.5 (target share ∝ n^0.5 — the multilingual-LM head-"
+        "flattening recipe) toward a half-corpus budget, upsampling "
+        "capped at 1. Per-sqrt snap to integer micros keeps the share "
+        "denominator an exact BIGINT sum (double SUM is accumulation-"
+        "order-dependent); thresholds are all-integer, membership the "
+        "content-stable hash gate. Reports per-language in/kept/target "
+        "share/keep fraction",
+)
+def dataset_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_rendered(
+        spark, sf_dir, "documents", _temperature_mixture, "bq_tmix_docs"
+    )

@@ -253,6 +253,23 @@ def domain_mixture_sample(
     )
 
 
+def temperature_weights(
+    df: DataFrame, domain_col: str = "source", alpha: float = 0.5
+) -> dict[str, float]:
+    """Temperature-scaled mixture weights w_d ∝ n_d^alpha (alpha = 0.5
+    is the multilingual-LM standard; alpha -> 0 flattens to uniform,
+    alpha = 1 is proportional/no-op). Feed the result to
+    :func:`domain_mixture_sample` — domain counts are a groupBy away
+    and the domain list is config-sized, so the collect is bounded by
+    domain cardinality, never the corpus. The oracle-checked flavor is
+    benchqueries/dataset_ops.dataset_temperature_mixture."""
+    counts = {
+        r[0]: r[1] for r in df.groupBy(domain_col).count().collect()
+    }
+    tot = sum(c**alpha for c in counts.values())
+    return {d: (c**alpha) / tot for d, c in counts.items()}
+
+
 def quality_logistic_scores(
     docs: DataFrame,
     weights: DataFrame,

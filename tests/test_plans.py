@@ -215,6 +215,9 @@ _SCALAR_ANCHOR_OK = {
                                       # eval doc scores against ALL langs
                                       # (bounded by language cardinality,
                                       # 5 in testdata — never the corpus)
+    "dataset_temperature_mixture": 1,  # 1-row (total, Σsqrt-micro)
+                                       # anchor folded into the per-lang
+                                       # thresholds (mixture class)
 }
 
 

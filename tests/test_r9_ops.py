@@ -175,3 +175,47 @@ def test_winnowing_shared_substring_guarantee(spark):
     # storage bound sanity: far fewer fingerprints than k-gram positions
     n_positions = len(rows[0][1]) - _WIN_K + 1
     assert len(by_doc[1]) < n_positions
+
+
+# --------------------------------------------- temperature mixture
+
+
+def test_temperature_mixture_flattens_head(spark, sf_dir):
+    from nyc_taxi_bigdata_pipeline_spark.benchqueries import REGISTRY
+
+    rows = {
+        r.lang: r
+        for r in REGISTRY["dataset_temperature_mixture"]
+        .spark_fn(spark, sf_dir)
+        .collect()
+    }
+    big = max(rows.values(), key=lambda r: r.docs_in)
+    small = min(rows.values(), key=lambda r: r.docs_in)
+    assert big.docs_in > small.docs_in  # the lang skew exists
+    # temperature flattening: the majority language keeps a SMALLER
+    # fraction than the minority one (upsampling capped at 1.0)
+    assert big.keep_frac < small.keep_frac <= 1.0
+    # target shares flatter than proportional: big's share of the
+    # sqrt-mass is below its share of the doc mass
+    tot_docs = sum(r.docs_in for r in rows.values())
+    assert big.target_share < big.docs_in / tot_docs
+    assert small.target_share > small.docs_in / tot_docs
+    for r in rows.values():
+        assert 0 < r.docs_kept <= r.docs_in
+
+
+def test_temperature_weights_helper(spark):
+    from nyc_taxi_bigdata_pipeline_spark.operators.curation import (
+        temperature_weights,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 90 else "small") for i in range(100)],
+        ["doc_id", "source"],
+    )
+    w1 = temperature_weights(df, alpha=1.0)
+    assert abs(w1["big"] - 0.9) < 1e-12  # alpha=1 -> proportional
+    w0 = temperature_weights(df, alpha=0.0)
+    assert abs(w0["big"] - 0.5) < 1e-12  # alpha=0 -> uniform
+    wh = temperature_weights(df, alpha=0.5)
+    assert 0.5 < wh["big"] < 0.9  # temperature sits between
