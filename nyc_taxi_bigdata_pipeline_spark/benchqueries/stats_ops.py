@@ -363,6 +363,101 @@ def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_WELCH_SQL.format(table="bq_welch_events"))
 
 
+# Mann–Whitney U (Wilcoxon rank-sum) per event type: the RANK-based A/B
+# readout beside ab_test_welch — the test to run when means mislead
+# (heavy tails, ordinal metrics; events.value's 0.1% 5000-unit outliers
+# are exactly that case). Scale shape: ranks never touch raw rows — the
+# per-(group, value) counts relation is aggregated FIRST (map-side
+# combinable), and the cumulative-rank window rides that relation
+# (Window over Aggregate, the sanctioned 1-col-partition form). Valid
+# whenever the value domain is discrete/gridded (telemetry, prices,
+# counts — events.value is 2-decimal); for truly continuous values
+# quantize to the measurement grid first, or the distinct-value
+# relation degenerates to row scale.
+#
+# Exactness: doubled ranks keep tie-averages integral (r2 = 2·cum+t+1);
+# rank sums and the tie-correction Σ(t³−t) accumulate as DECIMAL(38,0)
+# (BIGINT products pass 2^63 once group sizes reach ~2e9 — the ANOVA
+# overflow class); U, the z numerator and the tie-corrected variance
+# are derived from those exact integers in textually-shared double
+# arithmetic, snapped to the 1e-9 grid. No continuity correction (both
+# engines would need the same branchy |num| logic; at telemetry n the
+# 0.5 shift is ~1e-4 z units and the SHARED text keeps parity exact
+# regardless).
+_MWU_SQL = f"""
+WITH v AS (
+  SELECT event_type, value AS x,
+         CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS a
+  FROM {{table}} WHERE value IS NOT NULL AND user_id IS NOT NULL
+),
+vc AS (
+  SELECT event_type, x,
+         CAST(SUM(a) AS BIGINT) AS ca,
+         CAST(COUNT(*) - SUM(a) AS BIGINT) AS cb
+  FROM v GROUP BY event_type, x
+),
+r AS (
+  SELECT event_type, ca, cb, ca + cb AS t,
+         COALESCE(SUM(ca + cb) OVER (PARTITION BY event_type ORDER BY x
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  CAST(0 AS BIGINT)) AS cum
+  FROM vc
+),
+s AS (
+  SELECT event_type,
+         CAST(SUM(ca) AS BIGINT) AS na,
+         CAST(SUM(cb) AS BIGINT) AS nb,
+         SUM(CAST(ca AS DECIMAL(38,0)) * (2 * cum + t + 1)) AS ra2,
+         SUM(CAST(t AS DECIMAL(38,0)) * t * t - t) AS tie3
+  FROM r GROUP BY event_type
+),
+u AS (
+  SELECT event_type, na, nb, na + nb AS n, tie3,
+         CAST(2 AS DECIMAL(38,0)) * na * nb
+           + CAST(na AS DECIMAL(38,0)) * (na + 1) - ra2 AS u2a
+  FROM s
+)
+SELECT event_type, na AS n_a, nb AS n_b,
+       CAST(u2a AS DOUBLE) / CAST(2 AS DOUBLE) AS u_a,
+       {{z_snap}},
+       FLOOR(ABS({{z_expr}}) * 1000000000.0 + 0.5) >= 1960000000
+         AS significant_95
+FROM u ORDER BY event_type"""
+
+_MWU_Z = (
+    "(CAST(u2a - CAST(na AS DECIMAL(38,0)) * nb AS DOUBLE)"
+    " / CAST(2 AS DOUBLE))"
+    " / SQRT((CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / CAST(12 AS DOUBLE))"
+    "        * (CAST(n + 1 AS DOUBLE)"
+    "           - CAST(tie3 AS DOUBLE)"
+    "             / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))))"
+)
+
+
+def _mwu_sql(table: str) -> str:
+    return _MWU_SQL.format(
+        table=table, z_snap=_snap9(_MWU_Z, "z_stat"), z_expr=_MWU_Z
+    )
+
+
+@register(
+    "ab_test_mann_whitney",
+    _mwu_sql("events"),
+    doc="analytics ext: Mann–Whitney U (Wilcoxon rank-sum) per event "
+        "type over the same deterministic user split as ab_test_welch — "
+        "the rank-based A/B readout heavy tails demand. Ranks ride the "
+        "aggregated per-(group, value) counts relation (never raw "
+        "rows); doubled ranks keep tie-averages integral; rank sums and "
+        "the tie correction accumulate as DECIMAL(38,0); z is "
+        "tie-corrected, snapped, with an integer significance compare",
+)
+def ab_test_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "bq_mwu_events"
+    )
+    return spark.sql(_mwu_sql("bq_mwu_events"))
+
+
 # One-way ANOVA F-test across event types — the k-arm generalization of
 # ab_test_welch (does ANY arm's mean differ?). Between/within sums of
 # squares come from the same exact decimal moment pass; the CROSS-GROUP

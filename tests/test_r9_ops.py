@@ -219,3 +219,53 @@ def test_temperature_weights_helper(spark):
     assert abs(w0["big"] - 0.5) < 1e-12  # alpha=0 -> uniform
     wh = temperature_weights(df, alpha=0.5)
     assert 0.5 < wh["big"] < 0.9  # temperature sits between
+
+
+# --------------------------------------------- Mann-Whitney U test
+
+
+def _mwu_ref(xs_a, xs_b):
+    """Pure-Python tie-corrected Mann-Whitney (normal approximation,
+    no continuity correction — matches the query's documented form)."""
+    from collections import Counter
+
+    cnt = Counter(xs_a + xs_b)
+    ranks, cum = {}, 0
+    for v in sorted(cnt):
+        t = cnt[v]
+        ranks[v] = cum + (t + 1) / 2
+        cum += t
+    na, nb = len(xs_a), len(xs_b)
+    ra = sum(ranks[v] for v in xs_a)
+    ua = na * nb + na * (na + 1) / 2 - ra
+    n = na + nb
+    tie3 = sum(t**3 - t for t in cnt.values())
+    var = na * nb / 12 * ((n + 1) - tie3 / (n * (n - 1)))
+    return ua, (ua - na * nb / 2) / var**0.5
+
+
+def test_mann_whitney_matches_closed_form(spark):
+    from nyc_taxi_bigdata_pipeline_spark.benchqueries.stats_ops import _mwu_sql
+
+    # arm a (even user_id): values shifted up vs arm b, with heavy ties
+    xs_a = [float(v) for v in [3, 3, 4, 5, 5, 5, 6, 7, 8, 8, 9, 12]]
+    xs_b = [float(v) for v in [1, 2, 2, 3, 3, 4, 4, 5, 6, 6]]
+    rows = [("t0", v, 2 * i) for i, v in enumerate(xs_a)]
+    rows += [("t0", v, 2 * i + 1) for i, v in enumerate(xs_b)]
+    # a second group with IDENTICAL arms -> z == 0, not significant
+    rows += [("t1", float(v), 2 * i) for i, v in enumerate([1, 2, 3, 4, 5])]
+    rows += [("t1", float(v), 2 * i + 1) for i, v in enumerate([1, 2, 3, 4, 5])]
+    spark.createDataFrame(
+        rows, "event_type string, value double, user_id long"
+    ).createOrReplaceTempView("r9_mwu_events")
+    got = {r.event_type: r for r in spark.sql(_mwu_sql("r9_mwu_events")).collect()}
+
+    ua, z = _mwu_ref(xs_a, xs_b)
+    assert got["t0"].n_a == len(xs_a) and got["t0"].n_b == len(xs_b)
+    assert got["t0"].u_a == ua
+    assert abs(got["t0"].z_stat - z) < 2e-9
+    assert bool(got["t0"].significant_95) == (abs(z) >= 1.96)
+
+    ua1, z1 = _mwu_ref([1.0, 2, 3, 4, 5], [1.0, 2, 3, 4, 5])
+    assert got["t1"].u_a == ua1
+    assert got["t1"].z_stat == 0.0 and not got["t1"].significant_95
