@@ -458,6 +458,81 @@ def ab_test_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_mwu_sql("bq_mwu_events"))
 
 
+# Two-sample Kolmogorov–Smirnov per event type: the DISTRIBUTION-level
+# A/B readout (Welch compares means, Mann–Whitney stochastic ordering;
+# KS catches any CDF difference — shape, variance, multimodality).
+# Same scale shape as the rank tests: the per-(group, value) counts
+# relation aggregates first, cumulative-count windows ride it (Window
+# over Aggregate), and the statistic is EXACT by construction —
+# D = max|F_a − F_b| = MAX(|cum_a·n_b − cum_b·n_a|) / (n_a·n_b), an
+# integer max divided once (cross-multiplied CDFs need no floats at
+# all; products accumulate as DECIMAL(38,0) past the ~2e9-per-group
+# BIGINT bound). The 95% rejection bound is the asymptotic
+# c(.05)=1.358 two-sample form, evaluated in textually-shared double
+# arithmetic over the exact integers (no snap needed: every double op
+# here is a single correctly-rounded expression over identical inputs).
+_KS_SQL = """
+WITH v AS (
+  SELECT event_type, value AS x,
+         CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS a
+  FROM {table} WHERE value IS NOT NULL AND user_id IS NOT NULL
+),
+vc AS (
+  SELECT event_type, x,
+         CAST(SUM(a) AS BIGINT) AS ca,
+         CAST(COUNT(*) - SUM(a) AS BIGINT) AS cb
+  FROM v GROUP BY event_type, x
+),
+r AS (
+  SELECT event_type,
+         SUM(ca) OVER (PARTITION BY event_type ORDER BY x
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cuma,
+         SUM(cb) OVER (PARTITION BY event_type ORDER BY x
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cumb,
+         SUM(ca) OVER (PARTITION BY event_type) AS na,
+         SUM(cb) OVER (PARTITION BY event_type) AS nb
+  FROM vc
+),
+s AS (
+  SELECT event_type,
+         CAST(MAX(na) AS BIGINT) AS na, CAST(MAX(nb) AS BIGINT) AS nb,
+         MAX(ABS(CAST(cuma AS DECIMAL(38,0)) * nb
+                 - CAST(cumb AS DECIMAL(38,0)) * na)) AS dint
+  FROM r GROUP BY event_type
+)
+SELECT event_type, na AS n_a, nb AS n_b,
+       CAST(dint AS DOUBLE)
+         / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS ks_d,
+       CAST(dint AS DOUBLE)
+           / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+         > CAST(1.358 AS DOUBLE)
+           * SQRT((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+                  / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))
+         AS reject_95
+FROM s ORDER BY event_type"""
+
+
+@register(
+    "ks_test_two_sample",
+    _KS_SQL.format(table="events"),
+    doc="analytics ext: two-sample Kolmogorov–Smirnov per event type "
+        "over the deterministic user split — the distribution-level A/B "
+        "readout beside Welch (means) and Mann–Whitney (ordering). "
+        "D = max|F_a − F_b| computed EXACTLY as an integer max of "
+        "cross-multiplied cumulative counts over the aggregated "
+        "per-(group, value) relation (Window over Aggregate, one final "
+        "division); asymptotic c=1.358 rejection bound in shared double "
+        "text",
+)
+def ks_test_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "bq_ks_events"
+    )
+    return spark.sql(_KS_SQL.format(table="bq_ks_events"))
+
+
 # One-way ANOVA F-test across event types — the k-arm generalization of
 # ab_test_welch (does ANY arm's mean differ?). Between/within sums of
 # squares come from the same exact decimal moment pass; the CROSS-GROUP

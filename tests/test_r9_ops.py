@@ -269,3 +269,42 @@ def test_mann_whitney_matches_closed_form(spark):
     ua1, z1 = _mwu_ref([1.0, 2, 3, 4, 5], [1.0, 2, 3, 4, 5])
     assert got["t1"].u_a == ua1
     assert got["t1"].z_stat == 0.0 and not got["t1"].significant_95
+
+
+# --------------------------------------------- Kolmogorov-Smirnov
+
+
+def test_ks_two_sample_matches_closed_form(spark):
+    from nyc_taxi_bigdata_pipeline_spark.benchqueries.stats_ops import _KS_SQL
+
+    xs_a = [float(v) for v in [1, 2, 2, 3, 5, 6, 6, 7, 8, 9]]
+    xs_b = [float(v) for v in [9, 10, 11, 11, 12, 13, 15, 16, 17, 18, 20]]
+    rows = [("t0", v, 2 * i) for i, v in enumerate(xs_a)]
+    rows += [("t0", v, 2 * i + 1) for i, v in enumerate(xs_b)]
+    rows += [("t1", float(v % 5), i) for i, v in enumerate(range(40))]  # same dist
+    spark.createDataFrame(
+        rows, "event_type string, value double, user_id long"
+    ).createOrReplaceTempView("r9_ks_events")
+    got = {
+        r.event_type: r
+        for r in spark.sql(_KS_SQL.format(table="r9_ks_events")).collect()
+    }
+
+    def ks_ref(a, b):
+        vals = sorted(set(a + b))
+        return max(
+            abs(
+                sum(1 for x in a if x <= v) / len(a)
+                - sum(1 for x in b if x <= v) / len(b)
+            )
+            for v in vals
+        )
+
+    d = ks_ref(xs_a, xs_b)
+    assert abs(got["t0"].ks_d - d) < 1e-12
+    crit = 1.358 * ((len(xs_a) + len(xs_b)) / (len(xs_a) * len(xs_b))) ** 0.5
+    assert bool(got["t0"].reject_95) == (d > crit)
+    assert got["t0"].reject_95  # the planted shift is detectable
+    # identical distributions across arms (v % 5 with user_id = index:
+    # even/odd arms see the same multiset) -> D = 0, no rejection
+    assert got["t1"].ks_d == 0.0 and not got["t1"].reject_95
