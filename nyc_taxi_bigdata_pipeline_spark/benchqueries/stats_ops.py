@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..functions import compat as C
 from ..sources.tables import load_table
+from . import dialect as D
 from .registry import register
 
 # exact decimal moments for y = extendedprice (money) on x = quantity
@@ -531,6 +532,108 @@ def ks_test_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bq_ks_events"
     )
     return spark.sql(_KS_SQL.format(table="bq_ks_events"))
+
+
+# Population Stability Index on a numeric feature: THE production
+# drift monitor (PSI = Σ (p_cur − p_base)·ln(p_cur/p_base) over fixed
+# bins; > 0.2 = significant shift by the industry rule). Cohorts are a
+# deterministic temporal split (even vs odd epoch-day — the date-key
+# idiom that sidesteps the events ts-precision drift); bins are 10
+# equal-width buckets over the GLOBAL value range (one 1-row scalar
+# anchor). Exactness: bucket shares use add-one smoothing so empty
+# bins can't divide by zero; each bucket's contribution snaps to
+# integer nano-nats — ln() decomposes into four _fp_ln integer
+# micro-nat terms, the share difference is one deterministic double
+# expression over exact integers — and the 10-term sum runs on the
+# snapped integers, so accumulation order can't diverge.
+def _ln_micro(x: str) -> str:
+    """ln(x) snapped to integer micro-nats (text_ops._fp_ln's idiom,
+    redefined locally — importing text_ops here would reorder module
+    registration and with it the registry's public iteration order)."""
+    return f"CAST(FLOOR(LN(CAST({x} AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"
+
+
+def _psi_sql(engine: str, table: str) -> str:
+    day = D.epoch_day("ts", engine)
+    b = "10"
+    lnr = (
+        f"{_ln_micro('cc + 1')} - {_ln_micro(f'nc + {b}')}"
+        f" - {_ln_micro('cb + 1')} + {_ln_micro(f'nb + {b}')}"
+    )
+    pdiff = (
+        f"(CAST(cc + 1 AS DOUBLE) / CAST(nc + {b} AS DOUBLE)"
+        f" - CAST(cb + 1 AS DOUBLE) / CAST(nb + {b} AS DOUBLE))"
+    )
+    return f"""
+    WITH e AS (
+      SELECT event_type, ({day}) % 2 AS arm, value AS x
+      FROM {table} WHERE value IS NOT NULL AND ts IS NOT NULL
+    ),
+    mm AS (SELECT MIN(x) AS mn, MAX(x) AS mx FROM e),
+    bkts AS (
+      -- explicit equal-width bucketing (this DuckDB build lacks
+      -- width_bucket): every op is a single correctly-rounded double
+      -- expression over identical inputs, so assignments match exactly
+      SELECT event_type, arm,
+             CASE WHEN mx = mn THEN 1
+                  ELSE LEAST({b}, GREATEST(1,
+                       CAST(FLOOR((x - mn)
+                            / ((mx - mn) / CAST({b} AS DOUBLE))) AS INT)
+                       + 1)) END AS bkt
+      FROM e CROSS JOIN mm
+    ),
+    c AS (SELECT event_type, arm, bkt, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM bkts GROUP BY event_type, arm, bkt),
+    n AS (SELECT event_type, arm, CAST(SUM(cnt) AS BIGINT) AS n
+          FROM c GROUP BY event_type, arm),
+    grid AS (
+      SELECT n0.event_type, g.bkt, n0.n AS nb, n1.n AS nc
+      FROM (SELECT event_type, n FROM n WHERE arm = 0) n0
+      JOIN (SELECT event_type, n FROM n WHERE arm = 1) n1
+        ON n1.event_type = n0.event_type
+      CROSS JOIN (SELECT {D.unnest_col(D.iseq('1', b, engine), engine)} AS bkt) g
+    ),
+    terms AS (
+      SELECT grid.event_type, grid.nb, grid.nc,
+             COALESCE(c0.cnt, 0) AS cb, COALESCE(c1.cnt, 0) AS cc
+      FROM grid
+      LEFT JOIN c c0 ON c0.event_type = grid.event_type
+                    AND c0.bkt = grid.bkt AND c0.arm = 0
+      LEFT JOIN c c1 ON c1.event_type = grid.event_type
+                    AND c1.bkt = grid.bkt AND c1.arm = 1
+    ),
+    snapped AS (
+      SELECT event_type, nb, nc,
+             CAST(FLOOR({pdiff} * ({lnr}) * 1000.0 + 0.5) AS BIGINT)
+               AS term_nano
+      FROM terms
+    )
+    SELECT event_type,
+           CAST(MAX(nb) AS BIGINT) AS n_base,
+           CAST(MAX(nc) AS BIGINT) AS n_current,
+           CAST(SUM(term_nano) AS DOUBLE) / CAST(1000000000 AS DOUBLE)
+             AS psi,
+           SUM(term_nano) > 200000000 AS drifted_02
+    FROM snapped GROUP BY event_type ORDER BY event_type"""
+
+
+@register(
+    "drift_psi_value",
+    _psi_sql(D.DUCK, "events"),
+    doc="analytics ext: Population Stability Index of the value "
+        "distribution per event type between even and odd epoch-days — "
+        "the numeric-feature drift gate (PSI > 0.2 rule) every ML "
+        "platform runs between a baseline and a current window. Ten "
+        "global equal-width bins (1-row range anchor), add-one-smoothed "
+        "shares, per-bin contributions snapped to integer nano-nats "
+        "(ln decomposed into _fp_ln micro-nat terms) so the cross-bin "
+        "sum is exact-integer; drift flag is an integer compare",
+)
+def drift_psi_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "bq_psi_events"
+    )
+    return spark.sql(_psi_sql(D.SPARK, "bq_psi_events"))
 
 
 # One-way ANOVA F-test across event types — the k-arm generalization of

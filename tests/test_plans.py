@@ -218,6 +218,9 @@ _SCALAR_ANCHOR_OK = {
     "dataset_temperature_mixture": 1,  # 1-row (total, Σsqrt-micro)
                                        # anchor folded into the per-lang
                                        # thresholds (mixture class)
+    "drift_psi_value": 10,             # 1-row global-range anchor +
+                                       # the fixed 10-bin grid crossed
+                                       # with per-group arm totals
 }
 
 

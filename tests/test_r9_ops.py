@@ -308,3 +308,52 @@ def test_ks_two_sample_matches_closed_form(spark):
     # identical distributions across arms (v % 5 with user_id = index:
     # even/odd arms see the same multiset) -> D = 0, no rejection
     assert got["t1"].ks_d == 0.0 and not got["t1"].reject_95
+
+
+# --------------------------------------------- PSI drift monitor
+
+
+def test_psi_drift_detects_shift(spark):
+    import datetime
+    import math
+
+    from nyc_taxi_bigdata_pipeline_spark.benchqueries import dialect as D
+    from nyc_taxi_bigdata_pipeline_spark.benchqueries.stats_ops import _psi_sql
+
+    d0 = datetime.datetime(2024, 1, 2)   # even epoch-day baseline
+    d1 = datetime.datetime(2024, 1, 3)   # odd epoch-day current
+    assert (d0.date() - datetime.date(1970, 1, 1)).days % 2 == 0
+    rows = []
+    # shifted: baseline uniform over [0, 50), current over [50, 100)
+    for i in range(400):
+        rows.append(("shift", d0, float(i % 50)))
+        rows.append(("shift", d1, 50.0 + i % 50))
+    # stable: identical distributions both days -> PSI exactly 0
+    for i in range(400):
+        rows.append(("stable", d0, float(i % 100)))
+        rows.append(("stable", d1, float(i % 100)))
+    spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double"
+    ).createOrReplaceTempView("r9_psi_events")
+    got = {r.event_type: r for r in spark.sql(_psi_sql(D.SPARK, "r9_psi_events")).collect()}
+
+    assert got["stable"].psi == 0.0 and not got["stable"].drifted_02
+    assert got["shift"].drifted_02 and got["shift"].psi > 1.0
+
+    # closed-form check for the shifted group (10 global bins over
+    # [0, 100): baseline occupies bins 1-5, current 6-10; add-one)
+    def share(c, n):
+        return (c + 1) / (n + 10)
+
+    psi = 0.0
+    for b in range(10):
+        cb = 80 if b < 5 else 0     # 400 baseline rows over 5 bins
+        cc = 0 if b < 5 else 80
+        pb, pc = share(cb, 400), share(cc, 400)
+        # mirror the query's micro-nat snapping of the log term
+        lnr = (
+            round(math.log(cc + 1) * 1e6) - round(math.log(410) * 1e6)
+            - round(math.log(cb + 1) * 1e6) + round(math.log(410) * 1e6)
+        )
+        psi += math.floor((pc - pb) * lnr * 1000.0 + 0.5)
+    assert abs(got["shift"].psi - psi / 1e9) < 1e-12
