@@ -67,8 +67,8 @@ def _round_of(path: str) -> int:
         return 0
 
 
-def _driver_checked() -> set[str]:
-    """Query names whose strongest available driver check already ran.
+def _checked_rounds() -> dict[str, int]:
+    """name -> LATEST round with a counting driver row for the query.
 
     A row with a real oracle comparison (``hash_match`` recorded) is
     final. A rows-only row (``err == "no_oracle"``) only counts while the
@@ -77,7 +77,7 @@ def _driver_checked() -> set[str]:
     rotates back to the front so the driver can record the stronger
     hash-checked row. Names in ``_REFRONT`` additionally ignore rows from
     rounds before their reimplementation round."""
-    seen: set[str] = set()
+    last: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json"))):
         rnd = _round_of(path)
         try:
@@ -88,34 +88,48 @@ def _driver_checked() -> set[str]:
         for name, row in rows.items():
             if rnd < _REFRONT.get(name, 0):
                 continue
-            if not isinstance(row, dict):
-                seen.add(name)
-                continue
-            hash_checked = row.get("hash_match") is not None
-            still_rows_only = (
-                name in REGISTRY and REGISTRY[name].oracle is None
-            )
-            if hash_checked or still_rows_only:
-                seen.add(name)
-    return seen
+            if isinstance(row, dict):
+                hash_checked = row.get("hash_match") is not None
+                still_rows_only = (
+                    name in REGISTRY and REGISTRY[name].oracle is None
+                )
+                if not (hash_checked or still_rows_only):
+                    continue
+            last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
+def _driver_checked() -> set[str]:
+    """Query names whose strongest available driver check already ran."""
+    return set(_checked_rounds())
 
 
 def _sample_order() -> list[str]:
-    """Registry names, never-driver-checked first.
+    """Registry names: anchors, then never-driver-checked, then STALEST first.
 
     The driver's correctness gate samples the FIRST 50 entries of
     ``queries()`` in insertion order (proven in the r4 verdict: the r02–r04
     samples are byte-identical and equal ``list(REGISTRY)[:50]``). Rotating
     never-checked queries to the front — after a few stable anchors — lets
     each round's 50-row sample cover fresh ground until every query has a
-    driver row. Reading the committed CORRECTNESS_r*.json files makes the
-    rotation automatic round over round.
+    driver row. Once every query HAS a row (true since r09), the tail is
+    ordered by last-checked round ASCENDING (r9 verdict item 1): the ~46
+    non-anchor slots cycle the whole registry every ~4 rounds instead of
+    re-verifying one frozen window while old greens age against refactored
+    code. Reading the committed CORRECTNESS_r*.json files makes the
+    rotation automatic round over round; ties break on registry order, so
+    the output stays deterministic and total.
     """
     seen = _driver_checked()
+    last = _checked_rounds()
     names = list(REGISTRY)
+    order = {n: i for i, n in enumerate(names)}
     anchors = [n for n in _ANCHORS if n in REGISTRY]
     fresh = [n for n in names if n not in seen and n not in anchors]
-    rest = [n for n in names if n in seen and n not in anchors]
+    rest = sorted(
+        (n for n in names if n in seen and n not in anchors),
+        key=lambda n: (last.get(n, 0), order[n]),
+    )
     return anchors + fresh + rest
 
 

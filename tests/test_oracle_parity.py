@@ -85,6 +85,34 @@ def test_rotation_always_covers_full_registry(monkeypatch):
     check_total()
 
 
+def test_rotation_fronts_stalest_greens(monkeypatch):
+    """Once every query has a driver row, the non-anchor tail must cycle
+    by last-checked round ASCENDING (r9 verdict item 1) — otherwise the
+    driver's 50-row sample re-verifies one frozen window forever while
+    old greens age against refactored code. Totality must survive the
+    reordering."""
+    import __spark_entry__ as e
+
+    names = list(REGISTRY)
+    # all checked; a handful have OLD rounds, the rest are recent
+    stale = [n for n in names if n not in e._ANCHORS][:5]
+    rounds = {n: (1 if n in stale else 8) for n in names}
+    monkeypatch.setattr(e, "_checked_rounds", lambda: dict(rounds))
+    monkeypatch.setattr(e, "_driver_checked", lambda: set(rounds))
+
+    order = list(e.queries())
+    assert set(order) == set(REGISTRY)  # still total
+    assert order[: len(e._ANCHORS)] == [
+        n for n in e._ANCHORS if n in REGISTRY
+    ]
+    # the stalest greens land immediately after the anchors
+    assert order[len(e._ANCHORS) : len(e._ANCHORS) + len(stale)] == stale
+    # within equal staleness, registry order is preserved (deterministic)
+    tail = order[len(e._ANCHORS) + len(stale) :]
+    reg_pos = {n: i for i, n in enumerate(names)}
+    assert tail == sorted(tail, key=lambda n: reg_pos[n])
+
+
 def test_readme_counts_match_registry():
     """README's headline registry counts must track len(REGISTRY) — the
     r5 verdict flagged stale counts (130/119 vs actual 148/133); this
