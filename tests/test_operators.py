@@ -2547,3 +2547,43 @@ def test_levenshtein_two_piece_matches_bruteforce(spark):
         }
         assert got == expected
         assert expected
+
+
+def test_grouped_quantile_null_group_keys_dropped(spark):
+    """NULL group keys must be dropped, not crash the driver-side
+    interpolation (r9 ADVICE: the refinement equi-join silently drops
+    null-keyed rows, so their target ranks could never resolve)."""
+    from nyc_taxi_bigdata_pipeline_spark.operators.quantiles import (
+        grouped_quantile_select,
+    )
+
+    rows = [("a", float(i)) for i in range(1, 101)]
+    rows += [("b", float(i * 2)) for i in range(1, 51)]
+    rows += [(None, float(i)) for i in range(1, 21)]  # null-keyed group
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = grouped_quantile_select(df, ["g"], "v", [0.5, 0.9]).collect()
+    got = {(r["g"], r["p"]): (r["n"], r["qvalue"]) for r in out}
+    assert set(got) == {("a", 0.5), ("a", 0.9), ("b", 0.5), ("b", 0.9)}
+    # exact interpolated medians of 1..100 and 2..100-by-2
+    assert got[("a", 0.5)] == (100, 50.5)
+    assert got[("b", 0.5)] == (50, 51.0)
+    # same IEEE op sequence as the operator/oracle: r = 1 + 99*0.9
+    r = 1.0 + 99 * 0.9
+    assert got[("a", 0.9)] == (100, 90.0 + (91.0 - 90.0) * (r - 90))
+
+
+def test_grouped_quantile_max_groups_guard(spark):
+    """Group cardinality above max_groups must raise (r9 verdict item 5)
+    instead of silently building driver-side cell state per group."""
+    import pytest
+
+    from nyc_taxi_bigdata_pipeline_spark.operators.quantiles import (
+        grouped_quantile_select,
+    )
+
+    df = spark.range(200).selectExpr("id AS g", "CAST(id AS DOUBLE) AS v")
+    with pytest.raises(ValueError, match="max_groups"):
+        grouped_quantile_select(df, ["g"], "v", [0.5], max_groups=100)
+    # at-or-under the bound still works
+    out = grouped_quantile_select(df, ["g"], "v", [0.5], max_groups=200)
+    assert out.count() == 200
