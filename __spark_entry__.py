@@ -54,6 +54,11 @@ _REFRONT: dict[str, int] = {
     # residues; earlier green rows checked the unstripped path
     "fuzzy_join_levenshtein": 9,
     "fuzzy_record_linkage": 9,
+    # r10 adopted shingle_n=14 in these two (the saturation-trio
+    # accounting showed n=5's 5,974x candidate over-generation is the
+    # fixture vocabulary, not the plan) — oracles re-pinned in tandem
+    "dedup_ssjoin_prefix": 10,
+    "dedup_components": 10,
 }
 
 

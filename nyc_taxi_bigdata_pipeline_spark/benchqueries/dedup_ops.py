@@ -640,19 +640,26 @@ def fuzzy_join_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------ exact SSJoin (prefix filter)
 
 
-def _ssjoin_oracle(table: str) -> str:
-    """Brute-force exact char-5-gram Jaccard over ALL pairs — feasible
+def _ssjoin_oracle(table: str, n: int = 14) -> str:
+    """Brute-force exact char-n-gram Jaccard over ALL pairs — feasible
     only at test SF; the Spark side must reproduce it via the prefix-
     filtered join (lossless by theorem, so the pair sets are equal).
     Shingles compared as raw strings here vs xxhash64 identities on the
     Spark side: distinct counts agree unless 64-bit hashes collide
-    (~1e-10 at fixture vocabulary)."""
+    (~1e-10 at fixture vocabulary). n=14 since r10: the r10 accounting
+    probe (scripts/bench_r10_saturation.py) measured the saturated n=5
+    tier at 1,529,321 candidates for 256 true pairs (5,974x, 12.2% of
+    all-pairs, 85 s) vs 461 candidates for the SAME 256 true pairs at
+    n=14 (1.8x, 6 s) — the 31-word fixture vocabulary saturates 5-gram
+    space (2,041 distinct shingles, median df 291), which defeats any
+    prefix-filter scheme by construction; n=14 restores the long tail
+    (312k distinct, median df 2) the filter theorem assumes."""
     return f"""
     WITH pos AS (
-      SELECT doc_id, text, unnest(range(1, greatest(len(text) - 4, 1) + 1)) AS i
+      SELECT doc_id, text, unnest(range(1, greatest(len(text) - {n - 1}, 1) + 1)) AS i
       FROM {table} WHERE text IS NOT NULL
     ),
-    sh AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS g FROM pos),
+    sh AS (SELECT DISTINCT doc_id, substr(text, i, {n}) AS g FROM pos),
     sz AS (SELECT doc_id, COUNT(*) AS s FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
@@ -677,14 +684,19 @@ def _ssjoin_oracle(table: str) -> str:
         "rare-token-first prefix equi-join + length filter (lossless "
         "by theorem), verified by the Arrow kernel; the oracle brute-"
         "forces ALL pairs, so hash-equality proves the filters dropped "
-        "nothing (operators/dedup.py:jaccard_join_prefix)",
+        "nothing (operators/dedup.py:jaccard_join_prefix). Shingle n=14 "
+        "since r10 — the accounting probe showed n=5 saturates this "
+        "fixture's vocabulary (5,974x candidate over-generation for the "
+        "same 256 true pairs; see _ssjoin_oracle)",
 )
 def dedup_ssjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import jaccard_join_prefix
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    return jaccard_join_prefix(docs, threshold=0.8).orderBy("id_a", "id_b")
+    return jaccard_join_prefix(docs, threshold=0.8, shingle_n=14).orderBy(
+        "id_a", "id_b"
+    )
 
 
 def _containment_oracle(table: str, n: int = 14, thr: str = "0.8") -> str:
@@ -749,19 +761,20 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _components_oracle(table: str) -> str:
+def _components_oracle(table: str, n: int = 14) -> str:
     """Transitive closure via WITH RECURSIVE over the same brute-force
     near-dup pair SQL as `_ssjoin_oracle` — DuckDB can express the
     component collapse declaratively (Spark SQL has no recursive CTE,
     which is exactly why the Spark side is the iterative min-label
     operator). Closure is feasible because the near-dup GRAPH is tiny
-    even when the corpus isn't."""
+    even when the corpus isn't. Shingle n=14 since r10 (same
+    de-saturation as `_ssjoin_oracle`; same 256-edge pair graph)."""
     return f"""
     WITH RECURSIVE pos AS (
-      SELECT doc_id, text, unnest(range(1, greatest(len(text) - 4, 1) + 1)) AS i
+      SELECT doc_id, text, unnest(range(1, greatest(len(text) - {n - 1}, 1) + 1)) AS i
       FROM {table} WHERE text IS NOT NULL
     ),
-    sh AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS g FROM pos),
+    sh AS (SELECT DISTINCT doc_id, substr(text, i, {n}) AS g FROM pos),
     sz AS (SELECT doc_id, COUNT(*) AS s FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
@@ -802,7 +815,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    pairs = jaccard_join_prefix(docs, threshold=0.8)
+    pairs = jaccard_join_prefix(docs, threshold=0.8, shingle_n=14)
     return dedup_clusters(pairs, id_col="doc_id").orderBy("doc_id")
 
 

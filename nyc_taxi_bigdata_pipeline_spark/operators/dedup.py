@@ -492,6 +492,25 @@ def jaccard_join_prefix(
     statically-planned broadcast (there is no shuffle boundary to
     re-observe). Sort-merge is the honest strategy for large-large.
     """
+    cand = prefix_filter_candidates(docs, id_col, text_col, threshold, shingle_n)
+    return jaccard_verify_arrow(
+        cand, docs, id_col, text_col, threshold, shingle_n=shingle_n
+    )
+
+
+def prefix_filter_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """The candidate stage of :func:`jaccard_join_prefix` — prefix +
+    length + positional (PPJoin) filters, NO verify. Split out so scale
+    probes can account candidates-generated vs true-pairs without
+    duplicating the plan (r9 verdict item 2); the join is documented on
+    :func:`jaccard_join_prefix`.
+    """
     from pyspark.sql import Window
 
     assert 0.0 < threshold <= 1.0
@@ -552,9 +571,7 @@ def jaccard_join_prefix(
         .select("id_a", "id_b")
         .distinct()
     )
-    return jaccard_verify_arrow(
-        cand, docs, id_col, text_col, threshold, shingle_n=shingle_n
-    )
+    return cand
 
 
 def containment_join_prefix(
@@ -608,11 +625,17 @@ def containment_join_prefix(
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("__sz"))
     freq = sh.groupBy("__h").agg(F.count("*").alias("__f"))
     w = Window.partitionBy(id_col).orderBy(F.asc("__f"), F.asc("__h"))
+    # referenced twice below (src prefix + dst full postings) and the
+    # shared frontier ends in a Window, not an exchange — without a cut
+    # the shingle build + freq agg + rank window recompute once per
+    # reference (the scd2_apply recompute class, CLAUDE.md); lazy
+    # checkpoint inside the operator is the honest fix (first caller
+    # action materializes it, nothing runs at build time)
     ranked = (
         sh.join(freq.hint("merge"), "__h")
         .withColumn("__rn", F.row_number().over(w))
         .join(sizes.hint("merge"), id_col)
-    )
+    ).localCheckpoint(eager=False)
     # α = ceil(t·|src|): required overlap, source-relative
     src = ranked.filter(
         F.col("__rn")
@@ -647,30 +670,79 @@ def containment_join_prefix(
         .select("src_id", "dst_id")
         .distinct()
     )
-    # exact verify: intersection count per DIRECTED candidate, then the
-    # source-normalized ratio — one long/long division (IEEE-exact in
-    # both engines, the jaccard_verify precedent)
+    # exact verify via the Arrow kernel (r10: replaced the relational
+    # cand ⋈ postings ⋈ postings verify — with full-postings candidates
+    # the src-side join fanned each candidate by |S_src| rows, ~58M
+    # intermediate rows for 73.5k candidates at sf0.1, ~10 s of the
+    # query's 14; the kernel ships each doc's sorted hash array once
+    # per side instead). inter/|S_src| is one long/long double division,
+    # IEEE-identical to the oracle's CAST(i AS DOUBLE)/sa.s.
+    return containment_verify_arrow(
+        cand, docs, id_col, text_col, threshold, shingle_n=shingle_n
+    )
+
+
+def containment_verify_arrow(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Exact directed shingle-containment on candidate pairs — the
+    :func:`jaccard_verify_arrow` shape with the source-normalized
+    metric: |S_src ∩ S_dst| / |S_src| per (src_id, dst_id). Each
+    candidate doc's distinct shingle hashes are collected once into a
+    sorted array; a mapInPandas kernel intersects per pair
+    (np.intersect1d on presorted uniques, O(|A|+|B|))."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
     ids = (
-        cand.select(F.col("src_id").alias(id_col))
-        .union(cand.select(F.col("dst_id").alias(id_col)))
+        pairs.select(F.col("src_id").alias(id_col))
+        .union(pairs.select(F.col("dst_id").alias(id_col)))
         .distinct()
     )
-    vsh = hashed_shingles(
+    sh = hashed_shingles(
         docs.join(ids, id_col, "left_semi"), id_col, text_col, n=shingle_n
-    ).localCheckpoint(eager=False)
-    vsizes = vsh.groupBy(id_col).agg(F.count("*").alias("__sz"))
-    inter = (
-        cand.join(vsh.select(F.col(id_col).alias("src_id"), "__h"), "src_id")
-        .join(vsh.select(F.col(id_col).alias("dst_id"), "__h"), ["dst_id", "__h"])
-        .groupBy("src_id", "dst_id")
-        .agg(F.count("*").alias("__inter"))
     )
-    out = inter.join(
-        vsizes.select(F.col(id_col).alias("src_id"), F.col("__sz").alias("__sz_s")),
+    arrays = sh.groupBy(id_col).agg(
+        F.sort_array(F.collect_set("__h")).alias("__sh")
+    )
+    cand = pairs.join(
+        arrays.select(F.col(id_col).alias("src_id"), F.col("__sh").alias("__ss")),
         "src_id",
-    ).withColumn("containment", F.col("__inter") / F.col("__sz_s"))
-    return out.filter(F.col("containment") >= threshold).select(
-        "src_id", "dst_id", "containment"
+    ).join(
+        arrays.select(F.col(id_col).alias("dst_id"), F.col("__sh").alias("__sd")),
+        "dst_id",
+    )
+    src_t = dict(cand.dtypes)["src_id"]
+    dst_t = dict(cand.dtypes)["dst_id"]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            con = np.empty(len(pdf), dtype=np.float64)
+            ss_l, sd_l = pdf["__ss"].tolist(), pdf["__sd"].tolist()
+            for i in range(len(pdf)):
+                s, d = ss_l[i], sd_l[i]
+                inter = np.intersect1d(s, d, assume_unique=True).size
+                con[i] = inter / len(s)
+            out = pd.DataFrame(
+                {
+                    "src_id": pdf["src_id"],
+                    "dst_id": pdf["dst_id"],
+                    "containment": con,
+                }
+            )
+            yield out[out["containment"] >= threshold]
+
+    return cand.mapInPandas(
+        kernel, f"src_id {src_t}, dst_id {dst_t}, containment double"
     )
 
 

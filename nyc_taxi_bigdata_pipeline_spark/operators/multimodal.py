@@ -1225,11 +1225,19 @@ def crossclip_segment_pairs(
     perceptual hashes, bucketed end to end:
 
       1. keyframes get a per-clip sequence number (window per media_id);
-      2. each 63-bit phash splits into four 16-bit BLOCKS (pigeonhole:
-         <= 3 flipped bits leave >= 1 block intact) — candidates are an
-         EQUI-join on (block_idx, block_value), never all-pairs, with
-         per-key fan-in bounded by corpus block frequency (the simhash
-         hamming_near_pairs discipline);
+      2. each 63-bit phash splits into four 16-bit BLOCKS — candidates
+         are an EQUI-join on (block_idx, block_value), never all-pairs,
+         with per-key fan-in bounded by corpus block frequency (the
+         simhash hamming_near_pairs discipline). Plain block equality
+         only guarantees recall for <= 3 flipped bits (pigeonhole over
+         4 blocks); for ``max_hamming`` in 4..7 the PROBE side also
+         emits every single-bit FLIP of each block value (<= 6 flips
+         over 4 blocks leave some block with <= 1 flip, so the flipped
+         probe still collides) — a bounded 17x fan-out on one side that
+         keeps the 16-bit join selectivity instead of shrinking blocks
+         to 9 bits (2^7x more collisions per bucket). ``max_hamming``
+         > 7 raises: the 1-flip neighborhood can't guarantee it — use
+         more/narrower blocks explicitly if that radius is ever needed;
       3. candidate keyframe matches verify with the exact JVM
          ``bit_count(xor)`` distance, then group by (clip_a, clip_b,
          seq_offset): a real shared SEGMENT shows up as >= ``min_aligned``
@@ -1247,6 +1255,15 @@ def crossclip_segment_pairs(
     """
     from pyspark.sql import Window
 
+    if max_hamming > 7:
+        raise ValueError(
+            f"max_hamming={max_hamming} > 7: the 4x16-bit block scheme "
+            "with 1-flip probe expansion guarantees candidate recall "
+            "only to radius 7 (pigeonhole: ceil((7+1)/4) - 1 = 1 flip "
+            "in the best block); widen the radius by re-blocking, not "
+            "by silently losing pairs"
+        )
+
     w = Window.partitionBy("media_id").orderBy("frame_idx")
     seq = keyframes.select(
         "media_id", "phash", F.row_number().over(w).alias("seq")
@@ -1263,7 +1280,27 @@ def crossclip_segment_pairs(
         ).alias("b"),
     ).select("media_id", "seq", "phash", F.col("b.bi").alias("bi"), F.col("b.bv").alias("bv"))
 
-    a, b = blocks.alias("a"), blocks.alias("b")
+    if max_hamming <= 3:
+        probe = blocks
+    else:
+        # 1-flip neighborhood on the probe side only (symmetric relation:
+        # hamming(bv_a, bv_b) <= 1  <=>  bv_b ∈ {bv_a} ∪ flips(bv_a)).
+        # Top block holds 15 payload bits (63-bit hash), the rest 16.
+        probe = blocks.select(
+            "media_id",
+            "seq",
+            "phash",
+            "bi",
+            F.explode(
+                F.expr(
+                    "concat(array(bv), transform("
+                    "sequence(0, CASE WHEN bi = 3 THEN 14 ELSE 15 END), "
+                    "j -> bv ^ shiftleft(1L, j)))"
+                )
+            ).alias("bv"),
+        )
+
+    a, b = probe.alias("a"), blocks.alias("b")
     matches = (
         a.join(
             b,

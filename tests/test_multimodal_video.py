@@ -131,3 +131,42 @@ def test_video_crossclip_dedup_recovers_planted_pairs(spark, sf_dir):
     exact = [r for r in rows if r.dup_kind == "exact"]
     assert exact and exact[0].avg_hamming == 0.0
     assert exact[0].clip_pairs >= 5  # the 5 byte-identical replays at least
+
+
+def test_crossclip_recall_beyond_three_flips(spark):
+    """r9 ADVICE: pairs at Hamming 4-6 whose flipped bits touch ALL four
+    16-bit blocks must still be generated as candidates (plain block
+    equality would pigeonhole them away). The 1-flip probe expansion
+    guarantees radius <= 7; above 7 the operator must refuse."""
+    import pytest
+
+    from nyc_taxi_bigdata_pipeline_spark.operators.multimodal import (
+        crossclip_segment_pairs,
+    )
+
+    base = [0x1111_2222_3333_4444, 0x5555_6666_7777_0888]
+    # flips spread over all four blocks: bits 0, 16, 32, 48 (d=4) and
+    # bits 0, 1, 16, 32, 48, 62 (d=6) — no block left intact
+    d4 = (1 << 0) | (1 << 16) | (1 << 32) | (1 << 48)
+    d6 = d4 | (1 << 1) | (1 << 62)
+    rows = [("a", i, ph) for i, ph in enumerate(base)]
+    rows += [("b", i, ph ^ d4) for i, ph in enumerate(base)]
+    rows += [("c", i, ph ^ d6) for i, ph in enumerate(base)]
+    kf = spark.createDataFrame(rows, "media_id string, frame_idx int, phash long")
+
+    got = {
+        (r.media_a, r.media_b): r.aligned_keyframes
+        for r in crossclip_segment_pairs(kf, max_hamming=6, min_aligned=2).collect()
+    }
+    # a~b at d=4, a~c at d=6, b~c at d=2 — all three recovered
+    assert got == {("a", "b"): 2, ("a", "c"): 2, ("b", "c"): 2}
+
+    # radius <= 3 path unchanged: only the d=2 pair survives the verify
+    got3 = {
+        (r.media_a, r.media_b)
+        for r in crossclip_segment_pairs(kf, max_hamming=3, min_aligned=2).collect()
+    }
+    assert got3 == {("b", "c")}
+
+    with pytest.raises(ValueError, match="max_hamming"):
+        crossclip_segment_pairs(kf, max_hamming=8)

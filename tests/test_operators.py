@@ -2587,3 +2587,26 @@ def test_grouped_quantile_max_groups_guard(spark):
     # at-or-under the bound still works
     out = grouped_quantile_select(df, ["g"], "v", [0.5], max_groups=200)
     assert out.count() == 200
+
+
+def test_registry_ann_queries_recall_floor(spark, sf_dir):
+    """r9 verdict item 3: the rows-only REGISTRY queries ann_lsh_topk /
+    ann_ivfpq_topk had no recall gate — a bucket-probe or codebook
+    regression would pass their rows-only driver check silently. Recall
+    is measured against the oracle-backed exact query on the same
+    corpus/queries/k. Measured at sf0.01: LSH 0.76, IVF-PQ 0.98; floors
+    leave margin for hash/kmeans plan jitter but catch a broken probe."""
+    from nyc_taxi_bigdata_pipeline_spark.benchqueries import REGISTRY
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in REGISTRY["similarity_knn_bruteforce"].spark_fn(spark, sf_dir).collect()
+    }
+    assert exact
+    for name, floor in [("ann_lsh_topk", 0.6), ("ann_ivfpq_topk", 0.85)]:
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in REGISTRY[name].spark_fn(spark, sf_dir).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        assert recall >= floor, f"{name} recall {recall:.2f} < {floor}"
