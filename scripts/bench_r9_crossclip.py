@@ -7,9 +7,13 @@ clips x 4 keyframes of splitmix-derived 63-bit hashes; 2% of clips
 replay the previous clip's hashes with 2 bits flipped per hash (the
 re-encode analogue), planted at seq offset 0.
 
-Pass bar: planted pairs recovered exactly, seconds ~linear in clips
-(candidates ride per-(block, value) postings — 16-bit values over 4x
-n_clips x 4 rows keep per-key fan-in ~ n_clips/65536 per block).
+Pass bar: planted pairs recovered exactly. Cost shape (r10, with the
+guaranteed-recall 1-flip probe expansion at max_hamming=6): candidates
+grow ~17·n²/2^16 — measured 7.4 / 24.1 / 418 s at 10k / 100k / 1M
+clips. The r9 numbers (3.3 / 4.7 / 37.2 s) were the recall-UNSOUND
+plan (plain block equality misses distance-4-6 pairs whose flips touch
+all four blocks); max_hamming=3 still gets that cost with sound recall
+at the smaller radius.
 
 Usage: python scripts/bench_r9_crossclip.py [--full]
 """
