@@ -10,8 +10,14 @@ streaming semantics on the same data model:
   (the Spark-native custom-stateful-operator escape hatch; its 4.x
   successor ``transformWithStateInPandas`` was probed and its Python
   driver worker crashes in this container even on a minimal processor —
-  "TransformWithStateInPySpark driver worker exited unexpectedly" —
-  so the stable API remains the right choice here),
+  "TransformWithStateInPySpark driver worker exited unexpectedly".
+  Re-probed 2026-08-16 (r10): still crashes, and the root cause is now
+  known — the streaming runner init dies on ``ImportError: cannot
+  import name 'descriptor' from 'google.protobuf'``; the new API's
+  state server speaks protobuf and this container has no working
+  protobuf package (no pip allowed). Environmental, not a Spark bug;
+  tests/test_streaming.py carries a sentinel that flags the pin stale
+  the moment protobuf becomes importable),
 - file/memory sinks for tests; the transformations are sink-agnostic.
 
 Batch/stream unification: ``windowed_counts`` accepts either a static

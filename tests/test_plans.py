@@ -558,10 +558,12 @@ def test_grouped_quantile_windows_never_rank_whole_groups(spark, sf_dir, name):
     bucket) cells) or an aggregate input (the bin-count frame).
 
     May pass vacuously: the operator hides its rank and offset windows
-    inside lazy-localCheckpoint jobs, so the FINAL executed plan can show
-    zero Window nodes — that absence is itself the desired shape (no
-    whole-group window survives to the visible plan), and the operator's
-    by-construction partition specs are pinned by its own unit tests."""
+    inside eager jobs, so the FINAL executed plan can show zero Window
+    nodes — that absence is itself the desired shape (no whole-group
+    window survives to the visible plan). The hole that left (r9 verdict
+    item 6) is closed by test_grouped_quantile_operator_window_specs_
+    observed below, which spies on the operator's actual Window
+    construction and fails if no >= 2-column partitioned window runs."""
     df = REGISTRY[name].spark_fn(spark, sf_dir)
     df.collect()
     root = df._jdf.queryExecution().executedPlan()
@@ -579,3 +581,41 @@ def test_grouped_quantile_windows_never_rank_whole_groups(spark, sf_dir, name):
             f"{name}: Window partitioned by {psize} column(s) rides "
             f"{src.nodeName()} — a whole-group rank over raw rows"
         )
+
+
+def test_grouped_quantile_operator_window_specs_observed(spark, monkeypatch):
+    """Closes the vacuous-pass hole in the plan test above (r9 verdict
+    item 6): the operator hides its rank window inside eager jobs, so
+    the registry query's FINAL plan can legitimately show zero Window
+    nodes and the plan walk asserts nothing. This test observes the
+    operator's window construction DIRECTLY — a spy on the module's
+    Window binding records every partitionBy spec while an input sized
+    to force the leaf rank pass runs — and asserts at least one window
+    executed, every one partitioned by >= 2 columns (group + cell id:
+    never a whole fixed-cardinality group in one task)."""
+    import nyc_taxi_bigdata_pipeline_spark.operators.quantiles as Q
+    from pyspark.sql import Window as RealWindow
+
+    specs = []
+
+    class SpyWindow:
+        @staticmethod
+        def partitionBy(*cols):
+            specs.append(cols)
+            return RealWindow.partitionBy(*cols)
+
+    monkeypatch.setattr(Q, "Window", SpyWindow)
+    # 2 groups x 50k distinct values: more values per group than the
+    # adaptive bin count (8192 at 2 cells), so rank-holding buckets hold
+    # several DISTINCT values (no all-ties short-circuit) and must
+    # descend to leaf cells -> the bounded rank window runs
+    df = spark.range(100_000).selectExpr(
+        "CAST(id % 2 AS STRING) AS g", "CAST(id AS DOUBLE) AS v"
+    )
+    out = Q.grouped_quantile_select(
+        df, ["g"], "v", [0.5, 0.9], n_bins=4, leaf_rows=50
+    )
+    assert out.count() == 4
+    assert specs, "leaf rank pass never ran — fixture no longer forces it"
+    for cols in specs:
+        assert len(cols) >= 2, f"window partitioned by {cols}"

@@ -487,3 +487,27 @@ def test_streaming_hh_superset_and_bounds_under_decrements(spark, tmp_path):
     assert heavy <= set(got)
     for t, w in got.items():
         assert w <= counts[t]
+
+
+def test_transform_with_state_pin_still_valid():
+    """r10 re-probe of transformWithStateInPandas (r9 verdict item 7):
+    the Python driver worker still crashes on this container, root
+    cause isolated to the state server's protobuf dependency —
+    `ImportError: cannot import name 'descriptor' from
+    'google.protobuf'` during StreamingPythonRunner init. That is
+    environmental (no pip available), so streaming/ correctly stays on
+    applyInPandasWithState. This sentinel self-clears: the moment a
+    working protobuf lands in the image, it FAILS with a migration
+    pointer instead of letting the pin silently go stale."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        importable = True
+    except ImportError:
+        importable = False
+    assert not importable, (
+        "google.protobuf now imports — the transformWithStateInPandas "
+        "crash pin (streaming/events.py module docstring) is stale; "
+        "re-probe the API and consider migrating heavyhitters.py / the "
+        "sessionizer off applyInPandasWithState"
+    )
