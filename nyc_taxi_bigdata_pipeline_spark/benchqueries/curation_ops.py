@@ -362,6 +362,106 @@ def curation_top_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _span_dedup(engine: str, table: str, k: int = _SPAN_K) -> str:
+    """Cross-document repeated-substring REMOVAL (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" —
+    ExactSubstr), suffix-hash-block relaxation: instead of a corpus
+    suffix array, every k-token window gets a global occurrence rank
+    (ROW_NUMBER over (doc_id, pos) — the FIRST occurrence corpus-wide
+    is canonical and survives); every NON-canonical occurrence of a
+    duplicated window marks its k positions for removal, marks merge
+    into maximal spans per doc (gaps-and-islands), and the report
+    aggregates per source: docs affected, tokens removed, removal
+    fraction. Window granularity means runs shorter than k tokens
+    never match (the standard winnowing/ExactSubstr floor) and the
+    kept copy is canonical per WINDOW, not per merged span — a crisp,
+    deterministic relaxation that needs no suffix array.
+
+    row_number CAST per CLAUDE.md (int in Spark, BIGINT in DuckDB);
+    the removal fraction is one double division of exact integers."""
+    if engine == D.DUCK:
+        split = "string_split(lower(trim(text)), ' ')"
+        n_tok = "len(ts)"
+        pos = f"unnest(range(1, len(ts) - {k} + 2))"
+        w = f"array_to_string(list_slice(ts, pos, pos + {k} - 1), ' ')"
+    else:
+        split = "split(lower(trim(text)), ' ')"
+        n_tok = "size(ts)"
+        pos = f"explode(sequence(1, size(ts) - {k} + 1))"
+        w = f"array_join(slice(ts, pos, {k}), ' ')"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, source, {split} AS ts FROM {table} WHERE text IS NOT NULL
+    ),
+    sizes AS (
+      SELECT doc_id, source, CAST({n_tok} AS BIGINT) AS n_tokens FROM toks
+    ),
+    positions AS (
+      SELECT doc_id, ts, {pos} AS pos FROM toks WHERE {n_tok} >= {k}
+    ),
+    win AS (SELECT doc_id, pos, {w} AS w FROM positions),
+    occ AS (
+      SELECT doc_id, pos,
+             COUNT(*) OVER (PARTITION BY w) AS c,
+             CAST(ROW_NUMBER() OVER (PARTITION BY w ORDER BY doc_id, pos)
+                  AS BIGINT) AS rk
+      FROM win
+    ),
+    rm AS (
+      SELECT doc_id, pos,
+             LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      FROM occ WHERE c > 1 AND rk > 1
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             SUM(CASE WHEN prev IS NULL OR pos - prev > {k} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM rm
+    ),
+    spans AS (
+      SELECT doc_id, island,
+             CAST(MIN(pos) AS BIGINT) AS s,
+             CAST(MAX(pos) + {k} - 1 AS BIGINT) AS e
+      FROM isl GROUP BY doc_id, island
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS rm_spans,
+             CAST(SUM(e - s + 1) AS BIGINT) AS rm_tokens
+      FROM spans GROUP BY doc_id
+    )
+    SELECT z.source,
+           CAST(COUNT(*) AS BIGINT) AS docs_total,
+           CAST(COUNT(p.doc_id) AS BIGINT) AS docs_affected,
+           CAST(SUM(z.n_tokens) AS BIGINT) AS tokens_total,
+           CAST(COALESCE(SUM(p.rm_tokens), 0) AS BIGINT) AS tokens_removed,
+           CAST(COALESCE(SUM(p.rm_spans), 0) AS BIGINT) AS spans_removed,
+           CAST(COALESCE(SUM(p.rm_tokens), 0) AS DOUBLE) / SUM(z.n_tokens)
+             AS removal_frac
+    FROM sizes z LEFT JOIN per_doc p ON z.doc_id = p.doc_id
+    GROUP BY z.source ORDER BY z.source"""
+
+
+@register(
+    "curation_span_dedup",
+    _span_dedup(D.DUCK, "documents"),
+    doc="training-data ext: cross-document repeated-substring REMOVAL "
+        "(Lee et al. ExactSubstr class, suffix-hash windows instead of "
+        "a suffix array) — completes the dedup family: doc-level exact, "
+        "near-dup (MinHash/SimHash/SSJoin), and now span-level. Every "
+        "duplicated k-token window keeps its corpus-wide FIRST "
+        "occurrence; other occurrences mark their positions, marks "
+        "merge to maximal spans, and the per-source report counts "
+        "docs affected / tokens removed / removal fraction. "
+        "operators/curation.span_dedup_remove is the xxhash64 scale "
+        "twin that also rebuilds the cleaned text (equivalence-pinned)",
+)
+def curation_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_rendered(
+        spark, sf_dir, "documents", _span_dedup, "bq_spandedup_docs"
+    )
+
+
 # ------------------------------------- end-to-end composed curation pipeline
 
 

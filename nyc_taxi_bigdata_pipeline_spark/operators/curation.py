@@ -410,6 +410,115 @@ def duplicated_spans(
     )
 
 
+def span_dedup_remove(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Cross-document repeated-substring REMOVAL (Lee et al. 2022
+    ExactSubstr class), scale path — the removal counterpart of
+    :func:`duplicated_spans` and the xxhash64 twin of the oracle-backed
+    ``curation_span_dedup`` SQL (benchqueries/curation_ops._span_dedup,
+    equivalence-pinned): every duplicated k-token window keeps its
+    corpus-wide FIRST occurrence (rank over (doc_id, pos) within the
+    window hash); non-canonical occurrences mark their k positions;
+    marks merge to maximal spans per doc; marked tokens are dropped and
+    the cleaned token stream re-joined.
+
+    Returns one row per input doc::
+
+        id, n_tokens, dup_spans, tokens_removed, clean_text
+
+    ``clean_text`` is the NORMALIZED token stream (lower/trim, single
+    spaces) minus removed spans — the representation a training-data
+    pipeline feeds forward, not a byte-identical edit of the original.
+
+    Scale shape: windows shuffle as 8-byte xxhash64 longs (2^-64
+    collision class, same as every hashed dedup stage here). The
+    canonical occurrence is MIN(struct(doc_id, pos)) per window hash —
+    ONE map-combinable aggregation, deliberately NOT a row_number
+    window over the hash partition: a viral passage (one window hash in
+    millions of docs) would make that window a single-task sort of the
+    whole hot partition, while partial aggregation folds it map-side
+    (struct MIN plans as SortAggregate but still partial-agg + one
+    shuffle, the CLAUDE.md argmax idiom). The dup-window table scales
+    with the corpus, so its join back carries a merge hint (the
+    static-broadcast OOM class). Only marked positions reach the
+    per-doc islands window; reconstruction is a JVM higher-order filter
+    (spans per doc are few — no Python in the row path).
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col),
+        F.split(F.lower(F.trim(F.col(text_col))), " ").alias("ts"),
+    )
+    win = (
+        toks.filter(F.size("ts") >= k)
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(1), F.size("ts") - (k - 1))).alias("pos"),
+            F.xxhash64(
+                F.array_join(F.slice(F.col("ts"), F.col("pos"), k), " ")
+            ).alias("wh"),
+        )
+        .localCheckpoint(eager=False)  # referenced by the agg AND the join
+    )
+    dup_first = (
+        win.groupBy("wh")
+        .agg(F.min(F.struct(id_col, "pos")).alias("first"), F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .select("wh", "first")
+    )
+    rm = (
+        win.join(dup_first.hint("merge"), "wh")
+        .filter(F.struct(id_col, "pos") != F.col("first"))
+        .select(id_col, "pos")  # (doc, pos) unique: wh is unique in dup_first
+        .withColumn(
+            "prev", F.lag("pos").over(Window.partitionBy(id_col).orderBy("pos"))
+        )
+    )
+    isl = rm.withColumn(
+        "island",
+        F.sum(
+            F.when(F.col("prev").isNull() | (F.col("pos") - F.col("prev") > k), 1)
+            .otherwise(0)
+        ).over(
+            Window.partitionBy(id_col)
+            .orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    spans = (
+        isl.groupBy(id_col, "island")
+        .agg(
+            F.min("pos").cast("bigint").alias("s"),
+            (F.max("pos") + (k - 1)).cast("bigint").alias("e"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(F.collect_list(F.struct("s", "e"))).alias("spans"),
+            F.count("*").cast("bigint").alias("dup_spans"),
+            F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias("tokens_removed"),
+        )
+    )
+    joined = toks.join(spans, id_col, "left")
+    clean = F.expr(
+        "array_join(transform(filter("
+        "transform(ts, (t, i) -> struct(t AS t, i + 1 AS p)), "
+        "x -> spans IS NULL OR NOT exists(spans, sp -> x.p >= sp.s AND x.p <= sp.e)"
+        "), x -> x.t), ' ')"
+    )
+    return joined.select(
+        id_col,
+        F.size("ts").cast("bigint").alias("n_tokens"),
+        F.coalesce("dup_spans", F.lit(0)).alias("dup_spans"),
+        F.coalesce("tokens_removed", F.lit(0)).alias("tokens_removed"),
+        clean.alias("clean_text"),
+    )
+
+
 def top_passages(
     docs: DataFrame,
     id_col: str = "doc_id",

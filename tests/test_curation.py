@@ -101,3 +101,68 @@ def test_domain_mixture_sample_hits_targets(docs):
 def test_domain_mixture_never_upsamples(docs):
     sampled = curation.domain_mixture_sample(docs, {"src0": 5.0})
     assert sampled.count() == docs.filter(F.col("source") == "src0").count()
+
+
+def test_span_dedup_remove_first_occurrence_survives(spark):
+    """Lee-et-al ExactSubstr removal semantics on a constructed corpus:
+    the corpus-wide FIRST occurrence of each duplicated k-token window
+    is canonical and survives; later occurrences are removed; overlap
+    runs merge into one span; unique docs are untouched."""
+    rows = [
+        (1, "a b c d e f g h i j unique1 unique2"),
+        (2, "x1 x2 a b c d e f g h i j y1 y2"),
+        (3, "completely different tokens here only once now ok fine yes"),
+        (4, "a b c d e f g h onlyeight"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in curation.span_dedup_remove(df, k=8).collect()}
+    assert len(out) == 4
+    # doc 1 holds the first occurrences -> untouched
+    assert out[1].tokens_removed == 0
+    assert out[1].clean_text == rows[0][1]
+    # doc 2: the shared 10-token run goes (3 overlapping windows, 1 span)
+    assert (out[2].dup_spans, out[2].tokens_removed) == (1, 10)
+    assert out[2].clean_text == "x1 x2 y1 y2"
+    # doc 3 unique; doc 4 loses the repeated 8-token window only
+    assert out[3].tokens_removed == 0
+    assert (out[4].dup_spans, out[4].tokens_removed) == (1, 8)
+    assert out[4].clean_text == "onlyeight"
+    # removal never touches the canonical copy: re-running on the
+    # CLEANED corpus is a fixpoint (no duplicated windows remain)
+    cleaned = spark.createDataFrame(
+        [(d, r.clean_text) for d, r in out.items()], "doc_id long, text string"
+    )
+    again = curation.span_dedup_remove(cleaned, k=8).collect()
+    assert all(r.tokens_removed == 0 for r in again)
+    assert_no_python_udf(curation.span_dedup_remove(df, k=8))
+
+
+def test_span_dedup_operator_matches_sql_twin(spark, sf_dir, docs):
+    """The xxhash64 scale path must reproduce the oracle-backed SQL
+    twin's per-source accounting exactly (same windows, same canonical
+    choice, same island merge) on the real fixture."""
+    from nyc_taxi_bigdata_pipeline_spark.benchqueries import REGISTRY
+
+    want = {
+        r.source: (r.docs_total, r.docs_affected, r.tokens_total,
+                   r.tokens_removed, r.spans_removed)
+        for r in REGISTRY["curation_span_dedup"].spark_fn(spark, sf_dir).collect()
+    }
+    per_doc = curation.span_dedup_remove(
+        docs.filter(F.col("text").isNotNull()), k=8
+    )
+    got = {
+        r.source: (r.docs_total, r.docs_affected, r.tokens_total,
+                   r.tokens_removed, r.spans_removed)
+        for r in per_doc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("docs_total"),
+            F.sum((F.col("tokens_removed") > 0).cast("bigint")).alias("docs_affected"),
+            F.sum("n_tokens").alias("tokens_total"),
+            F.sum("tokens_removed").alias("tokens_removed"),
+            F.sum("dup_spans").alias("spans_removed"),
+        )
+        .collect()
+    }
+    assert got == want
