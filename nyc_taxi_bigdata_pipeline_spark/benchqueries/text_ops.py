@@ -928,3 +928,102 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fps.createOrReplaceTempView("bq_winnow_fps")
     return spark.sql(_winnow_read_sql("bq_winnow_fps"))
+
+
+# ------------------------------------------ bigram LM self-perplexity
+#
+# The CCNet-class quality gate (Wenzek et al. 2020): score every doc's
+# per-token negative log-likelihood under an n-gram LM and flag the
+# high-perplexity tail for review/removal. Here the LM is a bigram
+# model with add-one smoothing TRAINED ON THE CORPUS ITSELF
+# (self-perplexity — the boilerplate/outlier detector that needs no
+# external model): p(w|prev) = (c(prev,w) + 1) / (c(prev) + V), with a
+# BOS sentinel context per doc (c(BOS) = #docs, so first tokens score
+# against the document-start distribution). Every ln pre-snaps to
+# integer micro-nats (_fp_ln), so per-doc NLL sums are exact BIGINTs,
+# the outlier gate is an integer comparison (nll > T·n), and only the
+# final per-source average divides floats (exact-int operands,
+# identical in both engines).
+# 3.45 nats/token ≈ perplexity 31.5: the fixture's per-doc avg NLL
+# spans 3.27-3.58 (measured), so this bar flags the ~top-decile tail
+# and the integer outlier comparison actually FIRES in the oracle
+# comparison (a real pipeline tunes this to its corpus — CCNet uses
+# the per-language median; any bar above 3.6 would be vacuously zero
+# on this 31-word-vocab fixture)
+_LM_OUTLIER_MICRO = 3_450_000
+
+
+def _lm_bi_sql(engine: str, table: str) -> str:
+    """The ONE corpus-scale relation: a (doc_id, source, p_h, w_h) row
+    per token — w_h the token's portable hash, p_h the previous token's
+    (0 = BOS at position 1). Everything downstream is vocabulary- or
+    doc-sized, so the Spark side stages exactly this frame (CTE-inlining
+    class: counts, vocab, and scoring all re-read it)."""
+    ts = D.split_ws("lower(trim(text))", engine)
+    cur = D.h64(D.at("ts", "i", engine), engine)
+    prv = D.h64(D.at("ts", "i - 1", engine), engine)
+    pos = D.unnest_col(D.iseq("1", D.alen("ts", engine), engine), engine)
+    return f"""
+    SELECT doc_id, source, ({cur}) AS w_h,
+           CASE WHEN i = 1 THEN 0 ELSE ({prv}) END AS p_h
+    FROM (
+      SELECT doc_id, source, ts, {pos} AS i
+      FROM (SELECT doc_id, source, {ts} AS ts FROM {table}
+            WHERE text IS NOT NULL AND length(trim(text)) >= 1) t0
+    ) t"""
+
+
+def _lm_read_sql(bi: str, cont: bool = False) -> str:
+    lead = "," if cont else "WITH"
+    return f"""
+    {lead} cbi AS (SELECT p_h, w_h, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM {bi} GROUP BY p_h, w_h),
+    cctx AS (SELECT p_h, CAST(COUNT(*) AS BIGINT) AS c
+             FROM {bi} GROUP BY p_h),
+    vocab AS (SELECT CAST(COUNT(DISTINCT w_h) AS BIGINT) AS v FROM {bi}),
+    scored AS (
+      SELECT b.doc_id, b.source,
+             {_fp_ln('x.c + vocab.v')} - {_fp_ln('c.c + 1')} AS nll
+      FROM {bi} b
+      JOIN cbi c ON c.p_h = b.p_h AND c.w_h = b.w_h
+      JOIN cctx x ON x.p_h = b.p_h
+      CROSS JOIN vocab
+    ),
+    per_doc AS (
+      SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(nll) AS BIGINT) AS nll_micro
+      FROM scored GROUP BY doc_id, source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS docs,
+           CAST(SUM(n) AS BIGINT) AS tokens,
+           CAST(SUM(nll_micro) AS BIGINT) AS nll_micro_total,
+           CAST(SUM(nll_micro) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
+             / CAST(1000000 AS DOUBLE) AS avg_nll_nats,
+           CAST(SUM(CASE WHEN nll_micro > {_LM_OUTLIER_MICRO} * n
+                         THEN 1 ELSE 0 END) AS BIGINT) AS outlier_docs
+    FROM per_doc GROUP BY source ORDER BY source"""
+
+
+@register(
+    "text_lm_perplexity",
+    f"WITH biq AS ({_lm_bi_sql(D.DUCK, 'documents')})\n"
+    + _lm_read_sql("biq", cont=True),
+    doc="training-data ext: bigram-LM SELF-perplexity quality gate "
+        "(CCNet class) — add-one-smoothed bigram model trained on the "
+        "corpus itself, per-doc NLL as exact BIGINT micro-nat sums "
+        "(_fp_ln idiom), per-source average + integer-compared "
+        "high-perplexity outlier count. BOS sentinel context scores "
+        "first tokens against the document-start distribution. Spark "
+        "side stages the single corpus-scale token/bigram frame once "
+        "(lazy localCheckpoint — counts, vocab, and scoring all re-read "
+        "it; CTE-inlining class) and merge-hints nothing small: every "
+        "count relation is vocabulary-scaled (Heaps' law)",
+)
+def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    docs.createOrReplaceTempView("bq_lm_docs")
+    bi = spark.sql(_lm_bi_sql(D.SPARK, "bq_lm_docs")).localCheckpoint(eager=False)
+    bi.createOrReplaceTempView("bq_lm_bi")
+    return spark.sql(_lm_read_sql("bq_lm_bi"))

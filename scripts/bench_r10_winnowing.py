@@ -62,6 +62,7 @@ def synth_docs(spark, n_docs: int, words: int = 60):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--full", action="store_true", help="add the 300k tier")
+    ap.add_argument("--lm", action="store_true", help="also probe text_lm_perplexity")
     args = ap.parse_args()
     spark = get_spark("bench-r10-winnowing")
 
@@ -88,6 +89,44 @@ def main() -> None:
             f"fp/doc {rows[0].fp_per_doc:.1f}, "
             f"boiler {[r.boilerplate_hits for r in rows]}"
         )
+    _maybe_lm(spark, args)
+
+
+def lm_probe(spark, tiers) -> None:
+    """Linearity probe for the text_lm_perplexity shape (same synth
+    corpus): stage the bi frame lazily, run the read SQL, collect +
+    checksum. The corpus-scale join back (bi x cbi on (p_h, w_h)) is
+    the only superlinear-risk stage."""
+    from nyc_taxi_bigdata_pipeline_spark.benchqueries.text_ops import (
+        _lm_bi_sql,
+        _lm_read_sql,
+    )
+
+    for n in tiers:
+        docs = synth_docs(spark, n)
+        docs.createOrReplaceTempView("probe_lm_docs")
+
+        def run():
+            bi = spark.sql(
+                _lm_bi_sql(D.SPARK, "probe_lm_docs")
+            ).localCheckpoint(eager=False)
+            bi.createOrReplaceTempView("probe_lm_bi")
+            return spark.sql(_lm_read_sql("probe_lm_bi")).collect()
+
+        got = {}
+        timed(f"lm_perplexity @ {n} docs", lambda: got.setdefault("rows", run()) and None)
+        rows = got["rows"]
+        assert sum(r.docs for r in rows) == n
+        print(
+            f"  -> checksum {sum(r.nll_micro_total for r in rows)}, "
+            f"avg_nll {rows[0].avg_nll_nats:.3f}, "
+            f"outliers {sum(r.outlier_docs for r in rows)}"
+        )
+
+
+def _maybe_lm(spark, args) -> None:
+    if args.lm:
+        lm_probe(spark, [30_000, 100_000] + ([300_000] if args.full else []))
 
 
 if __name__ == "__main__":
