@@ -761,14 +761,12 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _components_oracle(table: str, n: int = 14) -> str:
-    """Transitive closure via WITH RECURSIVE over the same brute-force
-    near-dup pair SQL as `_ssjoin_oracle` — DuckDB can express the
-    component collapse declaratively (Spark SQL has no recursive CTE,
-    which is exactly why the Spark side is the iterative min-label
-    operator). Closure is feasible because the near-dup GRAPH is tiny
-    even when the corpus isn't. Shingle n=14 since r10 (same
-    de-saturation as `_ssjoin_oracle`; same 256-edge pair graph)."""
+def _closure_ctes(table: str, n: int = 14) -> str:
+    """Shared WITH-RECURSIVE prefix: brute-force near-dup pairs (same
+    SQL as `_ssjoin_oracle`) -> symmetric edges -> transitive closure
+    `reach` -> `clusters` (min-reachable-id labels). Used by the
+    components oracle and the split-leakage oracle; feasible because
+    the near-dup GRAPH is tiny even when the corpus isn't."""
     return f"""
     WITH RECURSIVE pos AS (
       SELECT doc_id, text, unnest(range(1, greatest(len(text) - {n - 1}, 1) + 1)) AS i
@@ -793,9 +791,23 @@ def _components_oracle(table: str, n: int = 14) -> str:
       SELECT a, a FROM edges
       UNION
       SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    clusters AS (
+      SELECT src AS doc_id, MIN(dst) AS cluster FROM reach GROUP BY src
+    )"""
+
+
+def _components_oracle(table: str, n: int = 14) -> str:
+    """Transitive closure via WITH RECURSIVE over the same brute-force
+    near-dup pair SQL as `_ssjoin_oracle` — DuckDB can express the
+    component collapse declaratively (Spark SQL has no recursive CTE,
+    which is exactly why the Spark side is the iterative min-label
+    operator). Shingle n=14 since r10 (same de-saturation as
+    `_ssjoin_oracle`; same 256-edge pair graph)."""
+    return (
+        _closure_ctes(table, n)
+        + "\n    SELECT doc_id, cluster FROM clusters ORDER BY doc_id"
     )
-    SELECT src AS doc_id, MIN(dst) AS cluster
-    FROM reach GROUP BY src ORDER BY doc_id"""
 
 
 @register(
@@ -817,6 +829,104 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     pairs = jaccard_join_prefix(docs, threshold=0.8, shingle_n=14)
     return dedup_clusters(pairs, id_col="doc_id").orderBy("doc_id")
+
+
+def _split_leakage_oracle(table: str, n: int = 14) -> str:
+    """Near-dup clusters spanning train/val/test: the closure CTEs plus
+    the `dataset_split_assign` hash rule (same seed, same 80/10/10
+    buckets). `docs_to_move` = docs whose split differs from their
+    cluster's canonical split (the min-id member's — moving exactly
+    those docs makes every cluster split-pure)."""
+    from .dataset_ops import _SPLIT_SEED
+
+    h = D.seeded_h64("CAST(doc_id AS STRING)", _SPLIT_SEED, D.DUCK)
+    return (
+        _closure_ctes(table, n)
+        + f""",
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id, ({h}) % 100 AS bucket
+            FROM {table} WHERE text IS NOT NULL) hashed
+    ),
+    cs AS (SELECT c.cluster, c.doc_id, sp.split
+           FROM clusters c JOIN sp ON sp.doc_id = c.doc_id),
+    canon AS (SELECT cluster, split AS canon_split FROM cs
+              WHERE doc_id = cluster),
+    agg AS (SELECT cluster, COUNT(DISTINCT split) AS n_splits,
+                   COUNT(*) AS n_docs
+            FROM cs GROUP BY cluster),
+    mv AS (SELECT CAST(COUNT(*) AS BIGINT) AS moves
+           FROM cs JOIN canon ON canon.cluster = cs.cluster
+           WHERE cs.split <> canon.canon_split)
+    SELECT CAST(COUNT(*) AS BIGINT) AS clusters_total,
+           CAST(SUM(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS clusters_leaked,
+           CAST(SUM(CASE WHEN n_splits > 1 THEN n_docs ELSE 0 END) AS BIGINT)
+             AS docs_in_leaked,
+           (SELECT moves FROM mv) AS docs_to_move
+    FROM agg"""
+    )
+
+
+@register(
+    "dataset_split_leakage",
+    _split_leakage_oracle("documents"),
+    doc="training-data ext: DEDUP-AWARE SPLIT CONTAMINATION check — "
+        "near-dup clusters (exact SSJoin pairs -> connected components) "
+        "joined against the deterministic dataset_split_assign 80/10/10 "
+        "hash: a cluster spanning splits leaks train content into "
+        "val/test (the contamination a doc-level random split always "
+        "produces; the fix is splitting BY CLUSTER). Reports clusters "
+        "total/leaked, docs in leaked clusters, and docs_to_move (docs "
+        "whose split differs from their cluster's canonical min-id "
+        "member — moving exactly those makes every cluster split-pure). "
+        "Oracle replays the whole chain declaratively (recursive-CTE "
+        "closure + the same seeded hash rule)",
+)
+def dataset_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import dedup_clusters, jaccard_join_prefix
+    from .dataset_ops import _SPLIT_SEED
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    pairs = jaccard_join_prefix(docs, threshold=0.8, shingle_n=14)
+    clusters = dedup_clusters(pairs, id_col="doc_id")
+    h = D.seeded_h64("CAST(doc_id AS STRING)", _SPLIT_SEED, D.SPARK)
+    sp = docs.select(
+        "doc_id", F.expr(f"({h}) % 100").alias("bucket")
+    ).select(
+        "doc_id",
+        F.when(F.col("bucket") < 80, "train")
+        .when(F.col("bucket") < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    cs = clusters.join(sp, "doc_id")
+    canon = cs.filter(F.col("doc_id") == F.col("cluster")).select(
+        "cluster", F.col("split").alias("canon_split")
+    )
+    agg = cs.groupBy("cluster").agg(
+        F.countDistinct("split").alias("n_splits"),
+        F.count("*").alias("n_docs"),
+    )
+    moves = (
+        cs.join(canon, "cluster")
+        .filter(F.col("split") != F.col("canon_split"))
+        .agg(F.count("*").cast("bigint").alias("docs_to_move"))
+    )
+    return (
+        agg.agg(
+            F.count("*").cast("bigint").alias("clusters_total"),
+            F.sum((F.col("n_splits") > 1).cast("bigint")).alias("clusters_leaked"),
+            F.sum(F.when(F.col("n_splits") > 1, F.col("n_docs")).otherwise(0))
+            .cast("bigint")
+            .alias("docs_in_leaked"),
+        )
+        .crossJoin(moves)
+    )
 
 
 def _cluster_canonical_oracle(table: str) -> str:
