@@ -796,3 +796,86 @@ def curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(stage(s4, "mixture_sampled", 5))
         .orderBy("stage_no")
     )
+
+
+# -------------------------------------------------- Gopher quality rules
+#
+# The canonical heuristic document filter (Rae et al. 2021, Gopher,
+# Appendix A — reused by MassiveText/RefinedWeb-class pipelines), with
+# every ratio rule algebraically cleared to an INTEGER comparison so
+# both engines decide each rule from exact counts (no float thresholds):
+#   word count in [50, 100_000]             (fails the fixture's short tail)
+#   mean word length in [3, 10]        <=>  3W <= C <= 10W
+#   symbol-to-word ratio <= 0.1        <=>  10*(hashes + ellipses) <= W
+#   >= 80% words contain an alphabetic char  <=>  5*A >= 4*W
+#   >= 2 distinct stop words (the corpus-tuned analogue of Gopher's
+#   English function-word list — a synthetic DB-vocab corpus contains
+#   no English stop words, so the rule is localized exactly the way a
+#   per-language pipeline localizes it)
+_GOPHER_STOPS = ["join", "hash", "row", "batch", "scan", "column", "customer", "filter"]
+
+
+def _gopher_rules(engine: str, table: str) -> str:
+    ts = D.split_ws("lower(trim(text))", engine)
+    alen = D.alen("ts", engine)
+    alpha = D.alen(
+        D.arr_filter("ts", f"t -> {D.re_matches('t', '[a-z]', engine)}", engine),
+        engine,
+    )
+    stops = D.alen(
+        D.arr_intersect("ts", D.arr_lit(_GOPHER_STOPS, engine), engine), engine
+    )
+    # char count over words (excludes separators): sum of token lengths
+    chars = D.fold_sum_double(
+        D.transform("ts", "t -> CAST(length(t) AS DOUBLE)", engine), engine
+    )
+    return f"""
+    WITH feats AS (
+      SELECT source,
+             CAST({alen} AS BIGINT) AS w,
+             CAST({chars} AS BIGINT) AS c,
+             CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+               + CAST((length(text) - length(replace(text, '...', ''))) / 3
+                      AS BIGINT) AS s,
+             CAST({alpha} AS BIGINT) AS a,
+             CAST({stops} AS BIGINT) AS st
+      FROM (SELECT source, text, {ts} AS ts FROM {table}
+            WHERE text IS NOT NULL) t0
+    ),
+    flags AS (
+      SELECT source,
+             CASE WHEN w < 50 OR w > 100000 THEN 1 ELSE 0 END AS f_wc,
+             CASE WHEN 3 * w > c OR c > 10 * w THEN 1 ELSE 0 END AS f_mwl,
+             CASE WHEN 10 * s > w THEN 1 ELSE 0 END AS f_sym,
+             CASE WHEN 5 * a < 4 * w THEN 1 ELSE 0 END AS f_alpha,
+             CASE WHEN st < 2 THEN 1 ELSE 0 END AS f_stop
+      FROM feats
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS docs,
+           CAST(SUM(CASE WHEN f_wc + f_mwl + f_sym + f_alpha + f_stop = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
+           CAST(SUM(f_wc) AS BIGINT) AS fail_word_count,
+           CAST(SUM(f_mwl) AS BIGINT) AS fail_mean_word_len,
+           CAST(SUM(f_sym) AS BIGINT) AS fail_symbol_ratio,
+           CAST(SUM(f_alpha) AS BIGINT) AS fail_alpha_words,
+           CAST(SUM(f_stop) AS BIGINT) AS fail_stopwords
+    FROM flags GROUP BY source ORDER BY source"""
+
+
+@register(
+    "curation_gopher_rules",
+    _gopher_rules(D.DUCK, "documents"),
+    doc="training-data ext: the canonical Gopher/MassiveText heuristic "
+        "quality filter (word-count bounds, mean word length, "
+        "symbol-to-word ratio, alphabetic-word fraction, stop-word "
+        "containment) with every ratio rule cleared to an exact integer "
+        "comparison; per-source keep + per-rule failure accounting. "
+        "Stop list corpus-localized (the per-language tuning every real "
+        "pipeline does). One corpus pass, per-doc array expressions, "
+        "aggregate-only output",
+)
+def curation_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_rendered(
+        spark, sf_dir, "documents", _gopher_rules, "bq_gopher_docs"
+    )

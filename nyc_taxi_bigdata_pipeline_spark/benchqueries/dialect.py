@@ -44,6 +44,22 @@ def re_extract_all(expr: str, pattern: str, engine: str) -> str:
     return f"regexp_extract_all({expr}, '{pat}', 0)"
 
 
+def re_matches(expr: str, pattern: str, engine: str) -> str:
+    """Boolean regex containment (DuckDB regexp_matches is unanchored,
+    Spark RLIKE likewise). Same single-backslash input rule as
+    re_replace_all."""
+    if engine == DUCK:
+        return f"regexp_matches({expr}, '{pattern}')"
+    pat = pattern.replace("\\", "\\\\")
+    return f"({expr} RLIKE '{pat}')"
+
+
+def arr_lit(items: list[str], engine: str) -> str:
+    """Array literal of strings."""
+    quoted = ", ".join(f"'{x}'" for x in items)
+    return f"[{quoted}]" if engine == DUCK else f"array({quoted})"
+
+
 def at(arr: str, idx: str, engine: str) -> str:
     """1-based array indexing. Out-of-bounds → NULL in DuckDB, but Spark
     runs ANSI mode by default where element_at RAISES — callers must
