@@ -437,16 +437,24 @@ def span_dedup_remove(
     Scale shape: windows shuffle as 8-byte xxhash64 longs (2^-64
     collision class, same as every hashed dedup stage here). The
     canonical occurrence is MIN(struct(doc_id, pos)) per window hash —
-    ONE map-combinable aggregation, deliberately NOT a row_number
-    window over the hash partition: a viral passage (one window hash in
-    millions of docs) would make that window a single-task sort of the
-    whole hot partition, while partial aggregation folds it map-side
-    (struct MIN plans as SortAggregate but still partial-agg + one
-    shuffle, the CLAUDE.md argmax idiom). The dup-window table scales
-    with the corpus, so its join back carries a merge hint (the
-    static-broadcast OOM class). Only marked positions reach the
-    per-doc islands window; reconstruction is a JVM higher-order filter
-    (spans per doc are few — no Python in the row path).
+    ONE map-combinable aggregation (struct MIN plans as SortAggregate
+    but still partial-agg + one shuffle, the CLAUDE.md argmax idiom)
+    rather than a row_number window over the hash partition. Measured
+    honestly (scripts/bench_r10_spandedup.viral_probe, 1M docs with one
+    16-token block in 50% of them = 500k occurrences per hot window
+    hash): the two shapes TIE at 49 s — the join-back's sort-merge
+    concentrates the hot key in one task exactly like the window's sort
+    would, so there is no wall-clock win at this tier. The agg shape is
+    kept because (a) the canonical RESOLUTION itself folds map-side
+    (the shuffled dup_first table is one row per duplicated window hash
+    regardless of virality — bounded reducer state where the window
+    shape buffers the hot key's full row set to rank it), and (b) on
+    non-viral corpora dup_first is far smaller than the full occ frame
+    a window would materialize. The dup-window table scales with the
+    corpus, so its join back carries a merge hint (the static-broadcast
+    OOM class). Only marked positions reach the per-doc islands window;
+    reconstruction is a JVM higher-order filter (spans per doc are few
+    — no Python in the row path).
     """
     from pyspark.sql import Window
 

@@ -94,3 +94,76 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def viral_probe(spark, n_docs: int = 1_000_000) -> None:
+    """Skew stress for the CANONICAL-MARKING stage: ONE 16-token
+    boilerplate block in 50% of docs (= n/2 occurrences of each of its
+    9 window hashes — a genuinely viral key). Times the SAME stage both
+    ways on the same corpus: the shipped map-combinable MIN(struct) agg
+    + join-back vs the rejected row_number window over the hash
+    partition (single-task sort of the hot key). Both sides count the
+    identical non-canonical mark set."""
+    import time
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    k = 8
+    toks = ", ".join(
+        f"concat('w', abs(xxhash64(id, {i}, 17)) % 50000)" for i in range(40)
+    )
+    viral = " ".join(f"vp{i}" for i in range(16))
+    docs = (
+        spark.range(n_docs)
+        .selectExpr(
+            "id AS doc_id",
+            f"CASE WHEN id % 2 = 0 THEN concat_ws(' ', {toks}, '{viral}') "
+            f"ELSE concat_ws(' ', {toks}) END AS text",
+        )
+        .repartition(32, "doc_id")
+        .localCheckpoint(eager=True)
+    )
+    win = (
+        docs.select("doc_id", F.split(F.lower(F.trim("text")), " ").alias("ts"))
+        .filter(F.size("ts") >= k)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("ts") - (k - 1))).alias("pos"),
+            F.xxhash64(F.array_join(F.slice("ts", F.col("pos"), k), " ")).alias("wh"),
+        )
+        .localCheckpoint(eager=True)  # both shapes read the same input
+    )
+
+    t0 = time.time()
+    dup_first = (
+        win.groupBy("wh")
+        .agg(F.min(F.struct("doc_id", "pos")).alias("first"), F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .select("wh", "first")
+    )
+    agg_marks = (
+        win.join(dup_first.hint("merge"), "wh")
+        .filter(F.struct("doc_id", "pos") != F.col("first"))
+        .count()
+    )
+    t_agg = time.time() - t0
+
+    t0 = time.time()
+    occ = win.select(
+        "doc_id",
+        "pos",
+        F.count("*").over(Window.partitionBy("wh")).alias("c"),
+        F.row_number()
+        .over(Window.partitionBy("wh").orderBy("doc_id", "pos"))
+        .alias("rk"),
+    )
+    window_marks = occ.filter((F.col("c") > 1) & (F.col("rk") > 1)).count()
+    t_window = time.time() - t0
+
+    assert agg_marks == window_marks, (agg_marks, window_marks)
+    print(
+        f"viral @ {n_docs} docs (1 block in 50% = {n_docs // 2} occurrences "
+        f"per hot window hash): agg-canonical {t_agg:.1f} s vs rank-window "
+        f"{t_window:.1f} s, identical {agg_marks} marks"
+    )
