@@ -136,3 +136,63 @@ def _centroids(engine: str, table: str) -> str:
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("bq_cent_emb")
     return spark.sql(_centroids(D.SPARK, "bq_cent_emb"))
+
+
+# ---------------------------------------------------- embedding drift
+
+
+def _embedding_drift(engine: str, table: str, thr_fp2: int = 1) -> str:
+    """Per-dimension embedding-space drift between a reference cohort
+    (even vec_id) and a candidate cohort (odd vec_id) — the monitor a
+    pipeline runs when an embedding model or upstream corpus changes
+    (PSI/KS cover scalar features; this covers the vector column).
+    Same fixed-point discipline as `_centroids`: per-dim BIGINT fp6
+    sums, so the drift GATE is a pure integer comparison — with
+    Δ = (s_r·n_c − s_c·n_r) / (10^6·n_r·n_c), |Δ| > thr_fp2/100 ⟺
+    |s_r·n_c − s_c·n_r| > thr_fp2·10^4·n_r·n_c — and the reported
+    means divide exact integers."""
+    if engine == D.DUCK:
+        src = (
+            f"SELECT e.vec_id, p.pos AS pos, CAST(e.embedding[p.pos] AS DOUBLE) AS val "
+            f"FROM {table} e CROSS JOIN generate_series(1, {_DIM}) p(pos)"
+        )
+    else:
+        src = (
+            "SELECT vec_id, pos + 1 AS pos, CAST(val AS DOUBLE) AS val "
+            f"FROM (SELECT vec_id, posexplode(embedding) AS (pos, val) FROM {table})"
+        )
+    fp = "CAST(FLOOR(val * 1e6) AS BIGINT)"
+    return f"""
+    WITH dims AS (
+      SELECT CAST(pos AS INT) AS pos,
+             CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+             CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cand,
+             CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN {fp} ELSE 0 END) AS BIGINT) AS s_ref,
+             CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN {fp} ELSE 0 END) AS BIGINT) AS s_cand
+      FROM ({src}) x GROUP BY pos
+    )
+    SELECT pos, n_ref, n_cand,
+           CAST(s_ref AS DOUBLE) / (1e6 * n_ref) AS mean_ref,
+           CAST(s_cand AS DOUBLE) / (1e6 * n_cand) AS mean_cand,
+           CAST(s_ref AS DOUBLE) / (1e6 * n_ref)
+             - CAST(s_cand AS DOUBLE) / (1e6 * n_cand) AS mean_diff,
+           CAST(CASE WHEN ABS(s_ref * n_cand - s_cand * n_ref)
+                          > {thr_fp2} * 10000 * n_ref * n_cand
+                     THEN 1 ELSE 0 END AS INT) AS drifted
+    FROM dims ORDER BY pos"""
+
+
+@register(
+    "embedding_drift_monitor",
+    _embedding_drift(D.DUCK, "embeddings"),
+    doc="training-data ext: per-dimension embedding-space drift monitor "
+        "between even/odd vec_id cohorts — the vector-column analogue "
+        "of drift_psi_value (a model/corpus change shows up as "
+        "per-dimension mean shift before anything downstream does). "
+        "Fixed-point BIGINT sums per (cohort, dim); the drift gate is "
+        "an exact integer cross-product comparison, means divide exact "
+        "integers. One posexplode pass, map-side combine, 64-row output",
+)
+def embedding_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("bq_drift_emb")
+    return spark.sql(_embedding_drift(D.SPARK, "bq_drift_emb"))
