@@ -183,6 +183,10 @@ _SCALAR_ANCHOR_OK = {
                                       # aggregated bins — both sides tiny
     "skew_key_profile": 10,           # 1-row (n_keys, total, max) anchor ×
                                       # top-10 frame (TakeOrderedAndProject)
+    "text_lm_perplexity": 1,          # 1-row vocab-size anchor (CROSS JOIN
+                                      # vocab in the shared LM SQL)
+    "dataset_split_leakage": 1,       # 1-row cluster report × 1-row
+                                      # docs_to_move count
     "hll_segment_overlap": 1,         # 4-way cross of 1-row estimate /
                                       # exact-overlap anchors
     "mg_heavy_hitters_tokens": 1,     # 1-row total-count anchor folded into
