@@ -254,3 +254,66 @@ def test_ivm_equals_full_recompute(spark, data):
     incr_a = sorted(map(tuple, merged.collect()))
     full_a = sorted(map(tuple, gview(A0.unionByName(dA)).collect()))
     assert incr_a == full_a
+
+
+def _span_dedup_reference(docs: list[tuple[int, str]], k: int = 8):
+    """Pure-Python reference for operators/curation.span_dedup_remove:
+    duplicated k-token windows keep their corpus-wide first occurrence
+    (by (doc_id, pos)); other occurrences mark positions; marks merge
+    when starts are <= k apart; marked tokens drop."""
+    toks = {d: t.lower().strip().split(" ") for d, t in docs}
+    occ: dict[tuple, list[tuple[int, int]]] = {}
+    for d in sorted(toks):
+        ts = toks[d]
+        for p in range(1, len(ts) - k + 2):
+            occ.setdefault(tuple(ts[p - 1 : p - 1 + k]), []).append((d, p))
+    marks: dict[int, list[int]] = {}
+    for positions in occ.values():
+        if len(positions) > 1:
+            for d, p in sorted(positions)[1:]:
+                marks.setdefault(d, []).append(p)
+    out = {}
+    for d, ts in toks.items():
+        ps = sorted(set(marks.get(d, [])))
+        spans, rm = [], 0
+        for p in ps:
+            if spans and p - spans[-1][1] <= k:
+                spans[-1][1] = p
+            else:
+                spans.append([p, p])
+        covered = set()
+        for s, e in spans:
+            covered.update(range(s, e + k))
+        rm = len(covered)
+        kept = [t for i, t in enumerate(ts, start=1) if i not in covered]
+        out[d] = (len(ts), len(spans), rm, " ".join(kept))
+    return out
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdefg"), min_size=1, max_size=40).map(
+            lambda ws: " ".join(ws)
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(2, 5),
+)
+def test_span_dedup_matches_pure_python_reference(spark, texts, k):
+    """Randomized corpora over a 7-token alphabet (dense window
+    collisions by construction) — the Spark operator must agree with
+    the reference on every doc's (n_tokens, spans, removed, clean_text)."""
+    from nyc_taxi_bigdata_pipeline_spark.operators.curation import (
+        span_dedup_remove,
+    )
+
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.dup_spans, r.tokens_removed, r.clean_text)
+        for r in span_dedup_remove(df, k=k).collect()
+    }
+    want = _span_dedup_reference(docs, k=k)
+    assert got == want
