@@ -884,7 +884,10 @@ def _split_leakage_oracle(table: str, n: int = 14) -> str:
         "whose split differs from their cluster's canonical min-id "
         "member — moving exactly those makes every cluster split-pure). "
         "Oracle replays the whole chain declaratively (recursive-CTE "
-        "closure + the same seeded hash rule)",
+        "closure + the same seeded hash rule). Standalone cost is the "
+        "full pair-graph chain (~ssjoin + components, ~12 s at sf0.1); "
+        "a production pipeline materializes cluster labels once and "
+        "this check is then one join + two aggregates over them",
 )
 def dataset_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import dedup_clusters, jaccard_join_prefix
