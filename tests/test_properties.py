@@ -317,3 +317,80 @@ def test_span_dedup_matches_pure_python_reference(spark, texts, k):
     }
     want = _span_dedup_reference(docs, k=k)
     assert got == want
+
+
+def _lm_nll_reference(texts: list[str], k_unused=None):
+    """Pure-Python reference for text_lm_perplexity's per-doc NLL:
+    add-one bigram LM with BOS context, every ln snapped to integer
+    micro-nats exactly like _fp_ln."""
+    import math
+
+    def fp_ln(x: int) -> int:
+        return math.floor(math.log(float(x)) * 1_000_000.0 + 0.5)
+
+    toks = {i: t.lower().strip().split(" ") for i, t in enumerate(texts)
+            if t.strip()}
+    BOS = None
+    cbi: dict[tuple, int] = {}
+    cctx: dict[object, int] = {}
+    vocab = set()
+    for ts in toks.values():
+        prev = BOS
+        for w in ts:
+            cbi[(prev, w)] = cbi.get((prev, w), 0) + 1
+            cctx[prev] = cctx.get(prev, 0) + 1
+            vocab.add(w)
+            prev = w
+    v = len(vocab)
+    out = {}
+    for d, ts in toks.items():
+        prev, nll = BOS, 0
+        for w in ts:
+            nll += fp_ln(cctx[prev] + v) - fp_ln(cbi[(prev, w)] + 1)
+            prev = w
+        out[d] = (len(ts), nll)
+    return out
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=20)
+        .map(lambda ws: " ".join(ws)),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_lm_perplexity_matches_pure_python_reference(spark, texts):
+    """Randomized corpora over a 4-token alphabet: the shared-SQL bigram
+    LM (run Spark-side over a temp view, exactly as the registry query
+    stages it) must produce the same per-doc exact micro-nat NLL sums as
+    an independent reference — pins BOS handling, add-one smoothing, and
+    the fp_ln snap."""
+    from nyc_taxi_bigdata_pipeline_spark.benchqueries import dialect as D
+    from nyc_taxi_bigdata_pipeline_spark.benchqueries.text_ops import _lm_bi_sql
+
+    docs = [(i, t, "s") for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    df.createOrReplaceTempView("prop_lm_docs")
+    bi = spark.sql(_lm_bi_sql(D.SPARK, "prop_lm_docs"))
+    bi.createOrReplaceTempView("prop_lm_bi")
+    got = {
+        r.doc_id: (r.n, r.nll)
+        for r in spark.sql(
+            """WITH cbi AS (SELECT p_h, w_h, COUNT(*) AS c FROM prop_lm_bi GROUP BY p_h, w_h),
+            cctx AS (SELECT p_h, COUNT(*) AS c FROM prop_lm_bi GROUP BY p_h),
+            vocab AS (SELECT COUNT(DISTINCT w_h) AS v FROM prop_lm_bi)
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(
+                     CAST(FLOOR(LN(CAST(x.c + vocab.v AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+                   - CAST(FLOOR(LN(CAST(c.c + 1 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+                   ) AS BIGINT) AS nll
+            FROM prop_lm_bi b
+            JOIN cbi c ON c.p_h = b.p_h AND c.w_h = b.w_h
+            JOIN cctx x ON x.p_h = b.p_h
+            CROSS JOIN vocab GROUP BY doc_id"""
+        ).collect()
+    }
+    want = _lm_nll_reference(texts)
+    assert got == want
