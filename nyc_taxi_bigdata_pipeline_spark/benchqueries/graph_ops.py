@@ -317,10 +317,15 @@ _COST = "1000000 // w + 1"
 
 
 def _sssp_ctes() -> str:
+    # AS MATERIALIZED (DuckDB-only text; the Spark side is the operator):
+    # every d{i+1} references d{i} TWICE (carry branch + relax branch), so
+    # an INLINING planner expands the chain 2^rounds-fold — at sf0.1 the
+    # unhinted oracle spilled >80 GB of temp and died on disk (r10). The
+    # hint pins each round to one tiny materialized relation.
     out = []
     for i in range(_SSSP_ROUNDS):
         out.append(
-            f"""d{i + 1} AS (
+            f"""d{i + 1} AS MATERIALIZED (
   SELECT n, CAST(MIN(d) AS BIGINT) AS d FROM (
     SELECT n, d FROM d{i}
     UNION ALL
@@ -332,8 +337,8 @@ def _sssp_ctes() -> str:
 
 
 _SSSP_ORACLE = f"""
-WITH base AS ({_EDGES_SQL}),
-edges AS (SELECT src, dst, CAST({_COST} AS BIGINT) AS cost
+WITH base AS MATERIALIZED ({_EDGES_SQL}),
+edges AS MATERIALIZED (SELECT src, dst, CAST({_COST} AS BIGINT) AS cost
           FROM base WHERE src <> dst),
 d0 AS (SELECT CAST(0 AS BIGINT) AS n, CAST(0 AS BIGINT) AS d),
 {_sssp_ctes()}
