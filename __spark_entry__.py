@@ -59,6 +59,7 @@ _REFRONT: dict[str, int] = {
     # fixture vocabulary, not the plan) — oracles re-pinned in tandem
     "dedup_ssjoin_prefix": 10,
     "dedup_components": 10,
+    "dedup_cluster_canonical": 10,
 }
 
 

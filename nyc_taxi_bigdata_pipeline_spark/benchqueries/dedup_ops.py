@@ -932,7 +932,7 @@ def dataset_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cluster_canonical_oracle(table: str) -> str:
+def _cluster_canonical_oracle(table: str, n: int = 14) -> str:
     """End-to-end removal counts over a PLANTED-dup corpus: the
     `_components_oracle` recursive closure extended with the canonical
     (min-id) collapse. The corpus plants an exact copy AND a one-token
@@ -940,7 +940,11 @@ def _cluster_canonical_oracle(table: str) -> str:
     exist and transitive chaining matters; the corpus is bounded to
     doc_id < 2500 at every SF so the brute-force pair CTE stays
     fixture-feasible (the operators are scale-probed separately —
-    500k docs, RESULTS.md)."""
+    500k docs, RESULTS.md). Shingle n=14 since r10, same de-saturation
+    as `_ssjoin_oracle` (an exact copy is jaccard 1.0 at any n; the
+    one-token append changes ~n+7 trailing shingles of a 300+-shingle
+    doc, jaccard ~0.95 — both stay >= 0.8, so the planted clusters and
+    removal counts are unchanged)."""
     return f"""
     WITH RECURSIVE corpus AS (
       SELECT doc_id, text FROM {table}
@@ -953,10 +957,10 @@ def _cluster_canonical_oracle(table: str) -> str:
       WHERE text IS NOT NULL AND doc_id < 50
     ),
     pos AS (
-      SELECT doc_id, text, unnest(range(1, greatest(len(text) - 4, 1) + 1)) AS i
+      SELECT doc_id, text, unnest(range(1, greatest(len(text) - {n - 1}, 1) + 1)) AS i
       FROM corpus
     ),
-    sh AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS g FROM pos),
+    sh AS (SELECT DISTINCT doc_id, substr(text, i, {n}) AS g FROM pos),
     sz AS (SELECT doc_id, COUNT(*) AS s FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
@@ -1017,7 +1021,7 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # single-file scan is ONE partition; spread before the shingle explode
     corpus = corpus.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    pairs = jaccard_join_prefix(corpus, threshold=0.8)
+    pairs = jaccard_join_prefix(corpus, threshold=0.8, shingle_n=14)
     kept = keep_canonical(corpus, pairs)
     return (
         corpus.agg(F.count("*").alias("docs_in"))
