@@ -54,12 +54,16 @@ _REFRONT: dict[str, int] = {
     # residues; earlier green rows checked the unstripped path
     "fuzzy_join_levenshtein": 9,
     "fuzzy_record_linkage": 9,
-    # r10 adopted shingle_n=14 in these two (the saturation-trio
+    # r10 adopted shingle_n=14 in the saturation trio (whose
     # accounting showed n=5's 5,974x candidate over-generation is the
     # fixture vocabulary, not the plan) — oracles re-pinned in tandem
     "dedup_ssjoin_prefix": 10,
     "dedup_components": 10,
     "dedup_cluster_canonical": 10,
+    # r10 replaced crossclip's plain block-equality candidate generation
+    # with the 1-flip probe expansion (radius guarantee fix) — its
+    # rows-only output can differ from pre-fix rows (r10 ADVICE 2)
+    "video_crossclip_dedup": 10,
 }
 
 

@@ -27,7 +27,10 @@ def _calibration(spark) -> float:
     wall-clock. This probe touches no data files and exercises only
     whole-stage-codegen arithmetic, so its per-round timing is a pure
     host-speed signal the judge can divide out (query_sec / calib_sec
-    is drift-normalized).
+    is drift-normalized). NOTE (r11): spark.range defaults to
+    defaultParallelism partitions, so this probe is 32-way parallel
+    compute — but it carries no exchange, so it is blind to
+    shuffle/memory-subsystem drift; see the two probes below.
     """
     import pyspark.sql.functions as F
 
@@ -37,6 +40,43 @@ def _calibration(spark) -> float:
     spark.range(200_000_000).select(
         F.xxhash64(F.col("id"), F.lit(42)).alias("h")
     ).agg(F.expr("bit_xor(h)")).collect()
+    return time.perf_counter() - t0
+
+
+def _calibration_seq(spark) -> float:
+    """Single-task twin of ``_calibration``: range(20M, numPartitions=1).
+
+    One task on one core → pure per-core speed, immune to scheduler /
+    sibling-container core contention. If calib_seq is flat round-over-
+    round while calib_par drifts, the drift is parallel-throughput
+    (shared-host contention), not per-core clock (r10 verdict item 1).
+    """
+    import pyspark.sql.functions as F
+
+    t0 = time.perf_counter()
+    spark.range(0, 20_000_000, numPartitions=1).select(
+        F.xxhash64(F.col("id"), F.lit(42)).alias("h")
+    ).agg(F.expr("bit_xor(h)")).collect()
+    return time.perf_counter() - t0
+
+
+def _calibration_par(spark) -> float:
+    """Shuffle-bearing parallel probe: the headline queries are exchange-
+    heavy, and pure-codegen probes (above) can't see memory-bandwidth /
+    GC / shuffle-IO drift. 50M rows hashed into a 32-key exchange +
+    second-level agg exercises task scheduling, partial agg, exchange
+    write/read, and the memory subsystem — the machinery the real
+    queries spend their time in. query_sec / calib_par_sec is the
+    drift-normalizer for parallelism-bound queries.
+    """
+    import pyspark.sql.functions as F
+
+    t0 = time.perf_counter()
+    spark.range(50_000_000).select(
+        F.xxhash64(F.col("id"), F.lit(7)).alias("h")
+    ).groupBy(F.pmod(F.col("h"), F.lit(4096)).alias("k")).agg(
+        F.expr("bit_xor(h)").alias("x"), F.count("*").alias("c")
+    ).agg(F.expr("bit_xor(x)"), F.expr("sum(c)")).collect()
     return time.perf_counter() - t0
 
 
@@ -84,6 +124,11 @@ def main() -> None:
     ap.add_argument("--repeat", type=int, default=2)
     ap.add_argument("--all", action="store_true", help="bench every registry query")
     ap.add_argument(
+        "--queries",
+        default=None,
+        help="comma-separated registry names to time alone (overrides bench flags)",
+    )
+    ap.add_argument(
         "--warmup-dir",
         default="/root/testdata/sf0.001",
         help="tiny SF dir used to warm JIT/codegen per query (no result reuse)",
@@ -92,7 +137,13 @@ def main() -> None:
 
     spark = get_spark(app_name="bench")
     _quiet_window_warns(spark)
-    names = [n for n, q in REGISTRY.items() if q.bench or args.all]
+    if args.queries:
+        names = [n.strip() for n in args.queries.split(",") if n.strip()]
+        unknown = [n for n in names if n not in REGISTRY]
+        if unknown:
+            raise SystemExit(f"unknown queries: {unknown}")
+    else:
+        names = [n for n, q in REGISTRY.items() if q.bench or args.all]
 
     # Warm the JVM + whole-stage-codegen paths of each benched query at the
     # smallest SF: measures the engine, not the JIT. Different directory →
@@ -110,10 +161,14 @@ def main() -> None:
     # than back-to-back repeats: consecutive runs of the same query share
     # whatever transient (GC cycle, compile backlog) made the first slow
     timings: dict[str, float] = {}
-    calib = float("inf")
-    _calibration(spark)  # warm the probe's codegen like the queries
+    calib = calib_seq = calib_par = float("inf")
+    _calibration(spark)  # warm the probes' codegen like the queries
+    _calibration_seq(spark)
+    _calibration_par(spark)
     for _ in range(args.repeat):
         calib = min(calib, _calibration(spark))
+        calib_seq = min(calib_seq, _calibration_seq(spark))
+        calib_par = min(calib_par, _calibration_par(spark))
         for name in names:
             q = REGISTRY[name]
             t0 = time.perf_counter()
@@ -139,6 +194,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "calib_sec": round(calib, 4),
+                "calib_seq_sec": round(calib_seq, 4),
+                "calib_par_sec": round(calib_par, 4),
                 "sf": sf,
             }
         )

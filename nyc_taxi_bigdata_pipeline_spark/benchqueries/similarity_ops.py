@@ -150,7 +150,11 @@ def _embedding_drift(engine: str, table: str, thr_fp2: int = 1) -> str:
     sums, so the drift GATE is a pure integer comparison — with
     Δ = (s_r·n_c − s_c·n_r) / (10^6·n_r·n_c), |Δ| > thr_fp2/100 ⟺
     |s_r·n_c − s_c·n_r| > thr_fp2·10^4·n_r·n_c — and the reported
-    means divide exact integers."""
+    means divide exact integers. The gate's cross-products run in
+    DECIMAL(38,0) (r10 ADVICE 1): s ≈ n·1e6·|mean|, so at ~5e6 vectors
+    per cohort s·n exceeds 2^63 and a BIGINT product would abort under
+    ANSI/DuckDB overflow; DECIMAL(38,0) keeps the comparison exact to
+    1e38 with identical results on non-overflowing inputs."""
     if engine == D.DUCK:
         src = (
             f"SELECT e.vec_id, p.pos AS pos, CAST(e.embedding[p.pos] AS DOUBLE) AS val "
@@ -176,8 +180,9 @@ def _embedding_drift(engine: str, table: str, thr_fp2: int = 1) -> str:
            CAST(s_cand AS DOUBLE) / (1e6 * n_cand) AS mean_cand,
            CAST(s_ref AS DOUBLE) / (1e6 * n_ref)
              - CAST(s_cand AS DOUBLE) / (1e6 * n_cand) AS mean_diff,
-           CAST(CASE WHEN ABS(s_ref * n_cand - s_cand * n_ref)
-                          > {thr_fp2} * 10000 * n_ref * n_cand
+           CAST(CASE WHEN ABS(CAST(s_ref AS DECIMAL(38,0)) * n_cand
+                              - CAST(s_cand AS DECIMAL(38,0)) * n_ref)
+                          > CAST({thr_fp2} AS DECIMAL(38,0)) * 10000 * n_ref * n_cand
                      THEN 1 ELSE 0 END AS INT) AS drifted
     FROM dims ORDER BY pos"""
 

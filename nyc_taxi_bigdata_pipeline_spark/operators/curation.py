@@ -434,6 +434,11 @@ def span_dedup_remove(
     spaces) minus removed spans — the representation a training-data
     pipeline feeds forward, not a byte-identical edit of the original.
 
+    Null-text contract (r10 ADVICE 3): rows with NULL ``text_col`` are
+    dropped inside the operator — same contract as the SQL twin's
+    ``WHERE text IS NOT NULL`` — so callers need no pre-filter and the
+    per-source accounting matches the oracle unconditionally.
+
     Scale shape: windows shuffle as 8-byte xxhash64 longs (2^-64
     collision class, same as every hashed dedup stage here). The
     canonical occurrence is MIN(struct(doc_id, pos)) per window hash —
@@ -458,7 +463,7 @@ def span_dedup_remove(
     """
     from pyspark.sql import Window
 
-    toks = docs.select(
+    toks = docs.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col),
         F.split(F.lower(F.trim(F.col(text_col))), " ").alias("ts"),
     )

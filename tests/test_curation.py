@@ -113,10 +113,11 @@ def test_span_dedup_remove_first_occurrence_survives(spark):
         (2, "x1 x2 a b c d e f g h i j y1 y2"),
         (3, "completely different tokens here only once now ok fine yes"),
         (4, "a b c d e f g h onlyeight"),
+        (5, None),  # NULL text: dropped by the operator's contract
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r.doc_id: r for r in curation.span_dedup_remove(df, k=8).collect()}
-    assert len(out) == 4
+    assert len(out) == 4 and 5 not in out
     # doc 1 holds the first occurrences -> untouched
     assert out[1].tokens_removed == 0
     assert out[1].clean_text == rows[0][1]
@@ -148,9 +149,9 @@ def test_span_dedup_operator_matches_sql_twin(spark, sf_dir, docs):
                    r.tokens_removed, r.spans_removed)
         for r in REGISTRY["curation_span_dedup"].spark_fn(spark, sf_dir).collect()
     }
-    per_doc = curation.span_dedup_remove(
-        docs.filter(F.col("text").isNotNull()), k=8
-    )
+    # no caller pre-filter: the operator drops NULL-text rows itself
+    # (r10 ADVICE 3 — same contract as the SQL twin's WHERE text IS NOT NULL)
+    per_doc = curation.span_dedup_remove(docs, k=8)
     got = {
         r.source: (r.docs_total, r.docs_affected, r.tokens_total,
                    r.tokens_removed, r.spans_removed)
