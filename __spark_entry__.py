@@ -64,6 +64,11 @@ _REFRONT: dict[str, int] = {
     # with the 1-flip probe expansion (radius guarantee fix) — its
     # rows-only output can differ from pre-fix rows (r10 ADVICE 2)
     "video_crossclip_dedup": 10,
+    # r11 rewired dedup_incremental (signature reuse + driver-side
+    # union-find collapse for small dup graphs) — output verified
+    # identical at both SFs, re-fronted per the reimplemented-query
+    # policy anyway
+    "dedup_incremental_batch": 11,
 }
 
 

@@ -445,6 +445,7 @@ def _span_dedup(engine: str, table: str, k: int = _SPAN_K) -> str:
 @register(
     "curation_span_dedup",
     _span_dedup(D.DUCK, "documents"),
+    bench=True,  # r11: promoted to headline (r10 verdict item 4)
     doc="training-data ext: cross-document repeated-substring REMOVAL "
         "(Lee et al. ExactSubstr class, suffix-hash windows instead of "
         "a suffix array) — completes the dedup family: doc-level exact, "

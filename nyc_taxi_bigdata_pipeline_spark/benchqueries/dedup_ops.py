@@ -677,6 +677,7 @@ def _ssjoin_oracle(table: str, n: int = 14) -> str:
 @register(
     "dedup_ssjoin_prefix",
     _ssjoin_oracle("documents"),
+    bench=True,  # r11: promoted to headline (r10 verdict item 4)
     doc="training-data ext: EXACT set-similarity self-join at Jaccard "
         "≥ 0.8 via prefix filtering (SSJoin/All-Pairs class) — the "
         "no-false-negative complement to MinHash-LSH for "

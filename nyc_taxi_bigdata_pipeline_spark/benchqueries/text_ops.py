@@ -374,19 +374,141 @@ def text_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_kl_read_sql("bq_kl_counts"))
 
 
+# --- BPE oracle (DuckDB-only text; the Spark side is operators/bpe) ---
+# learn_bpe's merge loop is deterministic (argmax on count DESC, then
+# lexicographic pair), so DuckDB can REPLAY it as a chained-CTE unroll:
+# each level materializes the argmax pair m{k} and the merged symbol
+# table lvl{k}. Every level references its predecessor twice (pair
+# count + merge application) — exactly the exponential-inline shape
+# that killed the SSSP oracle in r10 — so every CTE carries DuckDB's
+# `AS MATERIALIZED` hint (oracle-only text; Spark never runs this).
+# The greedy left-to-right fold is expressed positionally: for merge
+# (a,b) with a≠b adjacent matches can never overlap; for a=b they
+# overlap in runs, and the fold keeps alternating matches from each
+# run's start — gaps-and-islands (i − row_number among match rows)
+# plus odd-parity row_number inside each island reproduces it exactly.
+_BPE_N_MERGES = 12
+_BPE_MIN_PAIR_FREQ = 2
+_BPE_EOW = "▁"  # operators/bpe.END_OF_WORD
+
+
+def _bpe_chain_sql(table: str, n_merges: int = _BPE_N_MERGES) -> str:
+    """WITH-chain prefix: w0/lvl0 plus (m{k}, e{k}, k{k}, lvl{k}) per
+    merge level, replaying operators/bpe.learn_bpe on DuckDB."""
+    parts = [f"""WITH w0 AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS word
+        FROM {table} WHERE text IS NOT NULL) t
+  WHERE length(word) > 0 GROUP BY word
+), lvl0 AS MATERIALIZED (
+  SELECT word, freq,
+         list(CASE WHEN i = length(word) THEN substr(word, i, 1) || '{_BPE_EOW}'
+                   ELSE substr(word, i, 1) END ORDER BY i) AS syms
+  FROM (SELECT word, freq, unnest(range(1, length(word) + 1)) AS i FROM w0) g
+  GROUP BY word, freq
+)"""]
+    for k in range(1, n_merges + 1):
+        p = k - 1
+        parts.append(f""", m{k} AS MATERIALIZED (
+  SELECT a, b, cnt FROM (
+    SELECT syms[i] AS a, syms[i + 1] AS b, SUM(freq) AS cnt
+    FROM (SELECT syms, freq, unnest(range(1, len(syms))) AS i FROM lvl{p}) q
+    GROUP BY 1, 2 ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+  ) WHERE cnt >= {_BPE_MIN_PAIR_FREQ}
+), e{k} AS MATERIALIZED (
+  SELECT q.word, q.freq, q.i, q.syms[q.i] AS s,
+         (m.a IS NOT NULL AND q.i < len(q.syms)
+          AND q.syms[q.i] = m.a AND q.syms[q.i + 1] = m.b) AS mt
+  FROM (SELECT word, freq, syms, unnest(range(1, len(syms) + 1)) AS i
+        FROM lvl{p}) q
+  LEFT JOIN m{k} m ON TRUE
+), k{k} AS MATERIALIZED (
+  SELECT word, freq, i, s, mt,
+         mt AND (ROW_NUMBER() OVER (PARTITION BY word, isl ORDER BY i) % 2 = 1)
+           AS keepm
+  FROM (
+    SELECT word, freq, i, s, mt,
+           CASE WHEN mt
+                THEN i - ROW_NUMBER() OVER (PARTITION BY word, mt ORDER BY i)
+           END AS isl
+    FROM e{k}
+  ) x
+), lvl{k} AS MATERIALIZED (
+  SELECT word, freq, list(tok ORDER BY i) AS syms
+  FROM (
+    SELECT word, freq, i,
+           CASE WHEN keepm
+                THEN s || LEAD(s) OVER (PARTITION BY word ORDER BY i)
+                ELSE s END AS tok,
+           COALESCE(LAG(keepm) OVER (PARTITION BY word ORDER BY i), FALSE)
+             AS cons
+    FROM k{k}
+  ) y WHERE NOT cons
+  GROUP BY word, freq
+)""")
+    return "".join(parts)
+
+
+def _bpe_merges_oracle(table: str, n_merges: int = _BPE_N_MERGES) -> str:
+    unions = "\n  UNION ALL ".join(
+        f'SELECT {k} AS rank, a AS "left", b AS "right", a || b AS merged,'
+        f" CAST(cnt AS BIGINT) AS weighted_count FROM m{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return (
+        _bpe_chain_sql(table, n_merges)
+        + f"""
+SELECT CAST(rank AS INT) AS rank, "left", "right", merged, weighted_count
+FROM ({unions}) z ORDER BY rank"""
+    )
+
+
+def _bpe_encode_stats_oracle(table: str, n_merges: int = _BPE_N_MERGES) -> str:
+    # bpe_tokens needs no corpus re-join: w0.freq already counts every
+    # non-empty word occurrence, so Σ freq·len(syms) over the final
+    # level IS the encoded-corpus token count (for in-vocab words the
+    # priority encode reproduces the training-table evolution — pinned
+    # by tests/test_bpe.py's encode-vs-table equality).
+    # subwords_per_word snaps half-up via exact BIGINT arithmetic:
+    # floor((2·b·10^4 + w) / (2w)) = round_half_up(b·10^4 / w) — the
+    # FLOOR(x·1e4 + 0.5) double form is the FMA-contraction class
+    # (CLAUDE.md pearson note).
+    return (
+        _bpe_chain_sql(table, n_merges)
+        + f""", ws AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split(lower(trim(text)), ' '))) AS BIGINT)
+           AS ws_tokens
+  FROM {table} WHERE text IS NOT NULL
+), bt AS MATERIALIZED (
+  SELECT CAST(SUM(freq * len(syms)) AS BIGINT) AS bpe_tokens
+  FROM lvl{n_merges}
+), dv AS MATERIALIZED (
+  SELECT CAST(COUNT(DISTINCT s) AS INT) AS distinct_subwords
+  FROM (SELECT unnest(syms) AS s FROM lvl{n_merges}) u
+)
+SELECT n_docs, bpe_tokens, ws_tokens,
+       CAST((2 * bpe_tokens * 10000 + ws_tokens) // (2 * ws_tokens) AS DOUBLE)
+         / CAST(10000 AS DOUBLE) AS subwords_per_word,
+       distinct_subwords
+FROM ws CROSS JOIN bt CROSS JOIN dv"""
+    )
+
+
 @register(
     "text_bpe_merges",
-    None,
-    doc="training-data ext (rows-only): BPE vocabulary learning "
-        "(Sennrich ACL'16) — the corpus is touched ONCE (tokenize + "
-        "word-frequency groupBy); every merge iteration then runs on "
-        "the vocabulary-sized symbol table only (adjacent-pair "
-        "weighted counts, deterministic argmax, fold-merge), eager "
-        "localCheckpoint per round for O(1) plan depth. Genuinely "
-        "iterative (argmax collect per merge, like graph_bfs_hops), "
-        "so no SQL oracle; the trainer is pinned exactly against a "
-        "pure-Python reference implementation in tests, including "
-        "partition invariance (operators/bpe.py)",
+    _bpe_merges_oracle("documents"),
+    doc="training-data ext: BPE vocabulary learning (Sennrich ACL'16) "
+        "— the corpus is touched ONCE (tokenize + word-frequency "
+        "groupBy); every merge iteration then runs on the "
+        "vocabulary-sized symbol table only (adjacent-pair weighted "
+        "counts, deterministic argmax, fold-merge), eager "
+        "localCheckpoint per round for O(1) plan depth. Oracle-backed "
+        "since r11: the deterministic merge loop replays on DuckDB as "
+        "a chained-CTE unroll (AS MATERIALIZED per level — the SSSP "
+        "exponential-inline lesson), same technique as "
+        "dedup_cluster_canonical; the trainer is additionally pinned "
+        "against a pure-Python reference in tests (operators/bpe.py)",
 )
 def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.bpe import learn_bpe, merges_frame
@@ -397,8 +519,8 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_bpe_encode_stats",
-    None,
-    doc="training-data ext (rows-only): corpus tokenization with the "
+    _bpe_encode_stats_oracle("documents"),
+    doc="training-data ext: corpus tokenization with the "
         "BPE vocabulary learned by text_bpe_merges — bpe_encode is the "
         "honest Python stage (priority-merge per word is a data-"
         "dependent loop no JVM expression expresses), Arrow-batched "
@@ -406,7 +528,11 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kernel cost once per distinct word. Reports corpus compression "
         "(subword tokens vs whitespace tokens) + distinct-subword "
         "usage; losslessness and vocab-membership pinned in tests "
-        "(operators/bpe.py)",
+        "(operators/bpe.py). Oracle-backed since r11: DuckDB replays "
+        "the merge chain and derives the encoded-token totals from the "
+        "final symbol table (Σ freq·len(syms)) — valid because on "
+        "in-vocab words the priority encode equals the training-table "
+        "evolution (test-pinned)",
 )
 def text_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyspark.sql.functions as F
@@ -438,8 +564,16 @@ def text_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             "bpe_tokens",
             "ws_tokens",
-            F.round(F.col("bpe_tokens") / F.col("ws_tokens").cast("double"), 4)
-            .alias("subwords_per_word"),
+            # 4-decimal snap half-up in exact BIGINT arithmetic:
+            # floor((2b·10^4 + w)/(2w)) = round_half_up(b·10^4/w) —
+            # F.round on the double ratio would hit the cross-engine
+            # FMA/last-ulp class the oracle can't reproduce
+            (
+                F.expr(
+                    "(2 * bpe_tokens * 10000 + ws_tokens) DIV (2 * ws_tokens)"
+                ).cast("double")
+                / F.lit(10000).cast("double")
+            ).alias("subwords_per_word"),
             "distinct_subwords",
         )
     )
@@ -1009,6 +1143,7 @@ def _lm_read_sql(bi: str, cont: bool = False) -> str:
     "text_lm_perplexity",
     f"WITH biq AS ({_lm_bi_sql(D.DUCK, 'documents')})\n"
     + _lm_read_sql("biq", cont=True),
+    bench=True,  # r11: promoted to headline (r10 verdict item 4)
     doc="training-data ext: bigram-LM SELF-perplexity quality gate "
         "(CCNet class) — add-one-smoothed bigram model trained on the "
         "corpus itself, per-doc NLL as exact BIGINT micro-nat sums "
