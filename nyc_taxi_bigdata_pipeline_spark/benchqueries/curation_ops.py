@@ -880,3 +880,137 @@ def curation_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_rendered(
         spark, sf_dir, "documents", _gopher_rules, "bq_gopher_docs"
     )
+
+
+# -------------------------------------------- URL / provenance dedup
+
+# The dedup family covers the CONTENT axis (exact / near / span); a
+# crawl pipeline dedups the PROVENANCE axis first: canonicalize URLs,
+# keep each page's first fetch, then cap any one domain's share of the
+# corpus. documents has no URL column, so deterministic synthetic crawl
+# URLs are derived in shared SQL: ~7 docs share a page (doc_id DIV 7)
+# in four scheme/www/trailing-slash/tracking/fragment variants, and the
+# page's domain is zipf-ish (frequency of domain i ∝ 2i+1 via
+# FLOOR(SQRT(k % 576)) — exact in both engines: SQRT is correctly
+# rounded IEEE on integers < 2^52).
+_URL_SEED = 29
+_URL_CAP = 3  # per-domain page budget (fixture-sized; production: ~1e5)
+
+
+def _url_canon_sql(engine: str, table: str) -> str:
+    """(doc_id, curl, domain): synthetic raw URLs → canonical form
+    (lower, strip scheme + www., strip query/fragment, strip trailing
+    slash) → registrable-domain extraction."""
+    idiv = "(doc_id // 7)" if engine == D.DUCK else "(doc_id DIV 7)"
+    dom_id = (
+        f"CAST(FLOOR(SQRT(CAST(({idiv} * 48271) % 576 AS DOUBLE))) AS INT)"
+    )
+    dom = f"CONCAT('d', CAST({dom_id} AS STRING), '.example.com')"
+    pid = f"CAST({idiv} AS STRING)"
+    url = f"""CASE CAST(doc_id % 4 AS INT)
+      WHEN 0 THEN CONCAT('https://www.', {dom}, '/p/', {pid}, '?utm_source=feed')
+      WHEN 1 THEN CONCAT('http://', {dom}, '/p/', {pid}, '/')
+      WHEN 2 THEN CONCAT('HTTPS://', {dom}, '/p/', {pid}, '#sec2')
+      ELSE CONCAT('https://', {dom}, '/p/', {pid}, '?ref=tw') END"""
+    strip_scheme = D.re_replace_all(
+        "lower(url)", "^https?://(www\\.)?", "", engine
+    )
+    strip_query = D.re_replace_all(f"({strip_scheme})", "[?#].*$", "", engine)
+    split_fn = "string_split" if engine == D.DUCK else "split"
+    return f"""
+    SELECT doc_id, curl,
+           {D.at(f"{split_fn}(curl, '/')", "1", engine)} AS domain
+    FROM (
+      SELECT doc_id, TRIM(TRAILING '/' FROM {strip_query}) AS curl
+      FROM (SELECT doc_id, {url} AS url FROM {table}) u
+    ) c"""
+
+
+def _url_dedup_cap_oracle(table: str) -> str:
+    """DuckDB mirror of the operator composition: MIN(doc_id) per
+    canonical URL (first fetch wins — map-combinable agg, never a
+    row_number over the URL-hash partition), then the seeded-h64
+    rank-per-domain cap (≡ operators/sampling.per_key_exact_sample
+    with order_hash = portable h64)."""
+    h = D.seeded_h64("CAST(doc_id AS STRING)", _URL_SEED, D.DUCK)
+    return f"""
+    WITH canon AS ({_url_canon_sql(D.DUCK, table)}),
+    firsts AS (SELECT MIN(doc_id) AS doc_id FROM canon GROUP BY curl),
+    kept AS (SELECT c.* FROM canon c JOIN firsts f ON c.doc_id = f.doc_id),
+    capped AS (
+      SELECT domain, doc_id FROM (
+        SELECT domain, doc_id,
+               row_number() OVER (PARTITION BY domain
+                                  ORDER BY {h}, doc_id) AS rn
+        FROM kept
+      ) r WHERE rn <= {_URL_CAP}
+    ),
+    tot AS (SELECT domain, CAST(COUNT(*) AS BIGINT) AS docs_total
+            FROM canon GROUP BY domain),
+    uniq AS (SELECT domain, CAST(COUNT(*) AS BIGINT) AS urls_canonical
+             FROM kept GROUP BY domain),
+    cp AS (SELECT domain, CAST(COUNT(*) AS BIGINT) AS kept_after_cap,
+                  CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum
+           FROM capped GROUP BY domain)
+    SELECT t.domain, docs_total, urls_canonical,
+           docs_total - urls_canonical AS dups_removed,
+           kept_after_cap, kept_id_sum
+    FROM tot t JOIN uniq u ON t.domain = u.domain
+    JOIN cp ON t.domain = cp.domain
+    ORDER BY t.domain"""
+
+
+@register(
+    "curation_url_dedup_cap",
+    _url_dedup_cap_oracle("documents"),
+    doc="training-data ext: provenance-axis dedup — canonicalized-URL "
+        "exact dedup (first fetch wins via MIN(doc_id) per canonical "
+        "URL, the map-combinable argmax idiom) composed with a "
+        "per-domain page cap (operators/sampling.per_key_exact_sample: "
+        "seeded-h64 rank, hash-range PREFILTER kills ~99% of the cap "
+        "shuffle map-side at scale). Per-domain report: fetch count, "
+        "canonical pages, dups removed, capped keep set pinned by its "
+        "exact id-sum. Completes the dedup family's third axis "
+        "(content exact/near/span + provenance)",
+)
+def curation_url_dedup_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import per_key_exact_sample
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "bq_urlddc_docs"
+    )
+    canon = spark.sql(_url_canon_sql(D.SPARK, "bq_urlddc_docs"))
+    firsts = canon.groupBy("curl").agg(F.min("doc_id").alias("doc_id"))
+    kept = canon.join(firsts.select("doc_id"), "doc_id", "left_semi")
+    h = F.expr(D.seeded_h64("CAST(doc_id AS STRING)", _URL_SEED, D.SPARK))
+    capped = per_key_exact_sample(
+        kept.select("domain", "doc_id"),
+        "domain",
+        _URL_CAP,
+        key_col="doc_id",
+        order_hash=h,
+        hash_range=(0, 1 << 60),  # portable md5 h64 is 60-bit non-negative
+    )
+    tot = canon.groupBy("domain").agg(
+        F.count("*").cast("bigint").alias("docs_total")
+    )
+    uniq = kept.groupBy("domain").agg(
+        F.count("*").cast("bigint").alias("urls_canonical")
+    )
+    cp = capped.groupBy("domain").agg(
+        F.count("*").cast("bigint").alias("kept_after_cap"),
+        F.sum("doc_id").cast("bigint").alias("kept_id_sum"),
+    )
+    return (
+        tot.join(uniq, "domain")
+        .join(cp, "domain")
+        .select(
+            "domain",
+            "docs_total",
+            "urls_canonical",
+            (F.col("docs_total") - F.col("urls_canonical")).alias("dups_removed"),
+            "kept_after_cap",
+            "kept_id_sum",
+        )
+        .orderBy("domain")
+    )

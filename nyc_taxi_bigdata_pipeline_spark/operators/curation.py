@@ -33,6 +33,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 # (name, java-regex, replacement token). ASCII-only classes so behavior
 # is predictable across regex engines; extend per-deployment.
+# span_dedup_remove: occurrences-per-window-hash above which the
+# canonical join-back routes through the broadcast skew branch (the
+# broadcast side is bounded by |win|/cap rows — see the operator)
+_HOT_WINDOW_CAP = 100_000
+
 DEFAULT_PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
     ("phone", r"\b\d{3}[-.]\d{3,4}[-.]?\d{0,4}\b", "<PHONE>"),
@@ -444,22 +449,27 @@ def span_dedup_remove(
     canonical occurrence is MIN(struct(doc_id, pos)) per window hash —
     ONE map-combinable aggregation (struct MIN plans as SortAggregate
     but still partial-agg + one shuffle, the CLAUDE.md argmax idiom)
-    rather than a row_number window over the hash partition. Measured
-    honestly (scripts/bench_r10_spandedup.viral_probe, 1M docs with one
-    16-token block in 50% of them = 500k occurrences per hot window
-    hash): the two shapes TIE at 49 s — the join-back's sort-merge
-    concentrates the hot key in one task exactly like the window's sort
-    would, so there is no wall-clock win at this tier. The agg shape is
-    kept because (a) the canonical RESOLUTION itself folds map-side
-    (the shuffled dup_first table is one row per duplicated window hash
-    regardless of virality — bounded reducer state where the window
-    shape buffers the hot key's full row set to rank it), and (b) on
-    non-viral corpora dup_first is far smaller than the full occ frame
-    a window would materialize. The dup-window table scales with the
-    corpus, so its join back carries a merge hint (the static-broadcast
-    OOM class). Only marked positions reach the per-doc islands window;
-    reconstruction is a JVM higher-order filter (spans per doc are few
-    — no Python in the row path).
+    rather than a row_number window over the hash partition: the
+    canonical RESOLUTION folds map-side (dup_first is one row per
+    duplicated window hash regardless of virality, where the window
+    shape buffers the hot key's full row set to rank it).
+
+    The join BACK is skew-split (r11; r10's viral probe had measured
+    the plain merge join-back TIE the rank-window because its
+    probe-side sort concentrates the hot hash in one task): window
+    hashes above ``_HOT_WINDOW_CAP`` occurrences route through an
+    explicit broadcast hash join — no probe-side shuffle or sort, the
+    hot key stays split across win's existing partitions — while cold
+    keys keep the merge join (the dup-window table scales with the
+    corpus: the static-broadcast OOM class, hence the hint and the
+    bounded hot side). The hot side is PROVABLY bounded: Σc = |win|,
+    so at most |win|/cap hashes exceed the cap. Measured
+    (scripts/bench_r10_spandedup.viral_probe, 1M docs with one
+    16-token block in 50% = 500k occurrences per hot window hash):
+    broadcast-skew-split 8.8 s vs 18.0 s plain agg+merge vs 25.0 s
+    rank-window, identical mark sets. Only marked positions reach the
+    per-doc islands window; reconstruction is a JVM higher-order
+    filter (spans per doc are few — no Python in the row path).
     """
     from pyspark.sql import Window
 
@@ -482,15 +492,29 @@ def span_dedup_remove(
         win.groupBy("wh")
         .agg(F.min(F.struct(id_col, "pos")).alias("first"), F.count("*").alias("c"))
         .filter(F.col("c") > 1)
-        .select("wh", "first")
+        .select("wh", "first", "c")
     )
-    rm = (
-        win.join(dup_first.hint("merge"), "wh")
+    # Skew split on the join-back (r10 viral probe: a window hash with
+    # n/2 occurrences makes the merge join's probe-side sort a single
+    # task — measured TIE with the rejected rank-window at 49 s).
+    # Window hashes with > _HOT_WINDOW_CAP occurrences join via an
+    # EXPLICIT broadcast: no probe-side shuffle or sort, the hot key
+    # stays split across win's existing partitions. The broadcast side
+    # is provably bounded — Σc = |win| rows, so #{wh : c > cap} ≤
+    # |win|/cap (~30-byte rows; 1e12 windows / 1e5 cap = 1e7 rows worst
+    # case — size cap against the static-broadcast OOM class). Cold
+    # keys keep the merge join; both branches share one exchange
+    # (identical agg subplan → ReusedExchange).
+    cold = dup_first.filter(F.col("c") <= _HOT_WINDOW_CAP).select("wh", "first")
+    hot = dup_first.filter(F.col("c") > _HOT_WINDOW_CAP).select("wh", "first")
+    marks = (
+        win.join(cold.hint("merge"), "wh")
+        .unionByName(win.join(F.broadcast(hot), "wh"))
         .filter(F.struct(id_col, "pos") != F.col("first"))
         .select(id_col, "pos")  # (doc, pos) unique: wh is unique in dup_first
-        .withColumn(
-            "prev", F.lag("pos").over(Window.partitionBy(id_col).orderBy("pos"))
-        )
+    )
+    rm = marks.withColumn(
+        "prev", F.lag("pos").over(Window.partitionBy(id_col).orderBy("pos"))
     )
     isl = rm.withColumn(
         "island",

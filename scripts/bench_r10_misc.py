@@ -83,8 +83,9 @@ def main() -> None:
     ap.add_argument("--full", action="store_true", help="add the top tiers")
     args = ap.parse_args()
     spark = get_spark("bench-r10-misc")
-    doc_tiers = [30_000, 100_000] + ([300_000] if args.full else [])
-    vec_tiers = [100_000, 300_000] + ([1_000_000] if args.full else [])
+    # r11 (r10 verdict item 6): ×10 top tiers — 3M docs / 10M vectors
+    doc_tiers = [30_000, 100_000] + ([300_000, 3_000_000] if args.full else [])
+    vec_tiers = [100_000, 300_000] + ([1_000_000, 10_000_000] if args.full else [])
     gopher_probe(spark, doc_tiers)
     drift_probe(spark, vec_tiers)
 
