@@ -394,3 +394,49 @@ def test_lm_perplexity_matches_pure_python_reference(spark, texts):
     }
     want = _lm_nll_reference(texts)
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# BPE DuckDB-oracle replay vs the pure-Python reference trainer
+# (tests/test_operators._ref_learn_bpe pins Spark's learn_bpe; this pins
+# the r11 chained-CTE DuckDB replay used as the driver oracle — no Spark
+# involved, so the property can afford real example volume). The word
+# strategy is repeat-heavy over a 2-letter alphabet to hammer the a=b
+# merge case, whose greedy left-to-right overlap semantics are the
+# gaps-and-islands + odd-parity part of the SQL.
+
+_bpe_word = st.text(alphabet="ab", min_size=1, max_size=6)
+_bpe_doc = st.lists(_bpe_word, min_size=1, max_size=8).map(" ".join)
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(_bpe_doc, min_size=1, max_size=6),
+    n_merges=st.integers(min_value=1, max_value=8),
+    with_null=st.booleans(),
+)
+def test_bpe_duckdb_oracle_matches_reference(docs, n_merges, with_null):
+    import duckdb
+    import pandas as pd
+
+    from nyc_taxi_bigdata_pipeline_spark.benchqueries.text_ops import (
+        _bpe_merges_oracle,
+    )
+    from tests.test_operators import _ref_learn_bpe
+
+    texts: list[str | None] = list(docs) + ([None] if with_null else [])
+    pdf = pd.DataFrame({"text": pd.Series(texts, dtype="object")})
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    got = con.execute(_bpe_merges_oracle("documents", n_merges)).fetchall()
+    con.close()
+
+    freqs: dict[str, int] = {}
+    for t in docs:
+        for w in t.lower().split():
+            if w:
+                freqs[w] = freqs.get(w, 0) + 1
+    want = _ref_learn_bpe(freqs, n_merges)
+    assert [(r[1], r[2], r[4]) for r in got] == want
+    assert [r[0] for r in got] == list(range(1, len(want) + 1))
+    assert all(r[3] == r[1] + r[2] for r in got)
