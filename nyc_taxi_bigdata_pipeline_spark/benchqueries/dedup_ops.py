@@ -897,7 +897,10 @@ def dataset_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     pairs = jaccard_join_prefix(docs, threshold=0.8, shingle_n=14)
-    clusters = dedup_clusters(pairs, id_col="doc_id")
+    # consumer of the cluster map, not its pin (dedup_components /
+    # dedup_cluster_canonical keep the distributed loop): verified pair
+    # graphs this size collapse driver-side (bounded; identical output)
+    clusters = dedup_clusters(pairs, id_col="doc_id", small_graph_cap=200_000)
     h = D.seeded_h64("CAST(doc_id AS STRING)", _SPLIT_SEED, D.SPARK)
     sp = docs.select(
         "doc_id", F.expr(f"({h}) % 100").alias("bucket")

@@ -114,6 +114,9 @@ def dedup_minhash_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text", F.concat(F.col("text"), F.lit(" zzextra"))
     )
     corpus = docs.unionByName(exact_dup).unionByName(near_dup)
+    # single-file scan + derived unions are a 1-partition layout — the
+    # signature/shingle stages inherit it (CLAUDE.md pitfall; 7.5→5.8 s)
+    corpus = corpus.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     # bands=4 → 4 rows/band (banding threshold ≈ 0.7): on this tiny-vocab
     # synthetic corpus 2-row bands collide for ~4% of ALL pairs (528k
     # candidates from 5.1k docs, measured) — band width must track the
@@ -195,15 +198,23 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    agg = o.agg(
+    # countDistinct is aggregated SEPARATELY and crossed back as a 1-row
+    # anchor: mixing a DISTINCT aggregate with the sketch/percentile
+    # buffers triggers Spark's distinct-EXPAND rewrite (every row
+    # duplicated per distinct group, sketches fed null-padded rows) —
+    # measured 4.5 s vs 0.6 s for this split at sf0.1 (r11)
+    sketches = o.agg(
         # rsd is a ~1σ relative error dial (more precision = bigger
         # sketch); 2% keeps the estimate inside ±6% with 3σ headroom
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custs"),
-        F.countDistinct("o_custkey").alias("exact_custs"),
         F.expr("percentile_approx(o_totalprice, 0.5)").alias("approx_median"),
         F.expr(
             "percentile(o_totalprice, 0.5)"
         ).alias("exact_median"),
+    )
+    exact = o.agg(F.countDistinct("o_custkey").alias("exact_custs"))
+    agg = sketches.crossJoin(F.broadcast(exact)).select(
+        "approx_custs", "exact_custs", "approx_median", "exact_median"
     )
     return agg.select(
         "*",

@@ -193,6 +193,9 @@ _SCALAR_ANCHOR_OK = {
                                       # the exact recount's threshold filter
     "text_bpe_encode_stats": 1,       # 1-row corpus-totals × 1-row
                                       # distinct-subword anchors
+    "approx_aggregates": 1,           # 1-row sketch frame × 1-row exact
+                                      # countDistinct (split defeats the
+                                      # distinct-EXPAND rewrite, r11)
     "mg_heavy_hitters_weighted": 1,   # 1-row total-mass anchor (same shape
                                       # as the unweighted MG recount)
     "text_bm25_topk": 1,              # 1-row (N_docs, total_tokens) corpus
