@@ -936,6 +936,92 @@ def dataset_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _split_by_cluster_oracle(table: str, n: int = 14) -> str:
+    """Remediation twin of `_split_leakage_oracle`: assign the 80/10/10
+    split at CLUSTER granularity (seeded h64 of the cluster label, so
+    every member inherits its cluster's split — leakage is zero by
+    construction) and report, per split, cluster/doc counts plus how
+    many docs MOVED relative to the naive doc-level hash rule.
+    Singletons label as their own doc_id, so their split equals the
+    naive one and they never move."""
+    from .dataset_ops import _SPLIT_SEED
+
+    h_lab = D.seeded_h64("CAST(label AS STRING)", _SPLIT_SEED, D.DUCK)
+    h_doc = D.seeded_h64("CAST(doc_id AS STRING)", _SPLIT_SEED, D.DUCK)
+    return (
+        _closure_ctes(table, n)
+        + f""",
+    alld AS (
+      SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS label
+      FROM (SELECT doc_id FROM {table} WHERE text IS NOT NULL) d
+      LEFT JOIN clusters c ON c.doc_id = d.doc_id
+    ),
+    asg AS (
+      SELECT doc_id, label,
+             CASE WHEN ({h_lab}) % 100 < 80 THEN 'train'
+                  WHEN ({h_lab}) % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split,
+             CASE WHEN ({h_doc}) % 100 < 80 THEN 'train'
+                  WHEN ({h_doc}) % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS doc_split
+      FROM alld
+    )
+    SELECT split,
+           CAST(COUNT(DISTINCT label) AS BIGINT) AS clusters,
+           CAST(COUNT(*) AS BIGINT) AS docs,
+           CAST(SUM(CASE WHEN split <> doc_split THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_moved
+    FROM asg GROUP BY split ORDER BY split"""
+    )
+
+
+@register(
+    "dataset_split_by_cluster",
+    _split_by_cluster_oracle("documents"),
+    doc="training-data ext: the REMEDIATION for dataset_split_leakage — "
+        "80/10/10 split assigned at near-dup-CLUSTER granularity "
+        "(seeded h64 of the cluster label; every member inherits its "
+        "cluster's split, so leakage is zero by construction; "
+        "singletons label as themselves). Reports per-split cluster/"
+        "doc counts and docs moved vs the naive doc-level hash rule. "
+        "Detection + remediation close the dedup-aware-split story",
+)
+def dataset_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import dedup_clusters, jaccard_join_prefix
+    from .dataset_ops import _SPLIT_SEED
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    pairs = jaccard_join_prefix(docs, threshold=0.8, shingle_n=14)
+    # consumer of the cluster map (see dataset_split_leakage)
+    clusters = dedup_clusters(pairs, id_col="doc_id", small_graph_cap=200_000)
+    alld = docs.select("doc_id").join(clusters, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster", "doc_id").alias("label")
+    )
+    h_lab = D.seeded_h64("CAST(label AS STRING)", _SPLIT_SEED, D.SPARK)
+    h_doc = D.seeded_h64("CAST(doc_id AS STRING)", _SPLIT_SEED, D.SPARK)
+
+    def rule(h: str):
+        b = F.expr(f"({h}) % 100")
+        return (
+            F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+        )
+
+    asg = alld.select(
+        "doc_id", "label", rule(h_lab).alias("split"), rule(h_doc).alias("doc_split")
+    )
+    return (
+        asg.groupBy("split")
+        .agg(
+            F.countDistinct("label").cast("bigint").alias("clusters"),
+            F.count("*").cast("bigint").alias("docs"),
+            F.sum((F.col("split") != F.col("doc_split")).cast("bigint"))
+            .alias("docs_moved"),
+        )
+        .orderBy("split")
+    )
+
+
 def _cluster_canonical_oracle(table: str, n: int = 14) -> str:
     """End-to-end removal counts over a PLANTED-dup corpus: the
     `_components_oracle` recursive closure extended with the canonical
