@@ -116,6 +116,36 @@ def test_dedup_clusters_and_canonical(spark, docs_with_dups):
         assert doc + 100000 not in kept_ids  # its exact copy does not
 
 
+def test_dedup_clusters_small_graph_cap_equivalence(spark):
+    """r11 `small_graph_cap` driver-side union-find must equal the
+    distributed min-label loop exactly — adversarial shapes: long chain
+    (tests transitive depth), star, cycle, cross-edges arriving in
+    max-first order (tests union-by-min-root), self-contained cliques."""
+    edges = (
+        [(i, i + 1) for i in range(1, 9)]            # chain 1..9
+        + [(50, 51), (50, 52), (50, 53)]             # star
+        + [(60, 61), (61, 62), (62, 60)]             # cycle
+        + [(99, 70), (98, 70), (97, 98)]             # max-first unions
+        + [(80, 81), (81, 80)]                       # duplicate both ways
+    )
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    loop = {
+        (r["doc_id"], r["cluster"])
+        for r in dedup.dedup_clusters(pairs, max_iter=20).collect()
+    }
+    uf = {
+        (r["doc_id"], r["cluster"])
+        for r in dedup.dedup_clusters(pairs, small_graph_cap=10_000).collect()
+    }
+    assert uf == loop
+    # cap below the edge count → falls through to the distributed loop
+    tiny = {
+        (r["doc_id"], r["cluster"])
+        for r in dedup.dedup_clusters(pairs, small_graph_cap=2).collect()
+    }
+    assert tiny == loop
+
+
 def test_containment_asymmetric_subset(spark):
     """A doc that is a strict prefix of a longer doc: containment finds
     the src→dst direction at 1.0, NOT the reverse, and the symmetric
