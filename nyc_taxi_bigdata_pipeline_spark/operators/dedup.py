@@ -872,7 +872,11 @@ def dedup_clusters(
     convergence count) are pure fixed overhead at that size — measured
     ~1.2 s for an 18-node graph at sf0.1. Default None keeps the
     distributed loop (corpus-scale callers, and the oracle-backed
-    cluster queries that pin it)."""
+    cluster queries that pin it). At the 200k-edge cap the driver-side
+    work is measured ~0.4 s (0.18 s on the pathological 200k-node
+    single chain — path compression keeps it near-linear), so the
+    shortcut stays cheaper than even ONE distributed round right up to
+    the boundary where the loop takes over."""
     # persist the pair input: the symmetric edge union scans it TWICE,
     # and upstream pair generation (LSH + Jaccard verify) is the
     # expensive part of the whole clustering path
