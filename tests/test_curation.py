@@ -138,6 +138,25 @@ def test_span_dedup_remove_first_occurrence_survives(spark):
     assert_no_python_udf(curation.span_dedup_remove(df, k=8))
 
 
+def test_span_dedup_skew_split_plan_shape(spark):
+    """The r11 canonical join-back must plan BOTH branches: a broadcast
+    hash join for hot window hashes (no probe-side sort) and a
+    merge-hinted sort-merge join for the cold bulk — a regression to a
+    single merge join re-opens the viral single-task sort the r10 probe
+    measured (18 s vs 8.8 s at the 500k-occurrence tier)."""
+    from nyc_taxi_bigdata_pipeline_spark.plans.explain import physical_plan
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "a b c d e f g h i j k")],
+        "doc_id long, text string",
+    )
+    plan = physical_plan(curation.span_dedup_remove(df, k=8))
+    assert "BroadcastHashJoin" in plan  # hot branch (bounded by |win|/cap)
+    assert "SortMergeJoin" in plan      # cold branch keeps the merge hint
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_span_dedup_operator_matches_sql_twin(spark, sf_dir, docs):
     """The xxhash64 scale path must reproduce the oracle-backed SQL
     twin's per-source accounting exactly (same windows, same canonical
