@@ -33,9 +33,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 # (name, java-regex, replacement token). ASCII-only classes so behavior
 # is predictable across regex engines; extend per-deployment.
-# span_dedup_remove: occurrences-per-window-hash above which the
-# canonical join-back routes through the broadcast skew branch (the
-# broadcast side is bounded by |win|/cap rows — see the operator)
+# span_dedup_remove: suggested occurrences-per-window-hash cap for the
+# OPT-IN broadcast skew branch (hot_window_cap param; the broadcast
+# side is bounded by |win|/cap rows — see the operator docstring for
+# the measurement that made plain-merge the default)
 _HOT_WINDOW_CAP = 100_000
 
 DEFAULT_PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
@@ -420,6 +421,7 @@ def span_dedup_remove(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 8,
+    hot_window_cap: int | None = None,
 ) -> DataFrame:
     """Cross-document repeated-substring REMOVAL (Lee et al. 2022
     ExactSubstr class), scale path — the removal counterpart of
@@ -454,22 +456,29 @@ def span_dedup_remove(
     duplicated window hash regardless of virality, where the window
     shape buffers the hot key's full row set to rank it).
 
-    The join BACK is skew-split (r11; r10's viral probe had measured
-    the plain merge join-back TIE the rank-window because its
-    probe-side sort concentrates the hot hash in one task): window
-    hashes above ``_HOT_WINDOW_CAP`` occurrences route through an
-    explicit broadcast hash join — no probe-side shuffle or sort, the
-    hot key stays split across win's existing partitions — while cold
-    keys keep the merge join (the dup-window table scales with the
-    corpus: the static-broadcast OOM class, hence the hint and the
-    bounded hot side). The hot side is PROVABLY bounded: Σc = |win|,
-    so at most |win|/cap hashes exceed the cap. Measured
-    (scripts/bench_r10_spandedup.viral_probe, 1M docs with one
-    16-token block in 50% = 500k occurrences per hot window hash):
-    broadcast-skew-split 8.8 s vs 18.0 s plain agg+merge vs 25.0 s
-    rank-window, identical mark sets. Only marked positions reach the
-    per-doc islands window; reconstruction is a JVM higher-order
-    filter (spans per doc are few — no Python in the row path).
+    The join BACK defaults to one merge-hinted join (the dup-window
+    table scales with the corpus: the static-broadcast OOM class).
+    ``hot_window_cap`` opts into a broadcast SKEW SPLIT: window hashes
+    above the cap route through an explicit broadcast hash join — no
+    probe-side shuffle or sort, the hot key stays split across win's
+    existing partitions — while cold keys keep the merge join; the hot
+    side is PROVABLY bounded (Σc = |win| ⇒ at most |win|/cap hashes
+    exceed the cap). CLAIM CORRECTED BY MEASUREMENT twice over: r10's
+    single-shot probe read the plain shape as a 49 s tie with the
+    rank-window, and r11's first single-shot read the split 2× ahead —
+    both were JIT-order artifacts (whichever shape runs first pays
+    codegen compilation). The honest best-of-2 round-robin at 1M docs /
+    500k occurrences per hot hash: plain merge 6.8 s, skew split 8.1 s,
+    rank-window 15.2 s — the hot key's single-task sort (~4.5M longs)
+    overlaps the other partitions' work, while the split always pays a
+    SECOND full probe scan, so plain is the right DEFAULT at every
+    scale (at petabyte probe sizes the extra scan is the dominant cost,
+    and AQE's skew-join splits SMJ partitions past its 256 MB threshold
+    anyway). Set the cap only when one window hash's occurrence mass
+    alone exceeds a task's comfortable sort budget while staying under
+    AQE's threshold. Only marked positions reach the per-doc islands
+    window; reconstruction is a JVM higher-order filter (spans per doc
+    are few — no Python in the row path).
     """
     from pyspark.sql import Window
 
@@ -494,22 +503,20 @@ def span_dedup_remove(
         .filter(F.col("c") > 1)
         .select("wh", "first", "c")
     )
-    # Skew split on the join-back (r10 viral probe: a window hash with
-    # n/2 occurrences makes the merge join's probe-side sort a single
-    # task — measured TIE with the rejected rank-window at 49 s).
-    # Window hashes with > _HOT_WINDOW_CAP occurrences join via an
-    # EXPLICIT broadcast: no probe-side shuffle or sort, the hot key
-    # stays split across win's existing partitions. The broadcast side
-    # is provably bounded — Σc = |win| rows, so #{wh : c > cap} ≤
-    # |win|/cap (~30-byte rows; 1e12 windows / 1e5 cap = 1e7 rows worst
-    # case — size cap against the static-broadcast OOM class). Cold
-    # keys keep the merge join; both branches share one exchange
-    # (identical agg subplan → ReusedExchange).
-    cold = dup_first.filter(F.col("c") <= _HOT_WINDOW_CAP).select("wh", "first")
-    hot = dup_first.filter(F.col("c") > _HOT_WINDOW_CAP).select("wh", "first")
+    # Join-back: plain merge join by default; hot_window_cap opts into
+    # the broadcast skew split (see docstring — measured slower at the
+    # 1M/500k-occurrence tier because it re-scans win, kept for corpora
+    # whose single hottest hash exceeds a task's sort budget).
+    if hot_window_cap is None:
+        joined_marks = win.join(dup_first.select("wh", "first").hint("merge"), "wh")
+    else:
+        cold = dup_first.filter(F.col("c") <= hot_window_cap).select("wh", "first")
+        hot = dup_first.filter(F.col("c") > hot_window_cap).select("wh", "first")
+        joined_marks = win.join(cold.hint("merge"), "wh").unionByName(
+            win.join(F.broadcast(hot), "wh")
+        )
     marks = (
-        win.join(cold.hint("merge"), "wh")
-        .unionByName(win.join(F.broadcast(hot), "wh"))
+        joined_marks
         .filter(F.struct(id_col, "pos") != F.col("first"))
         .select(id_col, "pos")  # (doc, pos) unique: wh is unique in dup_first
     )

@@ -103,7 +103,10 @@ def viral_probe(spark, n_docs: int = 1_000_000) -> None:
     ways on the same corpus: the shipped map-combinable MIN(struct) agg
     + join-back vs the rejected row_number window over the hash
     partition (single-task sort of the hot key). Both sides count the
-    identical non-canonical mark set."""
+    identical non-canonical mark set. Timings are best-of-2 ROUND-ROBIN
+    passes (r11): single-shot shape timings swing 2-3x with JIT order —
+    whichever shape runs first pays its codegen compilation (measured
+    agg-canonical 18 s vs 37 s across two sessions, same code)."""
     import time
 
     import pyspark.sql.functions as F
@@ -135,55 +138,66 @@ def viral_probe(spark, n_docs: int = 1_000_000) -> None:
         .localCheckpoint(eager=True)  # both shapes read the same input
     )
 
-    t0 = time.time()
-    dup_first = (
-        win.groupBy("wh")
-        .agg(F.min(F.struct("doc_id", "pos")).alias("first"), F.count("*").alias("c"))
-        .filter(F.col("c") > 1)
-        .select("wh", "first")
-    )
-    agg_marks = (
-        win.join(dup_first.hint("merge"), "wh")
-        .filter(F.struct("doc_id", "pos") != F.col("first"))
-        .count()
-    )
-    t_agg = time.time() - t0
+    def shape_agg():
+        dup_first = (
+            win.groupBy("wh")
+            .agg(F.min(F.struct("doc_id", "pos")).alias("first"),
+                 F.count("*").alias("c"))
+            .filter(F.col("c") > 1)
+            .select("wh", "first")
+        )
+        return (
+            win.join(dup_first.hint("merge"), "wh")
+            .filter(F.struct("doc_id", "pos") != F.col("first"))
+            .count()
+        )
 
-    t0 = time.time()
-    occ = win.select(
-        "doc_id",
-        "pos",
-        F.count("*").over(Window.partitionBy("wh")).alias("c"),
-        F.row_number()
-        .over(Window.partitionBy("wh").orderBy("doc_id", "pos"))
-        .alias("rk"),
-    )
-    window_marks = occ.filter((F.col("c") > 1) & (F.col("rk") > 1)).count()
-    t_window = time.time() - t0
+    def shape_window():
+        occ = win.select(
+            "doc_id",
+            "pos",
+            F.count("*").over(Window.partitionBy("wh")).alias("c"),
+            F.row_number()
+            .over(Window.partitionBy("wh").orderBy("doc_id", "pos"))
+            .alias("rk"),
+        )
+        return occ.filter((F.col("c") > 1) & (F.col("rk") > 1)).count()
 
     # r11 skew split (the shipped shape): hot window hashes (> cap
-    # occurrences, provably ≤ |win|/cap of them) join via explicit
-    # broadcast — no probe-side sort — cold keys keep the merge join
+    # occurrences, provably <= |win|/cap of them) join via explicit
+    # broadcast -- no probe-side sort -- cold keys keep the merge join
     from nyc_taxi_bigdata_pipeline_spark.operators.curation import (
         _HOT_WINDOW_CAP,
     )
 
-    t0 = time.time()
-    df2 = (
-        win.groupBy("wh")
-        .agg(F.min(F.struct("doc_id", "pos")).alias("first"),
-             F.count("*").alias("c"))
-        .filter(F.col("c") > 1)
+    def shape_split():
+        df2 = (
+            win.groupBy("wh")
+            .agg(F.min(F.struct("doc_id", "pos")).alias("first"),
+                 F.count("*").alias("c"))
+            .filter(F.col("c") > 1)
+        )
+        cold = df2.filter(F.col("c") <= _HOT_WINDOW_CAP).select("wh", "first")
+        hot = df2.filter(F.col("c") > _HOT_WINDOW_CAP).select("wh", "first")
+        return (
+            win.join(cold.hint("merge"), "wh")
+            .unionByName(win.join(F.broadcast(hot), "wh"))
+            .filter(F.struct("doc_id", "pos") != F.col("first"))
+            .count()
+        )
+
+    shapes = {"agg": shape_agg, "window": shape_window, "split": shape_split}
+    best: dict[str, float] = {}
+    marks: dict[str, int] = {}
+    for _ in range(2):  # round-robin, min per shape (the bench.py rule)
+        for name, fn in shapes.items():
+            t0 = time.time()
+            marks[name] = fn()
+            best[name] = min(best.get(name, float("inf")), time.time() - t0)
+    agg_marks, window_marks, split_marks = (
+        marks["agg"], marks["window"], marks["split"],
     )
-    cold = df2.filter(F.col("c") <= _HOT_WINDOW_CAP).select("wh", "first")
-    hot = df2.filter(F.col("c") > _HOT_WINDOW_CAP).select("wh", "first")
-    split_marks = (
-        win.join(cold.hint("merge"), "wh")
-        .unionByName(win.join(F.broadcast(hot), "wh"))
-        .filter(F.struct("doc_id", "pos") != F.col("first"))
-        .count()
-    )
-    t_split = time.time() - t0
+    t_agg, t_window, t_split = best["agg"], best["window"], best["split"]
 
     assert agg_marks == window_marks == split_marks, (
         agg_marks, window_marks, split_marks,

@@ -138,23 +138,46 @@ def test_span_dedup_remove_first_occurrence_survives(spark):
     assert_no_python_udf(curation.span_dedup_remove(df, k=8))
 
 
-def test_span_dedup_skew_split_plan_shape(spark):
-    """The r11 canonical join-back must plan BOTH branches: a broadcast
-    hash join for hot window hashes (no probe-side sort) and a
-    merge-hinted sort-merge join for the cold bulk — a regression to a
-    single merge join re-opens the viral single-task sort the r10 probe
-    measured (18 s vs 8.8 s at the 500k-occurrence tier)."""
+def test_span_dedup_join_back_plan_shapes(spark):
+    """Default join-back is ONE merge-hinted join (best-of-2 round-robin
+    measured it fastest even at 500k occurrences per hot hash — the
+    r11 skew split re-scans the probe side and is opt-in). With
+    hot_window_cap set, BOTH branches must plan: broadcast hash join
+    for hot hashes (bounded by |win|/cap), merge join for the cold
+    bulk. Neither shape may degrade to BNLJ/cartesian."""
     from nyc_taxi_bigdata_pipeline_spark.plans.explain import physical_plan
 
     df = spark.createDataFrame(
         [(1, "a b c d e f g h i j"), (2, "a b c d e f g h i j k")],
         "doc_id long, text string",
     )
-    plan = physical_plan(curation.span_dedup_remove(df, k=8))
-    assert "BroadcastHashJoin" in plan  # hot branch (bounded by |win|/cap)
-    assert "SortMergeJoin" in plan      # cold branch keeps the merge hint
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert "CartesianProduct" not in plan
+    plain = physical_plan(curation.span_dedup_remove(df, k=8))
+    assert "BroadcastHashJoin" not in plain  # dup_first is corpus-scaled
+    assert "SortMergeJoin" in plain
+    split = physical_plan(
+        curation.span_dedup_remove(df, k=8, hot_window_cap=100_000)
+    )
+    assert "BroadcastHashJoin" in split  # hot branch (bounded by |win|/cap)
+    assert "SortMergeJoin" in split      # cold branch keeps the merge hint
+    for plan in (plain, split):
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+
+def test_span_dedup_skew_split_same_output(spark):
+    """The opt-in skew split must be output-identical to the default
+    join-back on a corpus whose hot window crosses the cap."""
+    rows = [(i, "h1 h2 h3 h4 h5 h6 h7 h8 u%d" % i) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = {
+        (r.doc_id, r.tokens_removed, r.clean_text)
+        for r in curation.span_dedup_remove(df, k=8).collect()
+    }
+    split = {
+        (r.doc_id, r.tokens_removed, r.clean_text)
+        for r in curation.span_dedup_remove(df, k=8, hot_window_cap=10).collect()
+    }
+    assert base == split
 
 
 def test_span_dedup_operator_matches_sql_twin(spark, sf_dir, docs):
