@@ -245,3 +245,102 @@ def foreach_batch_sketch_maintain(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def foreach_batch_dedup_maintain(
+    stream: DataFrame,
+    corpus_path: str,
+    index_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> StreamingQuery:
+    """STREAMING incremental near-dup dedup — the ingest-time flavor of
+    ``operators/dedup.dedup_incremental``: each micro-batch drops docs
+    that near-duplicate the accumulated corpus (touched only through
+    the persisted LSH band index at ``index_path`` plus candidate-only
+    text reads from ``corpus_path``), collapses within-batch clusters
+    to canonicals, then appends the survivors to the corpus view AND
+    their band rows to the index view.
+
+    Both views update through ``_merge_view_crash_safe`` with the
+    batch-id/run-id marker, so a re-delivered batch is a no-op on each
+    view independently (exactly-once per view on top of foreachBatch's
+    at-least-once contract). The CORPUS merges FIRST: a crash between
+    the two merges leaves docs that exist in the corpus but not yet in
+    the index — they are simply not dedup candidates until the replay
+    completes the index merge (safe; the reverse order could propose a
+    candidate whose text is unreadable and silently skip a
+    contamination). Replay recomputation is deterministic: a survivor
+    already merged into the corpus collides only with itself, and the
+    ``id_a != id_b`` backstop in ``dedup_incremental`` drops self-pairs,
+    so a replayed batch re-derives the same survivor set.
+
+    At scale each batch costs: one signature pass over the BATCH, a
+    banded join against the index (never the corpus text), candidate-
+    only verification, and two bounded view merges — corpus text is
+    re-read only for colliding candidates, the whole point of
+    persisting the band index (reference contract documented on
+    ``dedup_incremental``).
+    """
+    from ..operators.dedup import (
+        add_minhash,
+        band_rows,
+        dedup_incremental,
+        keep_canonical,
+        minhash_dedup,
+    )
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        from pathlib import Path
+
+        spark = batch.sparkSession
+        batch = batch.select(id_col, text_col).filter(
+            F.col(text_col).isNotNull()
+        )
+        have_state = Path(corpus_path).exists() and Path(index_path).exists()
+        if have_state:
+            corpus = spark.read.parquet(corpus_path)
+            index = spark.read.parquet(index_path)
+            survivors = dedup_incremental(
+                batch, corpus, index, id_col, text_col,
+                threshold, num_hashes, bands,
+            )
+        else:  # first batch: within-batch dedup only
+            pairs = minhash_dedup(
+                batch, id_col, text_col, num_hashes, bands, threshold
+            )
+            survivors = keep_canonical(
+                batch, pairs, id_col, small_graph_cap=200_000
+            )
+        # both view builds read the survivors — materialize the dedup
+        # chain once (honest inside a sink: the work is per-batch)
+        survivors = survivors.localCheckpoint(eager=True)
+        new_bands = band_rows(
+            add_minhash(survivors, text_col, num_hashes, id_col),
+            id_col, num_hashes, bands,
+        )
+        run_id = _checkpoint_query_id(checkpoint)
+        _merge_view_crash_safe(
+            spark, corpus_path,
+            lambda view: survivors if view is None
+            else view.unionByName(survivors),
+            batch_id=batch_id, run_id=run_id,
+        )
+        _merge_view_crash_safe(
+            spark, index_path,
+            lambda view: new_bands if view is None
+            else view.unionByName(new_bands),
+            batch_id=batch_id, run_id=run_id,
+        )
+        survivors.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -301,3 +301,55 @@ def test_agg_maintain_checkpoint_replay_no_double_sum(spark, tmp_path):
     # retained view — the documented cost of resetting only one of
     # (checkpoint, view)
     assert got["a"] == (22, 4) and got["b"] == (10, 2)
+
+
+def test_foreach_batch_dedup_maintain(spark, tmp_path):
+    """Streaming incremental near-dup dedup: cross-batch contamination
+    drops against the persisted band index, within-batch clusters
+    collapse to canonicals, survivors + their band rows accumulate
+    crash-safely, and a same-run replay changes nothing."""
+    from nyc_taxi_bigdata_pipeline_spark.streaming import sinks
+
+    src = tmp_path / "src"
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+
+    def doc(seed: str) -> str:
+        return " ".join(f"{seed}tok{i:02d}" for i in range(15))
+
+    def run(rows, part):
+        spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+            str(src / part)
+        )
+        stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+        q = sinks.foreach_batch_dedup_maintain(
+            stream, corpus, index, ckpt, threshold=0.8
+        )
+        q.awaitTermination(180)
+        q.stop()
+
+    # batch 1: doc 2 is an exact copy of doc 1 (within-batch dup)
+    run([(1, doc("alpha")), (2, doc("alpha")), (3, doc("beta")),
+         (4, doc("gamma")), (5, None)], "p1")
+    ids = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert ids == {1, 3, 4}  # canonical min-id kept; NULL text dropped
+    # batch 2: 6 replays doc 3 (cross-batch contamination -> dropped
+    # via the index, never by re-shingling the corpus); 7 is new; 8
+    # duplicates 7 within the batch
+    run([(6, doc("beta")), (7, doc("delta")), (8, doc("delta"))], "p2")
+    ids = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert ids == {1, 3, 4, 7}
+    idx = spark.read.parquet(index)
+    assert idx.select("doc_id").distinct().count() == 4
+    assert idx.count() == 4 * 8  # bands per surviving doc
+    # same-run restart with no new files: exactly-once per view
+    stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+    q = sinks.foreach_batch_dedup_maintain(
+        stream, corpus, index, ckpt, threshold=0.8
+    )
+    q.awaitTermination(180)
+    q.stop()
+    assert {r["doc_id"] for r in spark.read.parquet(corpus).collect()} == {1, 3, 4, 7}
+    assert spark.read.parquet(index).count() == 4 * 8
