@@ -204,6 +204,197 @@ def _tfidf_read_sql(tf_rel: str) -> str:
     ORDER BY doc_a"""
 
 
+# ------------------------------------------------- hybrid retrieval (RRF)
+
+_RRF_PROBES = (0, 1, 2)  # fixed probe doc ids (exist with text at every SF)
+_RRF_FUSE_K = 50         # per-system list depth fed into the fusion
+_RRF_C = 60              # canonical RRF constant (Cormack et al., 2009)
+_RRF_OUT_K = 10
+_RRF_DIM = 64
+
+
+def _rrf_cand_sql(docs_table: str, emb_table: str) -> str:
+    """Candidate universe: docs that have BOTH text and an embedding, so
+    the lexical and semantic rankings score the same id set (engine-shared
+    text — plain equi-join + null filter)."""
+    return (
+        f"SELECT d.doc_id, d.text FROM {docs_table} d "
+        f"JOIN {emb_table} e ON e.vec_id = d.doc_id "
+        f"WHERE d.text IS NOT NULL"
+    )
+
+
+def _rrf_tf_sql(engine: str, cand_rel: str) -> str:
+    unnest = D.unnest_col(D.split_ws("lower(trim(text))", engine), engine)
+    return (
+        "SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf "
+        f"FROM (SELECT doc_id, {unnest} AS tok FROM {cand_rel}) t "
+        "GROUP BY doc_id, tok"
+    )
+
+
+def _rrf_emb_sql(docs_table: str, emb_table: str) -> str:
+    return (
+        f"SELECT e.vec_id AS doc_id, e.embedding FROM {emb_table} e "
+        f"JOIN {docs_table} d ON d.doc_id = e.vec_id "
+        f"WHERE d.text IS NOT NULL"
+    )
+
+
+def _rrf_sem_dot(a: str, b: str, engine: str) -> str:
+    """Order-identical sequential-fold dot product (the proven
+    similarity_ops idiom — both engines fold in element order)."""
+    prods = D.transform(
+        D.iseq("1", str(_RRF_DIM), engine),
+        f"i -> CAST({D.at(a, 'i', engine)} AS DOUBLE)"
+        f" * CAST({D.at(b, 'i', engine)} AS DOUBLE)",
+        engine,
+    )
+    return D.fold_sum_double(prods, engine)
+
+
+def _rrf_read_sql(engine: str, tf_rel: str, emb_rel: str) -> str:
+    """Reciprocal-rank fusion of a lexical and a semantic ranking.
+
+    Lexical arm: exact-integer TF-IDF cosine (tf · idf_milli weights —
+    LN only ever sees integer-valued doubles, BIGINT dots/norms, one
+    final float division snapped to 1e-9) between each probe doc and
+    every candidate sharing ≥1 token; top-``_RRF_FUSE_K`` by fp9 cosine.
+    Semantic arm: embedding cosine (sequential-fold dot, round 6 — the
+    similarity_knn_bruteforce idiom); top-``_RRF_FUSE_K``. Fusion:
+    RRF_fp(d) = Σ_arms FLOOR(1e9 / (C + rank) + 0.5) over the arms that
+    ranked d (FULL OUTER JOIN, absent arm contributes 0) — each term is
+    ONE IEEE division on exact integers, summed as BIGINTs, so the score
+    is bit-identical cross-engine; final rank breaks ties by cand_id.
+    """
+    probes = ", ".join(str(p) for p in _RRF_PROBES)
+    sem_dot = _rrf_sem_dot("q.embedding", "c.embedding", engine)
+    sem_qn = _rrf_sem_dot("q.embedding", "q.embedding", engine)
+    sem_cn = _rrf_sem_dot("c.embedding", "c.embedding", engine)
+    # bounded probe sides are the build sides BY DESIGN (the static-size
+    # estimator must never pick the corpus side — the OOM class)
+    lex_hint = "/*+ BROADCAST(p) */ " if engine == D.SPARK else ""
+    sem_hint = "/*+ BROADCAST(q) */ " if engine == D.SPARK else ""
+    rrf_term = (
+        lambda r: f"CAST(FLOOR(CAST(1000000000 AS DOUBLE)"
+        f" / CAST({_RRF_C} + {r} AS DOUBLE) + 0.5) AS BIGINT)"
+    )
+    return f"""
+    WITH n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
+               FROM {tf_rel}),
+    dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+              FROM {tf_rel} GROUP BY tok),
+    w AS (
+      SELECT t.doc_id, t.tok,
+             t.tf * CAST(FLOOR((LN(CAST(n.nd AS DOUBLE))
+                                - LN(CAST(dfreq.df AS DOUBLE)))
+                               * 1000.0 + 0.5) AS BIGINT) AS w
+      FROM {tf_rel} t
+      JOIN dfreq ON dfreq.tok = t.tok
+      CROSS JOIN n
+    ),
+    norms AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2
+              FROM w GROUP BY doc_id),
+    lexdot AS (
+      SELECT {lex_hint}p.doc_id AS query_id, c.doc_id AS cand_id,
+             CAST(SUM(p.w * c.w) AS BIGINT) AS dot
+      FROM w p JOIN w c ON c.tok = p.tok AND c.doc_id <> p.doc_id
+      WHERE p.doc_id IN ({probes})
+      GROUP BY p.doc_id, c.doc_id
+    ),
+    lex AS (
+      SELECT query_id, cand_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+               CAST(FLOOR(CAST(dot AS DOUBLE)
+                          / SQRT(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))
+                          * 1000000000.0 + 0.5) AS BIGINT) DESC, cand_id)
+               AS BIGINT) AS r_lex
+      FROM lexdot
+      JOIN norms na ON na.doc_id = query_id
+      JOIN norms nb ON nb.doc_id = cand_id
+    ),
+    semscored AS (
+      SELECT {sem_hint}q.doc_id AS query_id, c.doc_id AS cand_id,
+             round({sem_dot} / (sqrt({sem_qn}) * sqrt({sem_cn})), 6) AS cos_sim
+      FROM {emb_rel} q JOIN {emb_rel} c ON c.doc_id <> q.doc_id
+      WHERE q.doc_id IN ({probes})
+    ),
+    sem AS (
+      SELECT query_id, cand_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY cos_sim DESC, cand_id) AS BIGINT) AS r_sem
+      FROM semscored
+    ),
+    fused AS (
+      SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+             COALESCE(l.cand_id, s.cand_id) AS cand_id,
+             l.r_lex AS r_lex, s.r_sem AS r_sem,
+             COALESCE({rrf_term('l.r_lex')}, 0)
+               + COALESCE({rrf_term('s.r_sem')}, 0) AS rrf_fp
+      FROM (SELECT * FROM lex WHERE r_lex <= {_RRF_FUSE_K}) l
+      FULL OUTER JOIN (SELECT * FROM sem WHERE r_sem <= {_RRF_FUSE_K}) s
+        ON s.query_id = l.query_id AND s.cand_id = l.cand_id
+    )
+    SELECT query_id, cand_id, r_lex, r_sem,
+           CAST(rrf_fp AS DOUBLE) / 1000000000.0 AS rrf_score,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT query_id, cand_id, r_lex, r_sem, rrf_fp,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY rrf_fp DESC, cand_id) AS rank
+      FROM fused) t
+    WHERE rank <= {_RRF_OUT_K}
+    ORDER BY query_id, rank"""
+
+
+def _rrf_oracle() -> str:
+    cand = _rrf_cand_sql("documents", "embeddings")
+    tf = _rrf_tf_sql(D.DUCK, "rrf_cand")
+    emb = _rrf_emb_sql("documents", "embeddings")
+    read = _rrf_read_sql(D.DUCK, "rrf_tf", "rrf_emb")
+    return (
+        f"WITH rrf_cand AS ({cand}), rrf_tf AS ({tf}), rrf_emb AS ({emb}),"
+        + read.lstrip().removeprefix("WITH")
+    )
+
+
+@register(
+    "search_hybrid_rrf",
+    _rrf_oracle(),
+    doc="training-data ext: hybrid retrieval via reciprocal-rank fusion "
+        "(Cormack et al. 2009) — the standard RAG-pipeline combiner of a "
+        "lexical ranking (exact-integer TF-IDF cosine over the probe "
+        "tokens' postings) and a semantic ranking (embedding cosine, "
+        "bounded probe side broadcast over one corpus scan) on a shared "
+        "candidate universe (docs ∩ embeddings). RRF term = "
+        "FLOOR(1e9/(C+rank)+0.5) per arm, BIGINT-summed across arms via "
+        "FULL OUTER JOIN of the two top-50 lists — bit-identical "
+        "cross-engine. At 100 TB both arms are one corpus pass each "
+        "(postings semi-join / broadcast NL scan) and the fusion joins "
+        "two ≤|probes|×50-row frames",
+)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs.createOrReplaceTempView("bq_rrf_docs")
+    emb.createOrReplaceTempView("bq_rrf_emb_raw")
+    cand = spark.sql(_rrf_cand_sql("bq_rrf_docs", "bq_rrf_emb_raw"))
+    # 1-partition single-file scan pitfall: spread the tokenize explode
+    cand = cand.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    cand.createOrReplaceTempView("bq_rrf_cand")
+    # the tf relation fans into n/dfreq/w(×2)/norms(×2) — CTE-inlining
+    # class: one corpus tokenize pass, lazily checkpointed (honest: the
+    # first caller action materializes it inside its own timing)
+    tf = spark.sql(_rrf_tf_sql(D.SPARK, "bq_rrf_cand")).localCheckpoint(
+        eager=False
+    )
+    tf.createOrReplaceTempView("bq_rrf_tf")
+    spark.sql(_rrf_emb_sql("bq_rrf_docs", "bq_rrf_emb_raw")).createOrReplaceTempView(
+        "bq_rrf_emb"
+    )
+    return spark.sql(_rrf_read_sql(D.SPARK, "bq_rrf_tf", "bq_rrf_emb"))
+
+
 @register(
     "text_tfidf_cosine",
     "WITH tfq AS (" + _tfidf_tf_sql(D.DUCK, "documents") + "),"

@@ -228,6 +228,9 @@ _SCALAR_ANCHOR_OK = {
     "drift_psi_value": 10,             # 1-row global-range anchor +
                                        # the fixed 10-bin grid crossed
                                        # with per-group arm totals
+    "search_hybrid_rrf": 3,            # bounded 3-probe side × corpus
+                                       # (semantic arm, knn shape) +
+                                       # 1-row doc-count idf anchor
 }
 
 
