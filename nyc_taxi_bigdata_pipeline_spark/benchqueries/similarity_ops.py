@@ -71,6 +71,152 @@ def similarity_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_knn(D.SPARK, "bq_knn_emb"))
 
 
+# ------------------------------------------- MMR diversified selection
+
+_MMR_PROBES = (0, 1, 2)
+_MMR_K_CAND = 25
+_MMR_K_SEL = 8
+_MMR_LNUM, _MMR_LDEN = 7, 10  # lambda = 0.7 in exact tenths
+_MMR_MU = _MMR_LDEN - _MMR_LNUM
+
+
+def _mmr_fp6(cos_expr: str) -> str:
+    """round-6 cosine → fixed-point micro-units (both steps are proven
+    cross-engine-identical idioms: round(,6) from the knn query, the
+    FLOOR(x·1e6+0.5) snap from the BM25 family)."""
+    return f"CAST(FLOOR({cos_expr} * 1000000.0 + 0.5) AS BIGINT)"
+
+
+def _mmr_cand_sql(engine: str, table: str) -> str:
+    """Per-probe top-k_cand candidates by embedding cosine (the knn
+    shape: bounded probe side is the build side BY DESIGN)."""
+    dot = _dot("q.embedding", "c.embedding", engine)
+    qn = _dot("q.embedding", "q.embedding", engine)
+    cn = _dot("c.embedding", "c.embedding", engine)
+    hint = "/*+ BROADCAST(q) */ " if engine == D.SPARK else ""
+    probes = ", ".join(str(p) for p in _MMR_PROBES)
+    fp = _mmr_fp6(f"round({dot} / (sqrt({qn}) * sqrt({cn})), 6)")
+    return f"""
+    SELECT query_id, cand_id, sim_fp AS rel_fp FROM (
+      SELECT query_id, cand_id, sim_fp,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim_fp DESC, cand_id) AS rn
+      FROM (SELECT {hint}q.vec_id AS query_id, c.vec_id AS cand_id,
+                   {fp} AS sim_fp
+            FROM {table} q JOIN {table} c ON c.vec_id <> q.vec_id
+            WHERE q.vec_id IN ({probes})) s) t
+    WHERE rn <= {_MMR_K_CAND}"""
+
+
+def _mmr_pairs_sql(engine: str, cand_rel: str, table: str) -> str:
+    """Pairwise cosines among the SAME probe's candidates (complete
+    directed graph, O(|probes|·k_cand²) rows — bounded by design)."""
+    dot = _dot("a.embedding", "b.embedding", engine)
+    an = _dot("a.embedding", "a.embedding", engine)
+    bn = _dot("b.embedding", "b.embedding", engine)
+    fp = _mmr_fp6(f"round({dot} / (sqrt({an}) * sqrt({bn})), 6)")
+    attach = (
+        f"SELECT c.query_id, c.cand_id, e.embedding FROM {cand_rel} c "
+        f"JOIN {table} e ON e.vec_id = c.cand_id"
+    )
+    return f"""
+    SELECT a.query_id, a.cand_id AS d, b.cand_id AS other, {fp} AS sim_fp
+    FROM ({attach}) a JOIN ({attach}) b
+      ON b.query_id = a.query_id AND b.cand_id <> a.cand_id"""
+
+
+def _mmr_oracle() -> str:
+    """Declarative DuckDB replay of the exact-integer MMR greedy: one
+    materialized CTE level per selection step (each level references the
+    previous THREE times — carry + max-sim join + NOT EXISTS — so AS
+    MATERIALIZED is mandatory against the exponential-inline class, the
+    r10 SSSP lesson; oracle-only text, the Spark side is the operator).
+    NOT EXISTS (not NOT IN) per the null-aware-anti-join rule."""
+    lnum, mu = _MMR_LNUM, _MMR_MU
+    levels = [
+        f"""sel1 AS MATERIALIZED (
+  SELECT query_id, cand_id, CAST(1 AS BIGINT) AS sel_rank,
+         CAST({lnum} AS BIGINT) * rel_fp AS score_fp
+  FROM (SELECT query_id, cand_id, rel_fp,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY rel_fp DESC, cand_id) AS rn
+        FROM mmr_cand) t1 WHERE rn = 1)"""
+    ]
+    for i in range(2, _MMR_K_SEL + 1):
+        score = (
+            f"CAST({lnum} AS BIGINT) * r.rel_fp"
+            f" - CAST({mu} AS BIGINT) * m.mx"
+        )
+        levels.append(
+            f"""sel{i} AS MATERIALIZED (
+  SELECT * FROM sel{i - 1}
+  UNION ALL
+  SELECT query_id, cand_id, CAST({i} AS BIGINT) AS sel_rank, score_fp FROM (
+    SELECT r.query_id, r.cand_id, {score} AS score_fp,
+           ROW_NUMBER() OVER (PARTITION BY r.query_id
+                              ORDER BY {score} DESC, r.cand_id) AS rn
+    FROM mmr_cand r
+    JOIN (SELECT p.query_id, p.d AS cand_id, MAX(p.sim_fp) AS mx
+          FROM mmr_pairs p
+          JOIN sel{i - 1} s ON s.query_id = p.query_id
+                           AND s.cand_id = p.other
+          GROUP BY p.query_id, p.d) m
+      ON m.query_id = r.query_id AND m.cand_id = r.cand_id
+    WHERE NOT EXISTS (SELECT 1 FROM sel{i - 1} s2
+                      WHERE s2.query_id = r.query_id
+                        AND s2.cand_id = r.cand_id)
+  ) t{i} WHERE rn = 1)"""
+        )
+    cand = _mmr_cand_sql(D.DUCK, "embeddings")
+    pairs = _mmr_pairs_sql(D.DUCK, "mmr_cand", "embeddings")
+    chain = ",\n".join(levels)
+    return f"""
+    WITH mmr_cand AS MATERIALIZED ({cand}),
+    mmr_pairs AS MATERIALIZED ({pairs}),
+    {chain}
+    SELECT query_id, sel_rank, cand_id,
+           CAST(score_fp AS DOUBLE) / CAST(10000000 AS DOUBLE) AS mmr_score
+    FROM sel{_MMR_K_SEL}
+    ORDER BY query_id, sel_rank"""
+
+
+@register(
+    "similarity_mmr_select",
+    _mmr_oracle(),
+    doc="training-data ext: maximal-marginal-relevance diversified "
+        "selection (Carbonell & Goldstein 1998) — per probe, greedily "
+        "pick k=8 of the top-25 cosine candidates maximizing "
+        "0.7·relevance − 0.3·max-sim-to-already-selected (exact tenths "
+        "over fp6 cosines, all-integer scores → deterministic, "
+        "bit-identical cross-engine). Distributed corpus scoring down "
+        "to bounded per-probe lists; the inherently-sequential greedy "
+        "runs on O(|probes|·25²) collected rows (documented bounded "
+        "driver state, operators/similarity.mmr_select_from_scores); "
+        "the oracle replays the greedy as chained materialized CTEs",
+)
+def similarity_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import mmr_select_from_scores
+
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
+        "bq_mmr_emb"
+    )
+    # cand fans into pairs (×2) + the operator's rel collect — lazy
+    # checkpoint against the CTE-inlining recompute class
+    cand = spark.sql(_mmr_cand_sql(D.SPARK, "bq_mmr_emb")).localCheckpoint(
+        eager=False
+    )
+    cand.createOrReplaceTempView("bq_mmr_cand")
+    pairs = spark.sql(_mmr_pairs_sql(D.SPARK, "bq_mmr_cand", "bq_mmr_emb"))
+    return mmr_select_from_scores(
+        spark,
+        cand,
+        pairs,
+        k_sel=_MMR_K_SEL,
+        lam_num=_MMR_LNUM,
+        lam_den=_MMR_LDEN,
+    )
+
+
 def _norm_buckets(engine: str, table: str) -> str:
     """LSH-flavored bucketing surface: random-hyperplane signs are the real
     LSH; the oracle-checked stand-in buckets by norm decile + first-component

@@ -823,3 +823,89 @@ def semantic_dedup(
         )
 
     return assigned.groupBy("cell").applyInPandas(collapse, schema)
+
+
+# ----------------------------------------- MMR diversified selection
+
+
+def mmr_select_from_scores(
+    spark,
+    rel: DataFrame,
+    pairs: DataFrame,
+    *,
+    k_sel: int = 8,
+    lam_num: int = 7,
+    lam_den: int = 10,
+    score_scale: float = 1e7,
+) -> DataFrame:
+    """Maximal-marginal-relevance greedy selection (Carbonell & Goldstein
+    1998) over PRE-SCORED bounded candidate lists — the diversity-aware
+    subset selector used for retrieval rerank and diverse-exemplar
+    curation.
+
+    ``rel``: (query_id, cand_id, rel_fp BIGINT) — fixed-point relevance
+    of each candidate to its probe. ``pairs``: (query_id, d, other,
+    sim_fp BIGINT) — fixed-point pairwise sims among the SAME probe's
+    candidates (complete directed graph). Selection: argmax rel first,
+    then repeatedly argmax of lam_num·rel − (lam_den−lam_num)·
+    max_sim_to_selected, ties by ascending cand_id. All arithmetic is
+    exact integers, so the selection is deterministic and the DuckDB
+    oracle can replay the same greedy declaratively (chained
+    materialized-CTE levels — benchqueries/similarity_ops._mmr_oracle).
+
+    Driver state is bounded BY DESIGN: the greedy is inherently
+    sequential and tiny (k_sel steps over ≤k_cand candidates), so this
+    collects O(|probes|·k_cand²) rows — the distributed heavy part
+    (scoring the corpus down to per-probe candidate lists) happened
+    upstream. An iterative DataFrame loop would pay ~1.2 s of fixed job
+    overhead per step (CLAUDE.md small-graph lesson) for no added
+    scalability. The collect is EAGER, so callers' timing captures it
+    (bench times builder + action).
+    """
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    mu = lam_den - lam_num
+    rels: dict[int, dict[int, int]] = {}
+    for r in rel.select("query_id", "cand_id", "rel_fp").collect():
+        rels.setdefault(int(r[0]), {})[int(r[1])] = int(r[2])
+    sims: dict[tuple[int, int, int], int] = {
+        (int(p[0]), int(p[1]), int(p[2])): int(p[3])
+        for p in pairs.select("query_id", "d", "other", "sim_fp").collect()
+    }
+    out: list[tuple[int, int, int, float]] = []
+    for qid in sorted(rels):
+        cand = rels[qid]
+        selected: list[int] = []
+        for step in range(1, min(k_sel, len(cand)) + 1):
+            best: tuple[tuple[int, int], int, int] | None = None
+            for d, rfp in cand.items():
+                if d in selected:
+                    continue
+                if selected:
+                    m = max(sims[(qid, d, s)] for s in selected)
+                    score = lam_num * rfp - mu * m
+                else:
+                    score = lam_num * rfp
+                key = (-score, d)
+                if best is None or key < best[0]:
+                    best = (key, d, score)
+            assert best is not None
+            _, d, score = best
+            selected.append(d)
+            # int → float is exact (|score| « 2^53); single IEEE division
+            # matches the oracle's CAST(score_fp AS DOUBLE)/scale
+            out.append((qid, step, d, float(score) / score_scale))
+    schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("sel_rank", LongType()),
+            StructField("cand_id", LongType()),
+            StructField("mmr_score", DoubleType()),
+        ]
+    )
+    return spark.createDataFrame(out, schema).orderBy("query_id", "sel_rank")
