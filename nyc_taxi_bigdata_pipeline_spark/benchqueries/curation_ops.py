@@ -1031,3 +1031,111 @@ def curation_url_dedup_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("domain")
     )
+
+
+# -------------------------------- DSIR importance resampling selection
+
+_DSIR_B = 1024            # hashed n-gram feature buckets
+_DSIR_TARGET_SRC = "src0"  # target domain the selection steers toward
+_DSIR_TOP = 20
+
+
+def _dsir_grams_sql(engine: str, docs_rel: str) -> str:
+    """Hashed n-gram featurization (word unigrams + bigrams → h64 mod B):
+    one tokenize pass + one position explode, engine-templated."""
+    toks = D.split_ws("lower(trim(text))", engine)
+    alen = D.alen("__t", engine)
+    seq = D.iseq("1", f"greatest({alen} - 1, 1)", engine)
+    pos = D.unnest_col(
+        D.arr_filter(seq, f"i -> i + 1 <= {alen}", engine), engine
+    )
+    w1 = D.at("__t", "__i", engine)
+    w2 = D.at("__t", "__i + 1", engine)
+    uni = D.unnest_col("__t", engine)
+    h = D.h64("g", engine)
+    return f"""
+    SELECT doc_id, source, ({h} % {_DSIR_B}) AS bucket FROM (
+      SELECT doc_id, source, {uni} AS g
+      FROM (SELECT doc_id, source, {toks} AS __t FROM {docs_rel}
+            WHERE text IS NOT NULL) t1
+      UNION ALL
+      SELECT doc_id, source, CONCAT({w1}, ' ', {w2}) AS g
+      FROM (SELECT doc_id, source, __t, {pos} AS __i
+            FROM (SELECT doc_id, source, {toks} AS __t FROM {docs_rel}
+                  WHERE text IS NOT NULL) t2) p
+    ) g"""
+
+
+def _dsir_read_sql(grams_rel: str) -> str:
+    """Importance weights over hashed-ngram unigram LMs (DSIR, Xie et
+    al. 2023): per bucket, lw = ln p_target(b) − ln p_raw(b) with
+    add-one smoothing, expanded to FOUR LNs of integer-valued doubles
+    (each deterministic; the sum is fixed left-assoc float adds, no
+    products so no FMA hazard), snapped to micro-nats. A doc's weight is
+    the EXACT BIGINT sum of its gram buckets' lw (DSIR's log importance
+    weight — a sum, not an average); top docs by (sum_lw DESC, doc_id)
+    via ORDER BY + LIMIT (TakeOrderedAndProject — no global window).
+    Engine-shared text."""
+    b = _DSIR_B
+    return f"""
+    WITH tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS traw,
+             CAST(SUM(CASE WHEN source = '{_DSIR_TARGET_SRC}'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS ttgt
+      FROM {grams_rel}
+    ),
+    raw AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cr
+            FROM {grams_rel} GROUP BY bucket),
+    tgt AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS ct
+            FROM {grams_rel} WHERE source = '{_DSIR_TARGET_SRC}'
+            GROUP BY bucket),
+    ratio AS (
+      SELECT r.bucket,
+             CAST(FLOOR((LN(CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE))
+                         + LN(CAST(tot.traw + {b} AS DOUBLE))
+                         - LN(CAST(r.cr + 1 AS DOUBLE))
+                         - LN(CAST(tot.ttgt + {b} AS DOUBLE)))
+                        * 1000000.0 + 0.5) AS BIGINT) AS lw
+      FROM raw r LEFT JOIN tgt t ON t.bucket = r.bucket
+      CROSS JOIN tot
+    ),
+    scores AS (
+      SELECT g.doc_id, g.source, CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(SUM(rt.lw) AS BIGINT) AS sum_lw
+      FROM {grams_rel} g JOIN ratio rt ON rt.bucket = g.bucket
+      GROUP BY g.doc_id, g.source
+    )
+    SELECT doc_id, source, n_grams, sum_lw,
+           CAST(sum_lw AS DOUBLE) / 1000000.0 AS dsir_logweight
+    FROM scores
+    ORDER BY sum_lw DESC, doc_id
+    LIMIT {_DSIR_TOP}"""
+
+
+@register(
+    "curation_dsir_select",
+    "WITH dsir_g AS (" + _dsir_grams_sql(D.DUCK, "documents") + "),"
+    + _dsir_read_sql("dsir_g").lstrip().removeprefix("WITH"),
+    doc="training-data ext: data selection with importance resampling "
+        "(DSIR, Xie et al. 2023) — docs are featurized into hashed "
+        "n-gram buckets (word uni+bigrams, h64 mod 1024), bucket "
+        "log-ratios ln p_target − ln p_raw are estimated with add-one "
+        "smoothing against the target domain (source=src0), and each "
+        "doc's importance log-weight is the exact micro-nat BIGINT sum "
+        "over its grams; top-20 by exact integer order via "
+        "TakeOrderedAndProject. One featurize pass + a 1024-row "
+        "broadcast ratio join — linear at 100 TB; the 1-row totals "
+        "anchor is the whitelisted BNLJ shape",
+)
+def curation_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # spread the two explodes off the 1-partition single-file scan
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    docs.createOrReplaceTempView("bq_dsir_docs")
+    # grams fan into tot/raw/tgt/scores (4 references) — CTE-inlining
+    # class: one featurize pass, lazily checkpointed
+    grams = spark.sql(_dsir_grams_sql(D.SPARK, "bq_dsir_docs")).localCheckpoint(
+        eager=False
+    )
+    grams.createOrReplaceTempView("bq_dsir_grams")
+    return spark.sql(_dsir_read_sql("bq_dsir_grams"))

@@ -231,6 +231,8 @@ _SCALAR_ANCHOR_OK = {
     "search_hybrid_rrf": 3,            # bounded 3-probe side × corpus
                                        # (semantic arm, knn shape) +
                                        # 1-row doc-count idf anchor
+    "curation_dsir_select": 1,         # 1-row (traw, ttgt) totals anchor
+                                       # folded into the bucket ratios
 }
 
 
