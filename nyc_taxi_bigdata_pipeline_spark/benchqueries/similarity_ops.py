@@ -71,6 +71,68 @@ def similarity_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_knn(D.SPARK, "bq_knn_emb"))
 
 
+# ------------------------------------- triplet mining (semi-hard negs)
+
+_TRIP_ANCHORS = 10
+_TRIP_K_NEG = 5
+_TRIP_MARGIN_FP = 50_000  # 0.05 cosine in fp6
+
+
+def _triplet_sql(engine: str, table: str) -> str:
+    """Per anchor: hardest positive (max same-label cosine) and top-k
+    hardest different-label negatives, each flagged semi-hard per the
+    FaceNet criterion cos_pos − margin ≤ cos_neg < cos_pos. Cosines are
+    fp6 integers (round-6 + snap, the proven knn idiom) so every
+    comparison and the margin test are exact cross-engine."""
+    dot = _dot("q.embedding", "c.embedding", engine)
+    qn = _dot("q.embedding", "q.embedding", engine)
+    cn = _dot("c.embedding", "c.embedding", engine)
+    hint = "/*+ BROADCAST(q) */ " if engine == D.SPARK else ""
+    fp = (
+        f"CAST(FLOOR(round({dot} / (sqrt({qn}) * sqrt({cn})), 6)"
+        " * 1000000.0 + 0.5) AS BIGINT)"
+    )
+    return f"""
+    WITH scored AS (
+      SELECT {hint}q.vec_id AS a, c.vec_id AS b,
+             q.label AS la, c.label AS lb, {fp} AS cos_fp
+      FROM {table} q JOIN {table} c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < {_TRIP_ANCHORS}
+    ),
+    pos AS (SELECT a, CAST(MAX(cos_fp) AS BIGINT) AS pos_fp
+            FROM scored WHERE la = lb GROUP BY a),
+    neg AS (SELECT a, b, cos_fp,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY a
+                        ORDER BY cos_fp DESC, b) AS BIGINT) AS neg_rank
+            FROM scored WHERE la <> lb)
+    SELECT n.a AS anchor_id, n.b AS negative_id, n.neg_rank,
+           CAST(n.cos_fp AS DOUBLE) / 1000000.0 AS cos_neg,
+           CAST(p.pos_fp AS DOUBLE) / 1000000.0 AS cos_pos,
+           (n.cos_fp < p.pos_fp
+            AND n.cos_fp >= p.pos_fp - {_TRIP_MARGIN_FP}) AS semi_hard
+    FROM neg n JOIN pos p ON p.a = n.a
+    WHERE n.neg_rank <= {_TRIP_K_NEG}
+    ORDER BY anchor_id, neg_rank"""
+
+
+@register(
+    "similarity_triplet_mining",
+    _triplet_sql(D.DUCK, "embeddings"),
+    doc="training-data ext: triplet mining for contrastive training — "
+        "per anchor, the hardest same-label positive and the top-5 "
+        "hardest different-label negatives, each flagged semi-hard per "
+        "the FaceNet criterion (cos_pos − 0.05 ≤ cos_neg < cos_pos). "
+        "fp6 integer cosines make the margin test exact cross-engine; "
+        "bounded 10-anchor side broadcast over one corpus scan (knn "
+        "shape), per-anchor partial top-k before the final shuffle",
+)
+def similarity_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
+        "bq_trip_emb"
+    )
+    return spark.sql(_triplet_sql(D.SPARK, "bq_trip_emb"))
+
+
 # ------------------------------------------- MMR diversified selection
 
 _MMR_PROBES = (0, 1, 2)

@@ -233,6 +233,8 @@ _SCALAR_ANCHOR_OK = {
                                        # 1-row doc-count idf anchor
     "curation_dsir_select": 1,         # 1-row (traw, ttgt) totals anchor
                                        # folded into the bucket ratios
+    "similarity_triplet_mining": 10,   # bounded 10-anchor side × corpus
+                                       # (knn shape)
 }
 
 
