@@ -1162,3 +1162,92 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     bi = spark.sql(_lm_bi_sql(D.SPARK, "bq_lm_docs")).localCheckpoint(eager=False)
     bi.createOrReplaceTempView("bq_lm_bi")
     return spark.sql(_lm_read_sql("bq_lm_bi"))
+
+
+# ------------------------------------ vocabulary coverage curve (top-V)
+
+_VCC_SIZES = (50, 200, 800)
+
+
+def _vcc_vocab_sql(engine: str, table: str) -> str:
+    """Frequency table over word-BIGRAM types (the unigram vocabulary of
+    the synthetic corpus is a degenerate 31 words — every truncation arm
+    would read 1.0; bigrams give ~920 types, a real Zipf-ish curve)."""
+    toks = D.split_ws("lower(trim(text))", engine)
+    alen = D.alen("__t", engine)
+    seq = D.iseq("1", f"greatest({alen} - 1, 1)", engine)
+    pos = D.unnest_col(
+        D.arr_filter(seq, f"i -> i + 1 <= {alen}", engine), engine
+    )
+    w1 = D.at("__t", "__i", engine)
+    w2 = D.at("__t", "__i + 1", engine)
+    return (
+        "SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM ("
+        f"SELECT CONCAT({w1}, ' ', {w2}) AS tok "
+        f"FROM (SELECT __t, {pos} AS __i "
+        f"      FROM (SELECT {toks} AS __t FROM {table} "
+        "            WHERE text IS NOT NULL) t0) p"
+        ") g GROUP BY tok"
+    )
+
+
+def _vcc_read_sql(vocab_rel: str) -> str:
+    """Share of token OCCURRENCES covered by the top-V most frequent
+    types, for the fixed truncation grid — the analytic behind choosing
+    a tokenizer/embedding vocabulary size. Scale-sane: each top-V is an
+    ORDER BY freq LIMIT V over the VOCAB relation (partition-local
+    partial top-V, TakeOrderedAndProject — never a global cumulative
+    window over the full vocabulary), and the covered mass is an exact
+    BIGINT sum; the one float op per row is the final share division.
+    Tie-break at the V boundary is (freq DESC, tok) so the selected SET
+    is deterministic cross-engine. Engine-shared text."""
+    arms = []
+    for v in _VCC_SIZES:
+        arms.append(
+            f"""SELECT CAST({v} AS BIGINT) AS vocab_budget,
+             CAST(SUM(c) AS BIGINT) AS tokens_covered,
+             CAST(COUNT(*) AS BIGINT) AS types_used
+      FROM (SELECT c, tok FROM {vocab_rel}
+            ORDER BY c DESC, tok LIMIT {v}) top{v}"""
+        )
+    arms_sql = "\n      UNION ALL\n      ".join(arms)
+    return f"""
+    WITH tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total_tokens,
+                        CAST(COUNT(*) AS BIGINT) AS vocab_size,
+                        CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                             AS BIGINT) AS hapax_types
+                 FROM {vocab_rel}),
+    arms AS (
+      {arms_sql}
+    )
+    SELECT a.vocab_budget, a.types_used, a.tokens_covered,
+           t.total_tokens, t.vocab_size, t.hapax_types,
+           CAST(a.tokens_covered AS DOUBLE)
+             / CAST(t.total_tokens AS DOUBLE) AS coverage_share
+    FROM arms a CROSS JOIN tot t
+    ORDER BY a.vocab_budget"""
+
+
+@register(
+    "text_vocab_coverage",
+    "WITH vccq AS (" + _vcc_vocab_sql(D.DUCK, "documents") + "),"
+    + _vcc_read_sql("vccq").lstrip().removeprefix("WITH"),
+    doc="training-data ext: vocabulary coverage curve — share of token "
+        "occurrences covered by the top-V frequency-ranked types for a "
+        "fixed truncation grid, plus vocab size and hapax count (the "
+        "tokenizer/embedding vocab-sizing analytic beside text_oov_rate's "
+        "split gate). Each arm is a partial top-V over the vocab "
+        "relation (TakeOrderedAndProject — no global cumulative window); "
+        "covered mass is an exact BIGINT sum, one final share division; "
+        "the Spark side stages the one tokenize pass (CTE-inlining "
+        "class: totals + 3 arms all read the vocab relation)",
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    docs.createOrReplaceTempView("bq_vcc_docs")
+    vocab = spark.sql(_vcc_vocab_sql(D.SPARK, "bq_vcc_docs")).localCheckpoint(
+        eager=False
+    )
+    vocab.createOrReplaceTempView("bq_vcc_vocab")
+    return spark.sql(_vcc_read_sql("bq_vcc_vocab"))

@@ -235,6 +235,8 @@ _SCALAR_ANCHOR_OK = {
                                        # folded into the bucket ratios
     "similarity_triplet_mining": 10,   # bounded 10-anchor side × corpus
                                        # (knn shape)
+    "text_vocab_coverage": 3,          # 3-row truncation-grid arms ×
+                                       # 1-row vocab totals anchor
 }
 
 
