@@ -1139,3 +1139,122 @@ def curation_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grams.createOrReplaceTempView("bq_dsir_grams")
     return spark.sql(_dsir_read_sql("bq_dsir_grams"))
+
+
+# ---------------------------------- token-budget prefix selection
+
+_TB_FRACTION = (6, 10)  # keep the best 60% of corpus tokens
+
+
+def _tb_docs_sql(engine: str, table: str) -> str:
+    """Per-doc (n_tokens, score_fp): the quality proxy is stopword
+    coverage share in exact integer millionths (Gopher treats adequate
+    stop-token coverage as a natural-language signal; any integer score
+    plugs into the same operator). idiv keeps the score an exact BIGINT
+    in both engines; plentiful ties on the 31-word corpus exercise the
+    operator's id-refinement phase in production, not just in tests."""
+    toks = D.split_ws("lower(trim(text))", engine)
+    stop_arr = D.arr_lit(_GOPHER_STOPS, engine)
+    stops = D.arr_filter(
+        "__t", f"t -> {D.arr_contains(stop_arr, 't', engine)}", engine
+    )
+    n_tok = f"CAST({D.alen('__t', engine)} AS BIGINT)"
+    n_stop = f"CAST({D.alen(stops, engine)} AS BIGINT)"
+    score = D.idiv(f"(1000000 * {n_stop})", n_tok, engine)
+    return f"""
+    SELECT doc_id, source, {n_tok} AS n_tokens, {score} AS score_fp
+    FROM (SELECT doc_id, source, {toks} AS __t FROM {table}
+          WHERE text IS NOT NULL) t"""
+
+
+def _tb_oracle() -> str:
+    """Declarative replay: weights are non-negative, so the running
+    total is monotone and 'cum <= budget' IS the maximal prefix (the
+    first overflowing doc and everything after it carry cum > budget).
+    The one-task cumulative window is fine at ORACLE SFs; the Spark
+    side is the bounded-refinement operator precisely because it is
+    not fine at 100 TB."""
+    num, den = _TB_FRACTION
+    d = _tb_docs_sql(D.DUCK, "documents")
+    return f"""
+    WITH d AS ({d}),
+    tot AS (SELECT (CAST(SUM(n_tokens) AS BIGINT) * {num}) // {den}
+              AS budget FROM d),
+    ord AS (SELECT doc_id, source, n_tokens,
+                   SUM(n_tokens) OVER (ORDER BY score_fp DESC, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS cum
+            FROM d),
+    kept AS (SELECT o.doc_id, o.source, o.n_tokens
+             FROM ord o CROSS JOIN tot t WHERE o.cum <= t.budget)
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS docs_total,
+           CAST(SUM(d.n_tokens) AS BIGINT) AS tokens_total,
+           CAST(COUNT(k.doc_id) AS BIGINT) AS docs_kept,
+           CAST(COALESCE(SUM(k.n_tokens), 0) AS BIGINT) AS tokens_kept,
+           CAST(COALESCE(SUM(k.doc_id), 0) AS BIGINT) AS kept_id_sum,
+           t.budget
+    FROM d LEFT JOIN kept k ON k.doc_id = d.doc_id
+    CROSS JOIN tot t
+    GROUP BY d.source, t.budget
+    ORDER BY d.source"""
+
+
+@register(
+    "curation_token_budget_select",
+    _tb_oracle(),
+    doc="training-data ext: token-budget prefix selection — keep the "
+        "maximal quality-ordered prefix of the corpus whose cumulative "
+        "token count fits the budget (60% of corpus tokens), i.e. the "
+        "WEIGHTED quantile threshold every budget-capped curation run "
+        "needs. The Spark side finds the exact (score, id) boundary via "
+        "iterative integer bucket refinement with O(bins) driver state "
+        "per level and a bounded leaf (operators/budget.py — the naive "
+        "shape is a one-task cumulative sort of the corpus); the kept "
+        "set is then one codegen predicate. Property-tested against a "
+        "pure-Python prefix walk on heavy ties / heavy tails; the "
+        "oracle replays the monotone cum<=budget window declaratively",
+)
+def curation_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.budget import token_budget_prefix
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    docs.createOrReplaceTempView("bq_tb_docs")
+    # scored docs feed the operator's refinement passes AND the final
+    # per-source aggregates — lazy checkpoint against recompute fan-out
+    d = spark.sql(_tb_docs_sql(D.SPARK, "bq_tb_docs")).localCheckpoint(
+        eager=False
+    )
+    b = token_budget_prefix(
+        d,
+        score_col="score_fp",
+        id_col="doc_id",
+        weight_col="n_tokens",
+        budget_fraction=_TB_FRACTION,
+    )
+    kept = d.where(b.kept_predicate("score_fp", "doc_id"))
+    totals = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("docs_total"),
+        F.sum("n_tokens").cast("bigint").alias("tokens_total"),
+    )
+    kept_agg = kept.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("docs_kept"),
+        F.sum("n_tokens").cast("bigint").alias("tokens_kept"),
+        F.sum("doc_id").cast("bigint").alias("kept_id_sum"),
+    )
+    return (
+        totals.join(kept_agg, "source", "left")
+        .select(
+            "source",
+            "docs_total",
+            "tokens_total",
+            F.coalesce("docs_kept", F.lit(0)).cast("bigint").alias("docs_kept"),
+            F.coalesce("tokens_kept", F.lit(0)).cast("bigint")
+            .alias("tokens_kept"),
+            F.coalesce("kept_id_sum", F.lit(0)).cast("bigint")
+            .alias("kept_id_sum"),
+            F.lit(b.budget).cast("bigint").alias("budget"),
+        )
+        .orderBy("source")
+    )

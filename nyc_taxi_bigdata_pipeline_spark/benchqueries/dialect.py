@@ -101,6 +101,11 @@ def arr_intersect(a: str, b: str, engine: str) -> str:
     return f"list_intersect({a}, {b})" if engine == DUCK else f"array_intersect({a}, {b})"
 
 
+def arr_contains(arr: str, x: str, engine: str) -> str:
+    return (f"list_contains({arr}, {x})" if engine == DUCK
+            else f"array_contains({arr}, {x})")
+
+
 def arr_min(arr: str, engine: str) -> str:
     return f"list_min({arr})" if engine == DUCK else f"array_min({arr})"
 
