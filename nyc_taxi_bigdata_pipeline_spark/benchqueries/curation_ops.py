@@ -1126,6 +1126,7 @@ def _dsir_read_sql(grams_rel: str) -> str:
         "TakeOrderedAndProject. One featurize pass + a 1024-row "
         "broadcast ratio join — linear at 100 TB; the 1-row totals "
         "anchor is the whitelisted BNLJ shape",
+    bench=True,  # r11 continuation: flagship selection op
 )
 def curation_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -1214,6 +1215,7 @@ def _tb_oracle() -> str:
         "set is then one codegen predicate. Property-tested against a "
         "pure-Python prefix walk on heavy ties / heavy tails; the "
         "oracle replays the monotone cum<=budget window declaratively",
+    bench=True,  # r11 continuation: flagship selection op
 )
 def curation_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.budget import token_budget_prefix
