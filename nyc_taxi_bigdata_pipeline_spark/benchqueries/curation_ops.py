@@ -1260,3 +1260,167 @@ def curation_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------- CCNet perplexity buckets (head/middle/tail)
+
+
+def _ccnet_bi_sql(engine: str, table: str) -> str:
+    """(doc_id, lang, p_h, w_h) token rows — the lang-keyed twin of
+    text_ops._lm_bi_sql (same BOS-sentinel construction; CCNet shapes
+    per LANGUAGE, Wenzek et al. 2020)."""
+    ts = D.split_ws("lower(trim(text))", engine)
+    cur = D.h64(D.at("ts", "i", engine), engine)
+    prv = D.h64(D.at("ts", "i - 1", engine), engine)
+    pos = D.unnest_col(D.iseq("1", D.alen("ts", engine), engine), engine)
+    return f"""
+    SELECT doc_id, lang, ({cur}) AS w_h,
+           CASE WHEN i = 1 THEN 0 ELSE ({prv}) END AS p_h
+    FROM (
+      SELECT doc_id, lang, ts, {pos} AS i
+      FROM (SELECT doc_id, lang, {ts} AS ts FROM {table}
+            WHERE text IS NOT NULL AND length(trim(text)) >= 1
+              AND lang IS NOT NULL) t0
+    ) t"""
+
+
+def _ccnet_fp_ln(x: str) -> str:
+    """ln(x) snapped to integer micro-nats — the text_ops._fp_ln idiom,
+    inlined here (text_ops imports from this module at init, so a
+    module-level import back would be circular)."""
+    return f"CAST(FLOOR(LN(CAST({x} AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"
+
+
+def _ccnet_perdoc_ctes(engine: str, bi: str) -> str:
+    """CTE chain ending in ``ccn_pd``: per-doc NLL under the corpus's
+    own add-one bigram LM (the text_lm_perplexity chain) + integer
+    per-token average avg_i = nll_micro DIV n (nll ≥ 0, so truncation
+    IS floor). Emitted WITHOUT the leading WITH so both the terminal
+    Spark query and the oracle's longer chain can splice it."""
+    _fp_ln = _ccnet_fp_ln
+    avg = D.idiv("CAST(SUM(nll) AS BIGINT)", "CAST(COUNT(*) AS BIGINT)", engine)
+    return f"""cbi AS (SELECT p_h, w_h, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM {bi} GROUP BY p_h, w_h),
+    cctx AS (SELECT p_h, CAST(COUNT(*) AS BIGINT) AS c
+             FROM {bi} GROUP BY p_h),
+    vocab AS (SELECT CAST(COUNT(DISTINCT w_h) AS BIGINT) AS v FROM {bi}),
+    scored AS (
+      SELECT b.doc_id, b.lang,
+             {_fp_ln('x.c + vocab.v')} - {_fp_ln('c.c + 1')} AS nll
+      FROM {bi} b
+      JOIN cbi c ON c.p_h = b.p_h AND c.w_h = b.w_h
+      JOIN cctx x ON x.p_h = b.p_h
+      CROSS JOIN vocab
+    ),
+    ccn_pd AS (
+      SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(nll) AS BIGINT) AS nll_micro,
+             {avg} AS avg_i
+      FROM scored GROUP BY doc_id, lang
+    )"""
+
+
+def _ccnet_perdoc_sql(engine: str, bi: str) -> str:
+    return (
+        f"WITH {_ccnet_perdoc_ctes(engine, bi)} SELECT * FROM ccn_pd"
+    )
+
+
+def _ccnet_oracle() -> str:
+    """Per-lang tercile thresholds replayed with the grouped_percentiles
+    rank-interpolation idiom (value-at-rank is tie-order independent),
+    then value-threshold bucketing — identical comparisons to the Spark
+    side's grouped_quantile_select output."""
+    bi = _ccnet_bi_sql(D.DUCK, "documents")
+    pd_ctes = _ccnet_perdoc_ctes(D.DUCK, "ccn_bi")
+    return f"""
+    WITH ccn_bi AS ({bi}),
+    {pd_ctes}
+    , o AS (SELECT lang, avg_i,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                        ORDER BY avg_i, doc_id) AS BIGINT) AS rn,
+                   CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+            FROM ccn_pd),
+    g AS (SELECT DISTINCT lang, n FROM o),
+    p AS (SELECT CAST(1 AS DOUBLE) / CAST(3 AS DOUBLE) AS p
+          UNION ALL
+          SELECT CAST(2 AS DOUBLE) / CAST(3 AS DOUBLE)),
+    k AS (SELECT g.lang, p.p, 1.0 + (g.n - 1) * p.p AS r,
+                 CAST(FLOOR(1.0 + (g.n - 1) * p.p) AS BIGINT) AS lo,
+                 CAST(CEILING(1.0 + (g.n - 1) * p.p) AS BIGINT) AS hi
+          FROM g CROSS JOIN p),
+    q AS (SELECT k.lang, k.p,
+                 CAST(lov.avg_i + (hiv.avg_i - lov.avg_i) * (k.r - k.lo)
+                      AS DOUBLE) AS qv
+          FROM k
+          JOIN o lov ON lov.lang = k.lang AND lov.rn = k.lo
+          JOIN o hiv ON hiv.lang = k.lang AND hiv.rn = k.hi),
+    th AS (SELECT lang, MAX(CASE WHEN p < 0.5 THEN qv END) AS t1,
+                  MAX(CASE WHEN p > 0.5 THEN qv END) AS t2
+           FROM q GROUP BY lang),
+    b AS (SELECT d.lang,
+                 CASE WHEN CAST(d.avg_i AS DOUBLE) <= th.t1 THEN 'head'
+                      WHEN CAST(d.avg_i AS DOUBLE) <= th.t2 THEN 'middle'
+                      ELSE 'tail' END AS bucket,
+                 d.n, d.nll_micro
+          FROM ccn_pd d JOIN th ON th.lang = d.lang)
+    SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS docs,
+           CAST(SUM(n) AS BIGINT) AS tokens,
+           CAST(SUM(nll_micro) AS DOUBLE)
+             / (CAST(SUM(n) AS DOUBLE) * 1000000.0) AS avg_nll_nats
+    FROM b GROUP BY lang, bucket ORDER BY lang, bucket"""
+
+
+@register(
+    "curation_ccnet_buckets",
+    _ccnet_oracle(),
+    doc="training-data ext: CCNet head/middle/tail perplexity shaping "
+        "(Wenzek et al. 2020) — per language, docs are bucketed by "
+        "per-token bigram-LM NLL terciles (exact integer micro-nat "
+        "averages; thresholds from the scale-path grouped quantile "
+        "operator, never a per-lang rank window over raw docs) and the "
+        "report gives per-(lang, bucket) doc/token mass and avg NLL. "
+        "Composes text_lm_perplexity's LM chain with "
+        "operators/quantiles.grouped_quantile_select; the oracle "
+        "replays terciles with the grouped_percentiles interpolation "
+        "idiom and the same value-threshold bucket comparisons",
+)
+def curation_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quantiles import grouped_quantile_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    docs.createOrReplaceTempView("bq_ccn_docs")
+    bi = spark.sql(_ccnet_bi_sql(D.SPARK, "bq_ccn_docs")).localCheckpoint(
+        eager=False
+    )
+    bi.createOrReplaceTempView("bq_ccn_bi")
+    pd = spark.sql(_ccnet_perdoc_sql(D.SPARK, "bq_ccn_bi")).localCheckpoint(
+        eager=False
+    )
+    th = grouped_quantile_select(
+        pd.select("lang", "avg_i"), ["lang"], "avg_i", [1 / 3, 2 / 3]
+    )
+    thp = th.groupBy("lang").agg(
+        F.max(F.when(F.col("p") < 0.5, F.col("qvalue"))).alias("t1"),
+        F.max(F.when(F.col("p") > 0.5, F.col("qvalue"))).alias("t2"),
+    )
+    bucket = (
+        F.when(F.col("avg_i").cast("double") <= F.col("t1"), "head")
+        .when(F.col("avg_i").cast("double") <= F.col("t2"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        pd.join(F.broadcast(thp), "lang")
+        .withColumn("bucket", bucket)
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("docs"),
+            F.sum("n").cast("bigint").alias("tokens"),
+            F.expr(
+                "CAST(SUM(nll_micro) AS DOUBLE)"
+                " / (CAST(SUM(n) AS DOUBLE) * 1000000.0)"
+            ).alias("avg_nll_nats"),
+        )
+        .orderBy("lang", "bucket")
+    )
