@@ -1424,3 +1424,122 @@ def curation_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "bucket")
     )
+
+
+# --------------------------------- per-domain token caps (grouped budgets)
+
+_DTC_FRACTION = (4, 10)  # cap every source at 40% of its own tokens
+
+
+def _dtc_oracle() -> str:
+    """Per-group declarative replay: the running total is monotone
+    within each source (weights ≥ 0), so PARTITION BY source +
+    cum <= budget IS the per-group maximal prefix."""
+    num, den = _DTC_FRACTION
+    d = _tb_docs_sql(D.DUCK, "documents")
+    return f"""
+    WITH d AS ({d}),
+    tot AS (SELECT source,
+                   (CAST(SUM(n_tokens) AS BIGINT) * {num}) // {den}
+                     AS budget
+            FROM d GROUP BY source),
+    ord AS (SELECT doc_id, source, n_tokens,
+                   SUM(n_tokens) OVER (PARTITION BY source
+                     ORDER BY score_fp DESC, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS cum
+            FROM d),
+    kept AS (SELECT o.doc_id, o.source, o.n_tokens
+             FROM ord o JOIN tot t ON t.source = o.source
+             WHERE o.cum <= t.budget)
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS docs_total,
+           CAST(SUM(d.n_tokens) AS BIGINT) AS tokens_total,
+           CAST(COUNT(k.doc_id) AS BIGINT) AS docs_kept,
+           CAST(COALESCE(SUM(k.n_tokens), 0) AS BIGINT) AS tokens_kept,
+           CAST(COALESCE(SUM(k.doc_id), 0) AS BIGINT) AS kept_id_sum,
+           t.budget
+    FROM d LEFT JOIN kept k ON k.doc_id = d.doc_id
+    JOIN tot t ON t.source = d.source
+    GROUP BY d.source, t.budget
+    ORDER BY d.source"""
+
+
+@register(
+    "curation_domain_token_caps",
+    _dtc_oracle(),
+    doc="training-data ext: per-domain token caps — every source keeps "
+        "its best-quality prefix up to 40% of its OWN token mass (the "
+        "crawl-pipeline domain-budget rule; quality = the stopword-"
+        "coverage proxy). All 20 sources find their exact (score, id) "
+        "boundaries in LOCKSTEP via the grouped budget operator "
+        "(operators/budget.grouped_token_budget_prefix — one "
+        "map-combinable pass per refinement level for EVERY live group, "
+        "O(groups×bins) driver state, distributed per-group leaf "
+        "windows over ≤leaf_rows rows); the naive shape is a per-source "
+        "rank window over raw docs. Oracle replays the monotone "
+        "per-group cum<=budget window; kept sets reproduced through "
+        "the returned boundary frame's broadcast-join predicate",
+)
+def curation_domain_token_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.budget import grouped_token_budget_prefix
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    docs.createOrReplaceTempView("bq_dtc_docs")
+    d = spark.sql(_tb_docs_sql(D.SPARK, "bq_dtc_docs")).localCheckpoint(
+        eager=False
+    )
+    bounds = grouped_token_budget_prefix(
+        d,
+        group_col="source",
+        score_col="score_fp",
+        id_col="doc_id",
+        weight_col="n_tokens",
+        budget_fraction=_DTC_FRACTION,
+    )
+    kept = (
+        d.join(
+            F.broadcast(bounds.withColumnRenamed("group", "source")),
+            "source",
+        )
+        .where(
+            (F.col("score_fp") > F.col("s_star"))
+            | ((F.col("score_fp") == F.col("s_star"))
+               & (F.col("doc_id") <= F.col("d_star")))
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("docs_kept"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_kept"),
+            F.sum("doc_id").cast("bigint").alias("kept_id_sum"),
+        )
+    )
+    totals = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("docs_total"),
+        F.sum("n_tokens").cast("bigint").alias("tokens_total"),
+    )
+    return (
+        totals.join(kept, "source", "left")
+        .join(
+            F.broadcast(
+                bounds.select(
+                    F.col("group").alias("source"), "budget"
+                )
+            ),
+            "source",
+        )
+        .select(
+            "source",
+            "docs_total",
+            "tokens_total",
+            F.coalesce("docs_kept", F.lit(0)).cast("bigint")
+            .alias("docs_kept"),
+            F.coalesce("tokens_kept", F.lit(0)).cast("bigint")
+            .alias("tokens_kept"),
+            F.coalesce("kept_id_sum", F.lit(0)).cast("bigint")
+            .alias("kept_id_sum"),
+            F.col("budget").cast("bigint").alias("budget"),
+        )
+        .orderBy("source")
+    )

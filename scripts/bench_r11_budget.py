@@ -106,6 +106,78 @@ def tier(spark, n: int) -> None:
     df.unpersist()
 
 
+def grouped_tier(spark, n: int, n_groups: int = 8) -> None:
+    """Per-group budgets on FIXED group cardinality — the shape whose
+    naive form (window PARTITION BY group) sorts n/groups rows in one
+    task per group no matter the cluster size."""
+    from nyc_taxi_bigdata_pipeline_spark.operators.budget import (
+        grouped_token_budget_prefix,
+    )
+
+    h = "xxhash64(CAST(id AS STRING))"
+    df = (
+        spark.range(n)
+        .selectExpr(
+            "id AS doc_id",
+            f"CONCAT('src', pmod({h} + 3, {n_groups})) AS src",
+            f"CAST(pmod({h}, 1000) * pmod({h} + 7, 3) AS BIGINT) AS score",
+            f"CAST(1 + pmod({h} + 13, 50)"
+            f" * (CASE WHEN pmod({h}, 97) = 0 THEN 500 ELSE 1 END)"
+            " AS BIGINT) AS tokens",
+        )
+        .repartition(32, "doc_id")
+        .localCheckpoint(eager=True)
+    )
+
+    def refined():
+        bounds = grouped_token_budget_prefix(
+            df, group_col="src", score_col="score", id_col="doc_id",
+            weight_col="tokens", budget_fraction=(6, 10),
+        )
+        rows = bounds.collect()
+        return tuple(sorted(
+            (r.group, r.kept_docs, r.kept_weight) for r in rows
+        ))
+
+    def naive():
+        tot = {
+            r["src"]: (int(r["w"]) * 6) // 10
+            for r in df.groupBy("src").agg(F.sum("tokens").alias("w"))
+            .collect()
+        }
+        bmap = F.create_map(
+            *[F.lit(x) for kv in tot.items() for x in kv]
+        )
+        w = Window.partitionBy("src").orderBy(
+            F.col("score").desc(), F.col("doc_id")
+        ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        rows = (
+            df.withColumn("cum", F.sum("tokens").over(w))
+            .where(F.col("cum") <= bmap[F.col("src")])
+            .groupBy("src")
+            .agg(F.count("*").alias("n"), F.sum("tokens").alias("kw"))
+            .collect()
+        )
+        return tuple(sorted((r["src"], int(r["n"]), int(r["kw"]))
+                            for r in rows))
+
+    best_r = best_n = float("inf")
+    out_r = out_n = None
+    for _ in range(2):
+        t0 = time.monotonic()
+        out_r = refined()
+        best_r = min(best_r, time.monotonic() - t0)
+        t0 = time.monotonic()
+        out_n = naive()
+        best_n = min(best_n, time.monotonic() - t0)
+    assert out_r == out_n, (out_r[:2], out_n[:2])
+    print(
+        f"grouped_budget @ {n} x {n_groups} groups: refined {best_r:.1f} s "
+        f"vs naive per-group window {best_n:.1f} s"
+    )
+    df.unpersist()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--full", action="store_true", help="add the 100M tier")
@@ -113,6 +185,8 @@ def main() -> None:
     spark = get_spark("bench-r11-budget")
     for n in [1_000_000, 10_000_000] + ([100_000_000] if args.full else []):
         tier(spark, n)
+    for n in [10_000_000] + ([100_000_000] if args.full else []):
+        grouped_tier(spark, n)
 
 
 if __name__ == "__main__":

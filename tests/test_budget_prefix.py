@@ -112,3 +112,142 @@ def test_budget_fraction_floor(spark):
     assert b.budget == 42
     ref_kept, ref_w = _ref_prefix(rows, 42)
     assert b.kept_weight == ref_w and b.kept_docs == len(ref_kept)
+
+
+# ------------------------------------------- grouped (per-key) budgets
+
+
+def _gdf(spark, rows):
+    from pyspark.sql.types import StringType
+
+    schema = StructType(
+        [
+            StructField("src", StringType()),
+            StructField("score", LongType()),
+            StructField("doc_id", LongType()),
+            StructField("tokens", LongType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema).repartition(8)
+
+
+def _gcheck(spark, rows, frac, **kw):
+    from collections import defaultdict
+
+    from nyc_taxi_bigdata_pipeline_spark.operators.budget import (
+        grouped_token_budget_prefix,
+    )
+
+    by_g = defaultdict(list)
+    for g, s, i, w in rows:
+        by_g[g].append((s, i, w))
+    ref = {}
+    for g, rws in by_g.items():
+        total = sum(w for _, _, w in rws)
+        budget = (total * frac[0]) // frac[1]
+        kept, kw_ = _ref_prefix(rws, budget)
+        ref[g] = (budget, len(rws), total, len(kept), kw_, kept)
+
+    df = _gdf(spark, rows)
+    out = grouped_token_budget_prefix(
+        df, group_col="src", score_col="score", id_col="doc_id",
+        weight_col="tokens", budget_fraction=frac, **kw,
+    ).collect()
+    assert {r.group for r in out} == set(ref)
+    bounds = {r.group: r for r in out}
+    for g, (budget, n, total, kn, kw_, kept) in ref.items():
+        r = bounds[g]
+        assert (r.budget, r.total_docs, r.total_weight) == (budget, n, total), g
+        assert (r.kept_docs, r.kept_weight) == (kn, kw_), (
+            g, r.kept_docs, kn, r.kept_weight, kw_)
+    # the boundary predicate reproduces the per-group kept SETS exactly
+    import pyspark.sql.functions as F
+
+    bdf = spark.createDataFrame(
+        [(r.group, r.s_star, r.d_star) for r in out],
+        "src string, s_star long, d_star long",
+    )
+    got = defaultdict(set)
+    for r in (
+        df.join(F.broadcast(bdf), "src")
+        .where((F.col("score") > F.col("s_star"))
+               | ((F.col("score") == F.col("s_star"))
+                  & (F.col("doc_id") <= F.col("d_star"))))
+        .collect()
+    ):
+        got[r.src].add(r.doc_id)
+    for g in ref:
+        assert got.get(g, set()) == ref[g][5], g
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_grouped_budget_adversarial_mixture(spark, seed):
+    """Groups with deliberately different shapes refine in lockstep:
+    heavy ties (id phase), heavy-tail weights, a single-doc group, an
+    all-one-score group, and a group whose first doc overflows."""
+    rows = []
+    for i in range(1500):
+        h = _splitmix(seed * 7_000_003 + i)
+        rows.append(("varied", h % 200, i, 1 + (h >> 8) % 40))
+    for i in range(1200):
+        h = _splitmix(seed * 9_000_017 + i)
+        w = 1 + (h >> 6) % 30
+        if h % 89 == 0:
+            w *= 400
+        rows.append(("tied", 5, 10_000 + i, w))  # all one score
+    for i in range(800):
+        h = _splitmix(seed * 3_000_041 + i)
+        rows.append(("ziptail", h % 9, 20_000 + i,
+                     (1 + h % 20) * (300 if h % 101 == 0 else 1)))
+    rows.append(("solo", 1, 30_000, 50))
+    rows.append(("giantfirst", 9, 40_000, 1_000_000))
+    rows.append(("giantfirst", 8, 40_001, 3))
+    for frac in ((1, 100), (1, 3), (9, 10)):
+        _gcheck(spark, rows, frac, n_bins=4, leaf_rows=16)
+
+
+def test_grouped_budget_matches_single_group_operator(spark):
+    """A one-group input must agree with token_budget_prefix exactly."""
+    rows = [("g", (i * 37) % 11, i, 1 + i % 7) for i in range(500)]
+    _gcheck(spark, rows, (6, 10), n_bins=4, leaf_rows=8)
+    df = _gdf(spark, rows)
+    from nyc_taxi_bigdata_pipeline_spark.operators.budget import (
+        grouped_token_budget_prefix,
+        token_budget_prefix,
+    )
+
+    single = token_budget_prefix(
+        df, score_col="score", id_col="doc_id", weight_col="tokens",
+        budget_fraction=(6, 10), n_bins=4, leaf_rows=8,
+    )
+    grouped = grouped_token_budget_prefix(
+        df, group_col="src", score_col="score", id_col="doc_id",
+        weight_col="tokens", budget_fraction=(6, 10), n_bins=4, leaf_rows=8,
+    ).collect()[0]
+    assert (grouped.kept_docs, grouped.kept_weight) == (
+        single.kept_docs, single.kept_weight)
+    assert (grouped.s_star, grouped.d_star) == (single.s_star, single.d_star)
+
+
+def test_grouped_budget_explicit_budgets_and_group_cap(spark):
+    from nyc_taxi_bigdata_pipeline_spark.operators.budget import (
+        grouped_token_budget_prefix,
+    )
+
+    rows = [("a", 3, 1, 10), ("a", 2, 2, 10), ("b", 1, 3, 10)]
+    out = grouped_token_budget_prefix(
+        _gdf(spark, rows), group_col="src", score_col="score",
+        id_col="doc_id", weight_col="tokens",
+        budgets={"a": 10, "b": 0},
+    ).collect()
+    by = {r.group: r for r in out}
+    # boundary representation is not unique (score > 2 ≡ keeping only
+    # the score-3 doc here) — assert the kept MASS, not s_star/d_star
+    assert (by["a"].kept_docs, by["a"].kept_weight) == (1, 10)
+    assert by["b"].kept_docs == 0 and by["b"].kept_weight == 0
+    with pytest.raises(ValueError, match="max_groups"):
+        grouped_token_budget_prefix(
+            _gdf(spark, rows), group_col="src", score_col="score",
+            id_col="doc_id", weight_col="tokens",
+            budget_fraction=(1, 2), max_groups=1,
+        )
