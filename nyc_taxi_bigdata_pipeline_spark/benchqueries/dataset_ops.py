@@ -551,3 +551,116 @@ def dataset_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_rendered(
         spark, sf_dir, "documents", _temperature_mixture, "bq_tmix_docs"
     )
+
+
+# ----------------------------------------------------- corpus datacard
+
+
+def _datacard_t_sql(engine: str, table: str) -> str:
+    alen = D.alen(D.split_ws("lower(trim(text))", engine), engine)
+    th = D.h64("text", engine)
+    return (
+        f"SELECT doc_id, lang, source, n_chars, "
+        f"CAST({alen} AS BIGINT) AS n_tokens, ({th}) AS th "
+        f"FROM {table} WHERE text IS NOT NULL"
+    )
+
+
+_DATACARD_METRICS = [
+    # (metric, int expr over the 1-row joined stats, double expr)
+    ("chars_total", "chars_total", None),
+    ("docs_total", "docs_total", None),
+    ("docs_with_text", "docs_with_text", None),
+    ("exact_dup_docs", "exact_dup_docs", None),
+    ("langs", "langs", None),
+    ("max_doc_tokens", "max_doc_tokens", None),
+    ("mean_doc_tokens", None,
+     "CAST(tokens_total AS DOUBLE) / CAST(docs_with_text AS DOUBLE)"),
+    ("sources", "sources", None),
+    ("texts_distinct", "texts_distinct", None),
+    ("tokens_total", "tokens_total", None),
+]
+
+
+def _datacard_oracle() -> str:
+    t = _datacard_t_sql(D.DUCK, "documents")
+    arms = []
+    for m, vi, vd in _DATACARD_METRICS:
+        vi_sql = f"CAST({vi} AS BIGINT)" if vi else "CAST(NULL AS BIGINT)"
+        vd_sql = f"CAST({vd} AS DOUBLE)" if vd else "CAST(NULL AS DOUBLE)"
+        arms.append(
+            f"SELECT '{m}' AS metric, {vi_sql} AS v_int, {vd_sql} AS v_dbl"
+            " FROM stats"
+        )
+    arms_sql = "\n    UNION ALL\n    ".join(arms)
+    return f"""
+    WITH t AS ({t}),
+    dup AS (SELECT th, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY th),
+    stats AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS docs_total,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM t) AS docs_with_text,
+             (SELECT CAST(SUM(n_tokens) AS BIGINT) FROM t) AS tokens_total,
+             (SELECT CAST(SUM(n_chars) AS BIGINT) FROM t) AS chars_total,
+             (SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) FROM t) AS langs,
+             (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) FROM t)
+               AS sources,
+             (SELECT CAST(MAX(n_tokens) AS BIGINT) FROM t)
+               AS max_doc_tokens,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM dup) AS texts_distinct,
+             (SELECT CAST(SUM(c - 1) AS BIGINT) FROM dup) AS exact_dup_docs
+    )
+    {arms_sql}
+    ORDER BY metric"""
+
+
+@register(
+    "corpus_datacard",
+    _datacard_oracle(),
+    doc="training-data ext: the data-card summary table every corpus "
+        "release ships — doc/token/char mass, language and source "
+        "cardinalities, exact-duplicate mass (portable text-hash "
+        "groups), and length stats, as one tall (metric, v_int, v_dbl) "
+        "frame. Spark side is THREE corpus passes total (tokenize+agg, "
+        "dup groupBy+agg, raw count) combined into one row and "
+        "unpivoted with stack() — never a scan per metric; the oracle "
+        "spells the same stats as scalar subqueries (per-engine text, "
+        "identical values)",
+)
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    docs.createOrReplaceTempView("bq_dc_docs")
+    t = spark.sql(_datacard_t_sql(D.SPARK, "bq_dc_docs")).localCheckpoint(
+        eager=False
+    )
+    t.createOrReplaceTempView("bq_dc_t")
+    stats = spark.sql("""
+        SELECT a.*, d.texts_distinct, d.exact_dup_docs, r.docs_total
+        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS docs_with_text,
+                     CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+                     CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+                     CAST(COUNT(DISTINCT lang) AS BIGINT) AS langs,
+                     CAST(COUNT(DISTINCT source) AS BIGINT) AS sources,
+                     CAST(MAX(n_tokens) AS BIGINT) AS max_doc_tokens
+              FROM bq_dc_t) a
+        CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS texts_distinct,
+                           CAST(SUM(c - 1) AS BIGINT) AS exact_dup_docs
+                    FROM (SELECT th, CAST(COUNT(*) AS BIGINT) AS c
+                          FROM bq_dc_t GROUP BY th) dup) d
+        CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS docs_total
+                    FROM bq_dc_docs) r
+    """)
+    stack_args = []
+    for m, vi, vd in _DATACARD_METRICS:
+        stack_args.append(f"'{m}'")
+        stack_args.append(f"CAST({vi} AS BIGINT)" if vi
+                          else "CAST(NULL AS BIGINT)")
+        stack_args.append(f"CAST({vd} AS DOUBLE)" if vd
+                          else "CAST(NULL AS DOUBLE)")
+    return (
+        stats.selectExpr(
+            f"stack({len(_DATACARD_METRICS)}, {', '.join(stack_args)})"
+            " AS (metric, v_int, v_dbl)"
+        )
+        .orderBy("metric")
+    )
