@@ -237,6 +237,9 @@ _SCALAR_ANCHOR_OK = {
                                        # (knn shape)
     "text_vocab_coverage": 3,          # 3-row truncation-grid arms ×
                                        # 1-row vocab totals anchor
+    "corpus_datacard": 1,              # cross of three 1-row stat
+                                       # aggregates (corpus/dup/raw),
+                                       # unpivoted to the tall frame
 }
 
 
