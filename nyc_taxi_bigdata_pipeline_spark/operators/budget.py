@@ -314,7 +314,8 @@ def grouped_token_budget_prefix(
     LOCKSTEP: each level is one map-combinable pass where every live
     group contributes its own (range, width) cell from a broadcast
     table, so the pass count is bounded by the deepest group, not the
-    group count. Driver state is O(groups × bins) per level (the
+    group count. Groups absent from an explicit ``budgets`` dict get
+    budget 0 (keep nothing) — pass every group you want kept. Driver state is O(groups × bins) per level (the
     quantiles cell discipline; ``max_groups`` enforces the
     driver-collectable precondition). Leaf finishing is DISTRIBUTED: a
     cumulative window partitioned by group over only the ≤``leaf_rows``
