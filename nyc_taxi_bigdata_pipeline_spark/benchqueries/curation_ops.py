@@ -1040,29 +1040,31 @@ _DSIR_TARGET_SRC = "src0"  # target domain the selection steers toward
 _DSIR_TOP = 20
 
 
-def _dsir_grams_sql(engine: str, docs_rel: str) -> str:
-    """Hashed n-gram featurization (word unigrams + bigrams → h64 mod B):
-    one tokenize pass + one position explode, engine-templated."""
+def _dsir_toks_sql(engine: str, docs_rel: str) -> str:
+    """The one tokenize pass: (doc_id, source, token array). Staged on
+    the Spark side (lazy localCheckpoint) because BOTH gram arms read
+    it — the pre-review shape re-tokenized the corpus once per arm."""
     toks = D.split_ws("lower(trim(text))", engine)
-    alen = D.alen("__t", engine)
-    seq = D.iseq("1", f"greatest({alen} - 1, 1)", engine)
-    pos = D.unnest_col(
-        D.arr_filter(seq, f"i -> i + 1 <= {alen}", engine), engine
+    return (
+        f"SELECT doc_id, source, {toks} AS __t FROM {docs_rel} "
+        "WHERE text IS NOT NULL"
     )
+
+
+def _dsir_grams_sql(engine: str, toks_rel: str) -> str:
+    """Hashed n-gram featurization (word unigrams + bigrams → h64 mod
+    B) over the staged token arrays, engine-templated."""
+    pos = D.bigram_positions("__t", engine)
     w1 = D.at("__t", "__i", engine)
     w2 = D.at("__t", "__i + 1", engine)
     uni = D.unnest_col("__t", engine)
     h = D.h64("g", engine)
     return f"""
     SELECT doc_id, source, ({h} % {_DSIR_B}) AS bucket FROM (
-      SELECT doc_id, source, {uni} AS g
-      FROM (SELECT doc_id, source, {toks} AS __t FROM {docs_rel}
-            WHERE text IS NOT NULL) t1
+      SELECT doc_id, source, {uni} AS g FROM {toks_rel}
       UNION ALL
       SELECT doc_id, source, CONCAT({w1}, ' ', {w2}) AS g
-      FROM (SELECT doc_id, source, __t, {pos} AS __i
-            FROM (SELECT doc_id, source, {toks} AS __t FROM {docs_rel}
-                  WHERE text IS NOT NULL) t2) p
+      FROM (SELECT doc_id, source, __t, {pos} AS __i FROM {toks_rel}) p
     ) g"""
 
 
@@ -1114,7 +1116,8 @@ def _dsir_read_sql(grams_rel: str) -> str:
 
 @register(
     "curation_dsir_select",
-    "WITH dsir_g AS (" + _dsir_grams_sql(D.DUCK, "documents") + "),"
+    "WITH dsir_t AS (" + _dsir_toks_sql(D.DUCK, "documents") + "),"
+    + " dsir_g AS (" + _dsir_grams_sql(D.DUCK, "dsir_t") + "),"
     + _dsir_read_sql("dsir_g").lstrip().removeprefix("WITH"),
     doc="training-data ext: data selection with importance resampling "
         "(DSIR, Xie et al. 2023) — docs are featurized into hashed "
@@ -1133,9 +1136,13 @@ def curation_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread the two explodes off the 1-partition single-file scan
     docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     docs.createOrReplaceTempView("bq_dsir_docs")
-    # grams fan into tot/raw/tgt/scores (4 references) — CTE-inlining
-    # class: one featurize pass, lazily checkpointed
-    grams = spark.sql(_dsir_grams_sql(D.SPARK, "bq_dsir_docs")).localCheckpoint(
+    # toks feed both gram arms, grams fan into tot/raw/tgt/scores —
+    # CTE-inlining class twice over: stage each once, lazily
+    toks = spark.sql(_dsir_toks_sql(D.SPARK, "bq_dsir_docs")).localCheckpoint(
+        eager=False
+    )
+    toks.createOrReplaceTempView("bq_dsir_toks")
+    grams = spark.sql(_dsir_grams_sql(D.SPARK, "bq_dsir_toks")).localCheckpoint(
         eager=False
     )
     grams.createOrReplaceTempView("bq_dsir_grams")
@@ -1498,7 +1505,11 @@ def curation_domain_token_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
         weight_col="n_tokens",
         budget_fraction=_DTC_FRACTION,
     )
-    kept = (
+    # totals and kept doc/token masses are already columns of the
+    # boundary frame — only kept_id_sum needs the one join-back scan
+    # (review finding: the pre-review shape paid two redundant corpus
+    # aggregation passes recomputing what bounds carries)
+    idsum = (
         d.join(
             F.broadcast(bounds.withColumnRenamed("group", "source")),
             "source",
@@ -1509,37 +1520,27 @@ def curation_domain_token_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
                & (F.col("doc_id") <= F.col("d_star")))
         )
         .groupBy("source")
-        .agg(
-            F.count("*").cast("bigint").alias("docs_kept"),
-            F.sum("n_tokens").cast("bigint").alias("tokens_kept"),
-            F.sum("doc_id").cast("bigint").alias("kept_id_sum"),
-        )
-    )
-    totals = d.groupBy("source").agg(
-        F.count("*").cast("bigint").alias("docs_total"),
-        F.sum("n_tokens").cast("bigint").alias("tokens_total"),
+        .agg(F.sum("doc_id").cast("bigint").alias("kept_id_sum"))
     )
     return (
-        totals.join(kept, "source", "left")
-        .join(
-            F.broadcast(
-                bounds.select(
-                    F.col("group").alias("source"), "budget"
-                )
-            ),
-            "source",
+        bounds.select(
+            F.col("group").alias("source"),
+            F.col("total_docs").cast("bigint").alias("docs_total"),
+            F.col("total_weight").cast("bigint").alias("tokens_total"),
+            F.col("kept_docs").cast("bigint").alias("docs_kept"),
+            F.col("kept_weight").cast("bigint").alias("tokens_kept"),
+            F.col("budget").cast("bigint").alias("budget"),
         )
+        .join(idsum, "source", "left")
         .select(
             "source",
             "docs_total",
             "tokens_total",
-            F.coalesce("docs_kept", F.lit(0)).cast("bigint")
-            .alias("docs_kept"),
-            F.coalesce("tokens_kept", F.lit(0)).cast("bigint")
-            .alias("tokens_kept"),
+            "docs_kept",
+            "tokens_kept",
             F.coalesce("kept_id_sum", F.lit(0)).cast("bigint")
             .alias("kept_id_sum"),
-            F.col("budget").cast("bigint").alias("budget"),
+            "budget",
         )
         .orderBy("source")
     )

@@ -101,6 +101,20 @@ def arr_intersect(a: str, b: str, engine: str) -> str:
     return f"list_intersect({a}, {b})" if engine == DUCK else f"array_intersect({a}, {b})"
 
 
+def bigram_positions(arr: str, engine: str) -> str:
+    """Position generator for word-bigram extraction over array ``arr``:
+    emits ``__i``-style 1-based indices with i+1 <= len(arr). Packages
+    two pitfalls in one place: Spark's sequence() flips descending when
+    start > stop (GREATEST clamp) and ANSI element_at raises out of
+    bounds (the filter guarantees i+1 stays in range). Callers pair it
+    with ``at(arr, '__i')`` / ``at(arr, '__i + 1')``."""
+    alen_ = alen(arr, engine)
+    seq = iseq("1", f"greatest({alen_} - 1, 1)", engine)
+    return unnest_col(
+        arr_filter(seq, f"i -> i + 1 <= {alen_}", engine), engine
+    )
+
+
 def arr_contains(arr: str, x: str, engine: str) -> str:
     return (f"list_contains({arr}, {x})" if engine == DUCK
             else f"array_contains({arr}, {x})")

@@ -210,7 +210,6 @@ _RRF_PROBES = (0, 1, 2)  # fixed probe doc ids (exist with text at every SF)
 _RRF_FUSE_K = 50         # per-system list depth fed into the fusion
 _RRF_C = 60              # canonical RRF constant (Cormack et al., 2009)
 _RRF_OUT_K = 10
-_RRF_DIM = 64
 
 
 def _rrf_cand_sql(docs_table: str, emb_table: str) -> str:
@@ -242,15 +241,12 @@ def _rrf_emb_sql(docs_table: str, emb_table: str) -> str:
 
 
 def _rrf_sem_dot(a: str, b: str, engine: str) -> str:
-    """Order-identical sequential-fold dot product (the proven
-    similarity_ops idiom — both engines fold in element order)."""
-    prods = D.transform(
-        D.iseq("1", str(_RRF_DIM), engine),
-        f"i -> CAST({D.at(a, 'i', engine)} AS DOUBLE)"
-        f" * CAST({D.at(b, 'i', engine)} AS DOUBLE)",
-        engine,
-    )
-    return D.fold_sum_double(prods, engine)
+    """Order-identical sequential-fold dot product — delegates to the
+    single source of truth (similarity_ops._dot shares the _DIM
+    constant, so a fixture-dimension change lands everywhere at once)."""
+    from .similarity_ops import _dot
+
+    return _dot(a, b, engine)
 
 
 def _rrf_read_sql(engine: str, tf_rel: str, emb_rel: str) -> str:

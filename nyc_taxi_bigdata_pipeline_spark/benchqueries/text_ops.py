@@ -1174,11 +1174,7 @@ def _vcc_vocab_sql(engine: str, table: str) -> str:
     the synthetic corpus is a degenerate 31 words — every truncation arm
     would read 1.0; bigrams give ~920 types, a real Zipf-ish curve)."""
     toks = D.split_ws("lower(trim(text))", engine)
-    alen = D.alen("__t", engine)
-    seq = D.iseq("1", f"greatest({alen} - 1, 1)", engine)
-    pos = D.unnest_col(
-        D.arr_filter(seq, f"i -> i + 1 <= {alen}", engine), engine
-    )
+    pos = D.bigram_positions("__t", engine)
     w1 = D.at("__t", "__i", engine)
     w2 = D.at("__t", "__i + 1", engine)
     return (

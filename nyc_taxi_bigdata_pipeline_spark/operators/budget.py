@@ -112,6 +112,10 @@ def token_budget_prefix(
     """Find the (score, id) prefix boundary for ``budget`` total weight
     (or ``budget_fraction`` = (num, den) of the total — exact integer
     floor). Scores and weights must be non-negative integers."""
+    if (budget is None) == (budget_fraction is None):
+        # mirror the grouped variant: passing both would silently pick
+        # one and return a wrong-but-plausible boundary
+        raise ValueError("need exactly one of budget / budget_fraction")
     base = df.select(
         F.col(score_col).cast("long").alias("__s"),
         F.col(id_col).cast("long").alias("__i"),
@@ -126,8 +130,6 @@ def token_budget_prefix(
     ).collect()[0]
     total_docs, total_weight = int(tot["n"]), int(tot["w"])
     if budget is None:
-        if budget_fraction is None:
-            raise ValueError("need budget or budget_fraction")
         num, den = budget_fraction
         budget = (total_weight * num) // den
     if total_docs == 0:
@@ -229,10 +231,11 @@ def _phase_b(base, finish, s_star: int, rem: int, n_bins: int,
     ).collect()[0]
     if int(b["w"]) <= rem:  # whole tie set fits
         return finish(s_star, int(b["mx"]))
-    ilo, ihi = int(b["mn"]), int(b["mx"])
+    # the leaf decision reuses counts already in hand (entry agg, then
+    # each boundary bucket's cnt) — no per-level count() job
+    ilo, ihi, cnt = int(b["mn"]), int(b["mx"]), int(b["n"])
     for _ in range(max_levels):
-        if int(live.where((F.col("__i") >= ilo) & (F.col("__i") <= ihi))
-               .count()) <= leaf_rows:
+        if cnt <= leaf_rows:
             rows = sorted(
                 live.where(
                     (F.col("__i") >= ilo) & (F.col("__i") <= ihi)
@@ -276,6 +279,7 @@ def _phase_b(base, finish, s_star: int, rem: int, n_bins: int,
             raise AssertionError("tie walk lost the boundary")
         rem -= cum
         ilo, ihi = int(boundary["mn"]), int(boundary["mx"])
+        cnt = int(boundary["cnt"])
         if ilo == ihi:  # single doc overflows on its own
             # ids are unique: the prefix ends just before this doc —
             # but ids below ilo in earlier buckets were already counted
@@ -346,8 +350,6 @@ def grouped_token_budget_prefix(
     map-combinable pass per level. Pick the window for many small
     groups; pick this for few/huge groups or memory-bounded executors.
     """
-    from dataclasses import dataclass as _dc
-
     from pyspark.sql import Window
     from pyspark.sql.types import (
         LongType,
@@ -382,7 +384,7 @@ def grouped_token_budget_prefix(
             "(group count scaling with data IS the well-partitioned case)"
         )
 
-    @_dc
+    @dataclass
     class _GS:
         phase: str  # score | tie_init | id | resolve_all | done
         rem: int

@@ -158,8 +158,13 @@ def grouped_tier(spark, n: int, n_groups: int = 8) -> None:
             .agg(F.count("*").alias("n"), F.sum("tokens").alias("kw"))
             .collect()
         )
-        return tuple(sorted((r["src"], int(r["n"]), int(r["kw"]))
-                            for r in rows))
+        got = {r["src"]: (int(r["n"]), int(r["kw"])) for r in rows}
+        # groups whose first doc overflows keep nothing and vanish from
+        # the post-filter groupBy — fill them so the identity assert
+        # compares complete group lists (review finding)
+        return tuple(sorted(
+            (g, *got.get(g, (0, 0))) for g in tot
+        ))
 
     best_r = best_n = float("inf")
     out_r = out_n = None

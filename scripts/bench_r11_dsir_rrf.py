@@ -32,6 +32,7 @@ from nyc_taxi_bigdata_pipeline_spark.benchqueries import dialect as D
 from nyc_taxi_bigdata_pipeline_spark.benchqueries.curation_ops import (
     _dsir_grams_sql,
     _dsir_read_sql,
+    _dsir_toks_sql,
 )
 from nyc_taxi_bigdata_pipeline_spark.benchqueries.search_ops import (
     _rrf_cand_sql,
@@ -75,8 +76,12 @@ def dsir_tier(spark, reps: int) -> None:
     corpus.createOrReplaceTempView("probe_dsir_docs")
 
     def go():
+        toks = spark.sql(
+            _dsir_toks_sql(D.SPARK, "probe_dsir_docs")
+        ).localCheckpoint(eager=False)
+        toks.createOrReplaceTempView("probe_dsir_toks")
         grams = spark.sql(
-            _dsir_grams_sql(D.SPARK, "probe_dsir_docs")
+            _dsir_grams_sql(D.SPARK, "probe_dsir_toks")
         ).localCheckpoint(eager=False)
         grams.createOrReplaceTempView("probe_dsir_grams")
         return spark.sql(_dsir_read_sql("probe_dsir_grams")).collect()
@@ -87,8 +92,8 @@ def dsir_tier(spark, reps: int) -> None:
     n_target = sum(1 for r in rows if r.source == "src0")
     print(f"  -> top-20 checksum {checksum}, {n_target}/20 from target")
     assert n_target >= 10, "steering lost at scale"
-    spark.catalog.dropTempView("probe_dsir_docs")
-    spark.catalog.dropTempView("probe_dsir_grams")
+    for v in ("probe_dsir_docs", "probe_dsir_toks", "probe_dsir_grams"):
+        spark.catalog.dropTempView(v)
     corpus.unpersist()
 
 
