@@ -69,6 +69,11 @@ _REFRONT: dict[str, int] = {
     # identical at both SFs, re-fronted per the reimplemented-query
     # policy anyway
     "dedup_incremental_batch": 11,
+    # r12 oracle-converted the flagship end-to-end chain: the operator
+    # now runs hash_family='portable' in the registry query and DuckDB
+    # replays signatures → bands → capped candidates → Jaccard verify;
+    # earlier rows-only driver rows checked the xxhash64 path
+    "dedup_minhash_pipeline": 12,
 }
 
 

@@ -343,6 +343,137 @@ def dedup_minhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_mhv_verify_sql(D.SPARK, "bq_mhv_brows", "bq_mhv_g"))
 
 
+def _minhash_pipeline_oracle(
+    table: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    bucket_cap: int = 256,
+    n: int = 5,
+) -> str:
+    """DuckDB replay of the PRODUCTION operator chain
+    (operators/dedup.minhash_dedup under hash_family='portable'):
+    char-5-gram shingles → one md5-based h64 per shingle → N members
+    via the (a·h%P + b)%P family → per-band portable hash of the
+    concat_ws'd member strings → bucket-capped candidate join (big
+    buckets emit representative-star pairs, small buckets all-pairs,
+    DISTINCT across bands) → exact distinct-shingle Jaccard. Every
+    constant is generated from the same portable_minhash_params the
+    operator embeds, so the two sides share their math by construction.
+
+    DuckDB-only text (the Spark side runs the operator, never this):
+    AS MATERIALIZED pins the multi-referenced md5 passes — DuckDB 1.0
+    sometimes inlines chained CTEs (CLAUDE.md SSSP incident) and sh is
+    referenced by sigs + g, brows by sizes + tagged."""
+    from ..operators.dedup import _PORTABLE_P, portable_minhash_params
+
+    P = _PORTABLE_P
+    h = (
+        f"CAST(CONCAT('0x', SUBSTRING(MD5(substr(__t, i, {n})), 1, 15))"
+        " AS BIGINT)"
+    )
+    mins = ",\n             ".join(
+        f"MIN(({a} * (h % {P}) + {b}) % {P}) AS mh{k}"
+        for k, (a, b) in enumerate(portable_minhash_params(num_hashes))
+    )
+    rows = num_hashes // bands
+    band_sel = []
+    for b in range(bands):
+        cols = ", ".join(
+            f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        bh = (
+            f"CAST(CONCAT('0x', SUBSTRING(MD5(concat_ws('#', {cols})),"
+            " 1, 15)) AS BIGINT)"
+        )
+        band_sel.append(f"SELECT doc_id, {b} AS band_id, {bh} AS bh FROM sigs")
+    brows = "\n      UNION ALL\n      ".join(band_sel)
+    inter = "len(list_intersect(ga.g, gb.g))"
+    jac = f"CAST({inter} AS DOUBLE) / (len(ga.g) + len(gb.g) - {inter})"
+    return f"""
+    WITH corpus AS ({_mhv_corpus_body(table)}
+    ),
+    pos AS (
+      SELECT doc_id, text AS __t,
+             unnest(range(1, greatest(len(text) - {n - 1}, 1) + 1)) AS i
+      FROM corpus
+    ),
+    sh AS MATERIALIZED (SELECT doc_id, {h} AS h FROM pos),
+    sigs AS MATERIALIZED (
+      SELECT doc_id, {mins}
+      FROM sh GROUP BY doc_id
+    ),
+    brows AS MATERIALIZED (
+      {brows}
+    ),
+    sizes AS (SELECT band_id, bh, COUNT(*) AS bn, MIN(doc_id) AS rep
+              FROM brows GROUP BY band_id, bh),
+    tagged AS MATERIALIZED (
+      SELECT b.doc_id, b.band_id, b.bh, s.bn, s.rep
+      FROM brows b JOIN sizes s ON b.band_id = s.band_id AND b.bh = s.bh
+    ),
+    cand AS (
+      SELECT DISTINCT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM tagged a JOIN tagged b
+          ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id
+        WHERE a.bn <= {bucket_cap}
+        UNION ALL
+        SELECT rep AS id_a, doc_id AS id_b
+        FROM tagged WHERE bn > {bucket_cap} AND doc_id <> rep
+      ) u
+    ),
+    g AS MATERIALIZED (
+      SELECT doc_id, list_sort(list_distinct(list(h))) AS g
+      FROM sh GROUP BY doc_id
+    )
+    SELECT id_a, id_b, {jac} AS jaccard
+    FROM cand
+    JOIN g ga ON ga.doc_id = id_a
+    JOIN g gb ON gb.doc_id = id_b
+    WHERE {jac} >= {threshold}
+    ORDER BY id_a, id_b"""
+
+
+@register(
+    "dedup_minhash_pipeline",
+    _minhash_pipeline_oracle("documents"),
+    doc="training-data ext: the FULL production near-dup pipeline — "
+        "operators/dedup.minhash_dedup (signatures → LSH band buckets → "
+        "bucket-capped candidate join → exact Arrow-kernel Jaccard "
+        "verify) run under hash_family='portable', so DuckDB replays the "
+        "ENTIRE operator chain including the char-5-gram shingle scheme, "
+        "the (a·h+b) mod P member family, and the star-pair bucket cap. "
+        "Oracle-converted r12 (was rows-only on xxhash64): the xxhash64 "
+        "default stays the scale path, same plan shape",
+)
+def dedup_minhash_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_dedup
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .where(F.col("text").isNotNull())
+    )
+    base = docs.filter(F.col("doc_id") < 50)
+    exact_dup = base.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    near_dup = base.withColumn("doc_id", F.col("doc_id") + 2_000_000).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" zzextra"))
+    )
+    corpus = docs.unionByName(exact_dup).unionByName(near_dup)
+    # single-file scan + derived unions are a 1-partition layout — the
+    # signature/shingle stages inherit it (CLAUDE.md pitfall; 7.5→5.8 s)
+    corpus = corpus.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    # bands=4 → 4 rows/band (banding threshold ≈ 0.7): on this tiny-vocab
+    # synthetic corpus 2-row bands collide for ~4% of ALL pairs (528k
+    # candidates from 5.1k docs, measured) — band width must track the
+    # corpus' baseline similarity, not just the target threshold
+    pairs = minhash_dedup(
+        corpus, num_hashes=16, bands=4, threshold=0.5, hash_family="portable"
+    )
+    return pairs.select("id_a", "id_b", "jaccard").orderBy("id_a", "id_b")
+
+
 # ----------------------------------------- incremental batch-vs-corpus
 
 

@@ -95,39 +95,6 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "dedup_minhash_pipeline",
-    None,
-    doc="training-data ext (rows-only): the FULL near-dup pipeline — "
-        "MinHash signatures → LSH band-bucket candidate join → exact "
-        "Jaccard verification (operators/dedup.minhash_dedup, xxhash64 "
-        "scale path). Plants exact + one-token-edit duplicates into the "
-        "corpus so the confirmed-pair output is non-trivial and "
-        "deterministic",
-)
-def dedup_minhash_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import minhash_dedup
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    base = docs.filter(F.col("doc_id") < 50)
-    exact_dup = base.withColumn("doc_id", F.col("doc_id") + 1_000_000)
-    near_dup = base.withColumn("doc_id", F.col("doc_id") + 2_000_000).withColumn(
-        "text", F.concat(F.col("text"), F.lit(" zzextra"))
-    )
-    corpus = docs.unionByName(exact_dup).unionByName(near_dup)
-    # single-file scan + derived unions are a 1-partition layout — the
-    # signature/shingle stages inherit it (CLAUDE.md pitfall; 7.5→5.8 s)
-    corpus = corpus.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    # bands=4 → 4 rows/band (banding threshold ≈ 0.7): on this tiny-vocab
-    # synthetic corpus 2-row bands collide for ~4% of ALL pairs (528k
-    # candidates from 5.1k docs, measured) — band width must track the
-    # corpus' baseline similarity, not just the target threshold
-    pairs = minhash_dedup(corpus, num_hashes=16, bands=4, threshold=0.5)
-    return pairs.select(
-        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
-    ).orderBy("id_a", "id_b")
-
-
-@register(
     "ml_gbt_quick",
     None,
     doc="§2.10 (rows-only): end-to-end MLlib pipeline fit+transform on "

@@ -120,7 +120,15 @@ def token_budget_prefix(
         F.col(score_col).cast("long").alias("__s"),
         F.col(id_col).cast("long").alias("__i"),
         F.col(weight_col).cast("long").alias("__w"),
-    ).where(F.col(score_col).isNotNull() & F.col(weight_col).isNotNull())
+    ).where(
+        F.col(score_col).isNotNull()
+        & F.col(weight_col).isNotNull()
+        # NULL ids would silently drop out of the `id <= d_star` boundary
+        # predicate (diverging from prefix semantics) and can TypeError
+        # int(None) in the refinement — exclude them up front; ids share
+        # the non-negative-integer contract of scores/weights.
+        & F.col(id_col).isNotNull()
+    )
 
     tot = base.agg(
         F.count("*").alias("n"),
@@ -369,6 +377,8 @@ def grouped_token_budget_prefix(
         F.col(group_col).isNotNull()
         & F.col(score_col).isNotNull()
         & F.col(weight_col).isNotNull()
+        # same NULL-id exclusion as token_budget_prefix (see its filter)
+        & F.col(id_col).isNotNull()
     )
 
     tot = base.groupBy("__g").agg(

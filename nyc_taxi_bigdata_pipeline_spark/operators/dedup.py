@@ -47,6 +47,42 @@ def dedup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 # ------------------------------------------------------------ MinHash + LSH
 
+# Portable hash family (r12): lets the PRODUCTION pipeline below run in
+# an oracle-replayable mode — DuckDB recomputes signatures, band
+# buckets, candidates, and Jaccard verification bit-for-bit — without
+# changing the plan shape (same explode → hash → MIN aggregate, same
+# band join, same Arrow verify kernel). One md5 per shingle; the N
+# family members derive from the 64-bit base via an (a·h + b) mod P
+# universal family with P = 2³¹−1. functions/hashing.py's general
+# warning against (a·h+b) families is about 64-bit h (the 122-bit
+# product wraps in Spark and raises in DuckDB); folding h into [0, P)
+# first keeps every product under 2⁶² — exact BIGINT arithmetic in
+# both engines, no overflow semantics in play.
+_PORTABLE_P = 2_147_483_647  # 2^31 − 1, prime
+
+
+def _portable_h64(col: F.Column) -> F.Column:
+    """md5-hex → int64 (the functions/compat.h64 idiom) as a Column."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def portable_minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (aₖ, bₖ) literals for the portable member family;
+    the oracle SQL generator embeds the same values. aₖ ≠ 0 for every
+    k < P−1 (2654435761·(k+1) < 2³⁸ is never a multiple of prime P)."""
+    return [
+        (
+            (2_654_435_761 * (k + 1)) % _PORTABLE_P,
+            (40_503 * (k + 1) + 12_345) % _PORTABLE_P,
+        )
+        for k in range(num_hashes)
+    ]
+
+
+def _portable_member(h: F.Column, a: int, b: int) -> F.Column:
+    h31 = F.pmod(h, F.lit(_PORTABLE_P))
+    return F.pmod(F.lit(a).cast("long") * h31 + F.lit(b), F.lit(_PORTABLE_P))
+
 
 def _legacy_char_shingles(col: str, n: int = 5) -> F.Column:
     """Distinct char n-gram ARRAY build — the pre-round-2 formulation,
@@ -68,6 +104,7 @@ def add_minhash(
     text_col: str = "text",
     num_hashes: int = 32,
     id_col: str = "doc_id",
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Per-doc minhash signature ``(id_col, mh0..mhN-1)`` in the exploded
     hash-aggregate shape: explode shingles → xxhash64 the STRING once per
@@ -91,7 +128,12 @@ def add_minhash(
 
     At 100 TB: the explode feeds a map-side partial MIN, so the shuffle
     carries only N longs per doc — smaller than the band explode that
-    follows it in lsh_candidate_pairs."""
+    follows it in lsh_candidate_pairs.
+
+    ``hash_family``: ``"xxhash64"`` (default, JVM scale path) or
+    ``"portable"`` (md5 base hash + (a·h+b) mod P members — identical
+    plan shape, DuckDB-replayable; see the module comment above
+    ``_PORTABLE_P``)."""
     n = 5
     pos = df.select(
         F.col(id_col),
@@ -100,13 +142,19 @@ def add_minhash(
             F.sequence(F.lit(1), F.greatest(F.length(text_col) - (n - 1), F.lit(1)))
         ).alias("__i"),
     )
-    sh = pos.select(
-        id_col, F.xxhash64(F.col("__t").substr(F.col("__i"), F.lit(n))).alias("__h")
-    )
-    aggs = [
-        F.min(F.xxhash64(F.col("__h"), F.lit(seed))).alias(f"mh{seed}")
-        for seed in range(num_hashes)
-    ]
+    gram = F.col("__t").substr(F.col("__i"), F.lit(n))
+    if hash_family == "portable":
+        sh = pos.select(id_col, _portable_h64(gram).alias("__h"))
+        aggs = [
+            F.min(_portable_member(F.col("__h"), a, b)).alias(f"mh{k}")
+            for k, (a, b) in enumerate(portable_minhash_params(num_hashes))
+        ]
+    else:
+        sh = pos.select(id_col, F.xxhash64(gram).alias("__h"))
+        aggs = [
+            F.min(F.xxhash64(F.col("__h"), F.lit(seed))).alias(f"mh{seed}")
+            for seed in range(num_hashes)
+        ]
     return sh.groupBy(id_col).agg(*aggs)
 
 
@@ -115,6 +163,7 @@ def band_rows(
     id_col: str = "doc_id",
     num_hashes: int = 32,
     bands: int = 8,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """(id, band_id, bh) LSH band rows from a signature frame — the
     join-ready (and PERSISTABLE) form of the index: write these once
@@ -128,9 +177,16 @@ def band_rows(
         # string per (doc, band) just to hash it; at 5M docs × 8 bands
         # that is 40M transient strings per pass)
         parts = [F.col(f"mh{b * rows + r}") for r in range(rows)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band_id"), F.xxhash64(*parts).alias("bh"))
-        )
+        if hash_family == "portable":
+            # concat_ws over decimal strings — the oracle's exact text;
+            # per-(doc, band) string build is acceptable in the
+            # verifiability mode (the default stays raw-long xxhash64)
+            bh = _portable_h64(
+                F.concat_ws("#", *[p.cast("string") for p in parts])
+            )
+        else:
+            bh = F.xxhash64(*parts)
+        band_cols.append(F.struct(F.lit(b).alias("band_id"), bh.alias("bh")))
     return sigs.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
     ).select(id_col, "band.band_id", "band.bh")
@@ -156,6 +212,7 @@ def lsh_candidate_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     bucket_cap: int = 256,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Band-bucket join: docs sharing any band signature become a
     candidate pair. Shuffle key = (band_id, band_hash) — collision
@@ -171,7 +228,7 @@ def lsh_candidate_pairs(
     against the representative; identical docs verify at jaccard 1.0).
     Small buckets keep exact all-pairs semantics. Pass ``None`` to
     disable the cap."""
-    banded = band_rows(sigs, id_col, num_hashes, bands)
+    banded = band_rows(sigs, id_col, num_hashes, bands, hash_family)
 
     if bucket_cap is None:
         small, star = banded, None
@@ -277,11 +334,16 @@ def minhash_estimate_filter(
 
 
 def hashed_shingles(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 5
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
-    """Distinct xxhash64'd char-n-gram shingles, one row per (doc,
+    """Distinct hashed char-n-gram shingles, one row per (doc,
     shingle-hash) — the fully-codegen twin of the legacy shingle build
-    (positions exploded, no interpreted array lambdas)."""
+    (positions exploded, no interpreted array lambdas). ``hash_family``
+    as in :func:`add_minhash`."""
     pos = docs.select(
         F.col(id_col),
         F.col(text_col).alias("__t"),
@@ -289,9 +351,9 @@ def hashed_shingles(
             F.sequence(F.lit(1), F.greatest(F.length(text_col) - (n - 1), F.lit(1)))
         ).alias("__i"),
     )
-    return pos.select(
-        id_col, F.xxhash64(F.col("__t").substr(F.col("__i"), F.lit(n))).alias("__h")
-    ).distinct()
+    gram = F.col("__t").substr(F.col("__i"), F.lit(n))
+    h = _portable_h64(gram) if hash_family == "portable" else F.xxhash64(gram)
+    return pos.select(id_col, h.alias("__h")).distinct()
 
 
 def jaccard_verify(
@@ -302,6 +364,7 @@ def jaccard_verify(
     threshold: float = 0.8,
     materialize_shingles: bool = False,
     shingle_n: int = 5,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Exact shingle-Jaccard on candidates only, computed RELATIONALLY:
     shingle sets stay exploded as (doc, hash) rows, |A∩B| is a pair ×
@@ -326,7 +389,8 @@ def jaccard_verify(
         .distinct()
     )
     sh = hashed_shingles(
-        docs.join(ids, id_col, "left_semi"), id_col, text_col, n=shingle_n
+        docs.join(ids, id_col, "left_semi"), id_col, text_col,
+        n=shingle_n, hash_family=hash_family,
     )
     if materialize_shingles:
         sh = sh.localCheckpoint(eager=True)
@@ -357,6 +421,7 @@ def jaccard_verify_arrow(
     text_col: str = "text",
     threshold: float = 0.8,
     shingle_n: int = 5,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Exact shingle-Jaccard on candidates via an Arrow kernel — the
     scale path twin of :func:`jaccard_verify` (same shingle hashes,
@@ -384,7 +449,8 @@ def jaccard_verify_arrow(
         .distinct()
     )
     sh = hashed_shingles(
-        docs.join(ids, id_col, "left_semi"), id_col, text_col, n=shingle_n
+        docs.join(ids, id_col, "left_semi"), id_col, text_col,
+        n=shingle_n, hash_family=hash_family,
     )
     arrays = sh.groupBy(id_col).agg(
         F.sort_array(F.collect_set("__h")).alias("__sh")
@@ -758,6 +824,7 @@ def minhash_dedup(
     materialize_shingles: bool = True,
     kernel: str = "arrow",
     sigs: DataFrame | None = None,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Full near-dup pipeline: signatures → LSH candidates →
     [signature-estimate prefilter →] exact verify. Returns confirmed
@@ -791,9 +858,12 @@ def minhash_dedup(
         sigs = sigs.join(docs.select(id_col), id_col, "left_semi")
     else:
         sigs = add_minhash(
-            docs.select(id_col, text_col), text_col, num_hashes, id_col
+            docs.select(id_col, text_col), text_col, num_hashes, id_col,
+            hash_family=hash_family,
         )
-    pairs = lsh_candidate_pairs(sigs, id_col, num_hashes, bands, bucket_cap)
+    pairs = lsh_candidate_pairs(
+        sigs, id_col, num_hashes, bands, bucket_cap, hash_family
+    )
     if estimate_prefilter:
         import math
 
@@ -803,9 +873,11 @@ def minhash_dedup(
             min_estimate=max(threshold - 3.5 * sigma, 0.0),
         )
     if kernel == "arrow":
-        return jaccard_verify_arrow(pairs, docs, id_col, text_col, threshold)
+        return jaccard_verify_arrow(pairs, docs, id_col, text_col, threshold,
+                                    hash_family=hash_family)
     return jaccard_verify(pairs, docs, id_col, text_col, threshold,
-                          materialize_shingles=materialize_shingles)
+                          materialize_shingles=materialize_shingles,
+                          hash_family=hash_family)
 
 
 # ------------------------------------------------- near-dup clustering

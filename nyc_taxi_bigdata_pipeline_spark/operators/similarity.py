@@ -887,7 +887,20 @@ def mmr_select_from_scores(
                 if d in selected:
                     continue
                 if selected:
-                    m = max(sims[(qid, d, s)] for s in selected)
+                    # complete-directed-graph contract: every
+                    # (query, cand, selected) sim must be present. A
+                    # silent .get default would diverge from the oracle
+                    # (whose inner join DROPS the candidate) — fail loud
+                    # and name the missing pair instead.
+                    try:
+                        m = max(sims[(qid, d, s)] for s in selected)
+                    except KeyError as exc:
+                        raise ValueError(
+                            "mmr_select_from_scores: missing sim pair "
+                            f"(query={qid}, cand={d}, selected={exc.args[0][2]}) "
+                            "— `pairs` must cover every (query, cand, "
+                            "selected) combination"
+                        ) from exc
                     score = lam_num * rfp - mu * m
                 else:
                     score = lam_num * rfp

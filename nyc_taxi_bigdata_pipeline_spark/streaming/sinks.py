@@ -336,7 +336,9 @@ def foreach_batch_dedup_maintain(
             else view.unionByName(new_bands),
             batch_id=batch_id, run_id=run_id,
         )
-        survivors.unpersist()
+        # no unpersist: localCheckpoint blocks aren't persist()-cached,
+        # so unpersist() would be a no-op; the RDD blocks release when
+        # the frame is GC'd at the end of this batch closure.
 
     return (
         stream.writeStream.foreachBatch(merge)
