@@ -249,20 +249,10 @@ def _rrf_sem_dot(a: str, b: str, engine: str) -> str:
     return _dot(a, b, engine)
 
 
-def _rrf_read_sql(engine: str, tf_rel: str, emb_rel: str) -> str:
-    """Reciprocal-rank fusion of a lexical and a semantic ranking.
-
-    Lexical arm: exact-integer TF-IDF cosine (tf · idf_milli weights —
-    LN only ever sees integer-valued doubles, BIGINT dots/norms, one
-    final float division snapped to 1e-9) between each probe doc and
-    every candidate sharing ≥1 token; top-``_RRF_FUSE_K`` by fp9 cosine.
-    Semantic arm: embedding cosine (sequential-fold dot, round 6 — the
-    similarity_knn_bruteforce idiom); top-``_RRF_FUSE_K``. Fusion:
-    RRF_fp(d) = Σ_arms FLOOR(1e9 / (C + rank) + 0.5) over the arms that
-    ranked d (FULL OUTER JOIN, absent arm contributes 0) — each term is
-    ONE IEEE division on exact integers, summed as BIGINTs, so the score
-    is bit-identical cross-engine; final rank breaks ties by cand_id.
-    """
+def _rrf_chain(engine: str, tf_rel: str, emb_rel: str) -> str:
+    """The shared CTE list (no WITH keyword) through ``fused`` — split
+    out of :func:`_rrf_read_sql` (r12) so search_eval_ndcg can rank the
+    SAME three arms without duplicating the scoring text."""
     probes = ", ".join(str(p) for p in _RRF_PROBES)
     sem_dot = _rrf_sem_dot("q.embedding", "c.embedding", engine)
     sem_qn = _rrf_sem_dot("q.embedding", "q.embedding", engine)
@@ -275,8 +265,7 @@ def _rrf_read_sql(engine: str, tf_rel: str, emb_rel: str) -> str:
         lambda r: f"CAST(FLOOR(CAST(1000000000 AS DOUBLE)"
         f" / CAST({_RRF_C} + {r} AS DOUBLE) + 0.5) AS BIGINT)"
     )
-    return f"""
-    WITH n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
+    return f"""n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
                FROM {tf_rel}),
     dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
               FROM {tf_rel} GROUP BY tok),
@@ -330,7 +319,25 @@ def _rrf_read_sql(engine: str, tf_rel: str, emb_rel: str) -> str:
       FROM (SELECT * FROM lex WHERE r_lex <= {_RRF_FUSE_K}) l
       FULL OUTER JOIN (SELECT * FROM sem WHERE r_sem <= {_RRF_FUSE_K}) s
         ON s.query_id = l.query_id AND s.cand_id = l.cand_id
-    )
+    )"""
+
+
+def _rrf_read_sql(engine: str, tf_rel: str, emb_rel: str) -> str:
+    """Reciprocal-rank fusion of a lexical and a semantic ranking.
+
+    Lexical arm: exact-integer TF-IDF cosine (tf · idf_milli weights —
+    LN only ever sees integer-valued doubles, BIGINT dots/norms, one
+    final float division snapped to 1e-9) between each probe doc and
+    every candidate sharing ≥1 token; top-``_RRF_FUSE_K`` by fp9 cosine.
+    Semantic arm: embedding cosine (sequential-fold dot, round 6 — the
+    similarity_knn_bruteforce idiom); top-``_RRF_FUSE_K``. Fusion:
+    RRF_fp(d) = Σ_arms FLOOR(1e9 / (C + rank) + 0.5) over the arms that
+    ranked d (FULL OUTER JOIN, absent arm contributes 0) — each term is
+    ONE IEEE division on exact integers, summed as BIGINTs, so the score
+    is bit-identical cross-engine; final rank breaks ties by cand_id.
+    """
+    return f"""
+    WITH {_rrf_chain(engine, tf_rel, emb_rel)}
     SELECT query_id, cand_id, r_lex, r_sem,
            CAST(rrf_fp AS DOUBLE) / 1000000000.0 AS rrf_score,
            CAST(rank AS BIGINT) AS rank
@@ -389,6 +396,246 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bq_rrf_emb"
     )
     return spark.sql(_rrf_read_sql(D.SPARK, "bq_rrf_tf", "bq_rrf_emb"))
+
+
+# ------------------------------------- retrieval-quality eval (nDCG@k)
+
+_EVAL_K = 10
+
+
+def _eval_disc_values() -> str:
+    """fp6 DCG discount literals 1/log2(r+1), r = 1..K — FLOOR-snapped in
+    Python so neither engine evaluates a transcendental (the log2 FMA /
+    libm-variance hazard class); DCG then sums exact integers."""
+    import math
+
+    return ", ".join(
+        f"({r}, {int(math.floor(1_000_000 / math.log2(r + 1) + 0.5))})"
+        for r in range(1, _EVAL_K + 1)
+    )
+
+
+def _eval_planted_sql(engine: str, docs_table: str, emb_table: str) -> str:
+    """Planted graded qrels: 5 relevant docs per probe, built so the
+    three arms genuinely diverge —
+
+    - A (rel 2): exact text + exact embedding copy (both arms hit)
+    - B (rel 2): near-copy text, odd-dims-zeroed embedding (cos ≈ .71)
+    - C (rel 1): first-half text, probe+donor(q+10) mixed embedding
+    - D (rel 1): donor(q+20) text with even-dims-zeroed probe embedding
+      — the PARAPHRASE plant: invisible to the lexical arm
+    - E (rel 1): first-half text + pad with donor(q+30)'s embedding
+      — the KEYWORD plant: invisible to the semantic arm
+
+    All five are derived from base-table rows by engine-shared
+    elementwise expressions (float→double casts exact, single-rounded
+    IEEE adds), so the planted vectors are bit-identical cross-engine."""
+    from .similarity_ops import _DIM
+
+    probes = ", ".join(str(p) for p in _RRF_PROBES)
+    at_e = D.at("e.embedding", "i", engine)
+    at_e2 = D.at("e2.embedding", "i", engine)
+
+    def emap(elem: str) -> str:
+        return D.transform(
+            D.iseq("1", str(_DIM), engine), f"i -> {elem}", engine
+        )
+
+    castd = emap(f"CAST({at_e} AS DOUBLE)")
+    castd2 = emap(f"CAST({at_e2} AS DOUBLE)")
+    oddz = emap(
+        f"CASE WHEN i % 2 = 0 THEN CAST({at_e} AS DOUBLE)"
+        " ELSE CAST(0 AS DOUBLE) END"
+    )
+    evenz = emap(
+        f"CASE WHEN i % 2 = 1 THEN CAST({at_e} AS DOUBLE)"
+        " ELSE CAST(0 AS DOUBLE) END"
+    )
+    mix = emap(f"CAST({at_e} AS DOUBLE) + CAST({at_e2} AS DOUBLE)")
+    toks = D.split_ws("d.text", engine)
+    half_text = D.arr_join(
+        D.arr_slice(
+            toks, "1", f"greatest({D.idiv(D.alen(toks, engine), '2', engine)}, 1)",
+            engine,
+        ),
+        "' '",
+        engine,
+    )
+    return f"""
+      SELECT 1000000 + d.doc_id AS doc_id, d.text AS text,
+             {castd} AS embedding, d.doc_id AS qid, 2 AS rel
+      FROM {docs_table} d JOIN {emb_table} e ON e.vec_id = d.doc_id
+      WHERE d.doc_id IN ({probes}) AND d.text IS NOT NULL
+      UNION ALL
+      SELECT 1100000 + d.doc_id, concat(d.text, ' zzeval'), {oddz},
+             d.doc_id, 2
+      FROM {docs_table} d JOIN {emb_table} e ON e.vec_id = d.doc_id
+      WHERE d.doc_id IN ({probes}) AND d.text IS NOT NULL
+      UNION ALL
+      SELECT 1200000 + d.doc_id, {half_text}, {mix}, d.doc_id, 1
+      FROM {docs_table} d JOIN {emb_table} e ON e.vec_id = d.doc_id
+      JOIN {emb_table} e2 ON e2.vec_id = d.doc_id + 10
+      WHERE d.doc_id IN ({probes}) AND d.text IS NOT NULL
+      UNION ALL
+      SELECT 1300000 + d.doc_id, d2.text, {evenz}, d.doc_id, 1
+      FROM {docs_table} d JOIN {emb_table} e ON e.vec_id = d.doc_id
+      JOIN {docs_table} d2 ON d2.doc_id = d.doc_id + 20
+      WHERE d.doc_id IN ({probes}) AND d.text IS NOT NULL
+        AND d2.text IS NOT NULL
+      UNION ALL
+      SELECT 1400000 + d.doc_id, concat({half_text}, ' zzpad'), {castd2},
+             d.doc_id, 1
+      FROM {docs_table} d JOIN {emb_table} e2 ON e2.vec_id = d.doc_id + 30
+      WHERE d.doc_id IN ({probes}) AND d.text IS NOT NULL"""
+
+
+def _eval_cand_sql(docs_table: str, emb_table: str, planted_rel: str) -> str:
+    return (
+        _rrf_cand_sql(docs_table, emb_table)
+        + f" UNION ALL SELECT doc_id, text FROM {planted_rel}"
+    )
+
+
+def _eval_emb_sql(
+    engine: str, docs_table: str, emb_table: str, planted_rel: str
+) -> str:
+    from .similarity_ops import _DIM
+
+    castd = D.transform(
+        D.iseq("1", str(_DIM), engine),
+        f"i -> CAST({D.at('e.embedding', 'i', engine)} AS DOUBLE)",
+        engine,
+    )
+    return (
+        f"SELECT e.vec_id AS doc_id, {castd} AS embedding FROM {emb_table} e "
+        f"JOIN {docs_table} d ON d.doc_id = e.vec_id "
+        f"WHERE d.text IS NOT NULL "
+        f"UNION ALL SELECT doc_id, embedding FROM {planted_rel}"
+    )
+
+
+def _eval_read_sql(engine: str, tf_rel: str, emb_rel: str, rel_rel: str) -> str:
+    """nDCG@K + recall@K of the lexical, semantic, and fused arms against
+    the planted qrels. DCG_fp = Σ gain·disc_fp6[r] is an exact BIGINT sum
+    (gain ∈ {0,1,3}, disc from the literal table); IDCG_fp comes from the
+    per-query (n2, n1) grade counts laid ideally over the same table; the
+    ONLY float ops are the two final single-rounded divisions."""
+    chain = _rrf_chain(engine, tf_rel, emb_rel)
+    return f"""
+    WITH {chain},
+    rrffinal AS (
+      SELECT query_id, cand_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY rrf_fp DESC, cand_id) AS BIGINT) AS r
+      FROM fused
+    ),
+    arms AS (
+      SELECT 'lex' AS arm, query_id, cand_id, r_lex AS r
+      FROM lex WHERE r_lex <= {_EVAL_K}
+      UNION ALL
+      SELECT 'sem' AS arm, query_id, cand_id, r_sem AS r
+      FROM sem WHERE r_sem <= {_EVAL_K}
+      UNION ALL
+      SELECT 'rrf' AS arm, query_id, cand_id, r
+      FROM rrffinal WHERE r <= {_EVAL_K}
+    ),
+    disc AS (SELECT * FROM (VALUES {_eval_disc_values()}) AS t(r, d)),
+    relcnt AS (
+      SELECT qid AS query_id,
+             CAST(SUM(CASE WHEN rel = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(SUM(CASE WHEN rel = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+      FROM {rel_rel} GROUP BY qid
+    ),
+    dcg AS (
+      SELECT a.arm, a.query_id,
+             CAST(SUM((CASE WHEN rl.rel = 2 THEN 3 WHEN rl.rel = 1 THEN 1
+                            ELSE 0 END) * d.d) AS BIGINT) AS dcg_fp,
+             CAST(SUM(CASE WHEN rl.rel >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS hits
+      FROM arms a
+      JOIN disc d ON d.r = a.r
+      LEFT JOIN {rel_rel} rl
+        ON rl.qid = a.query_id AND rl.doc_id = a.cand_id
+      GROUP BY a.arm, a.query_id
+    ),
+    idcg AS (
+      SELECT rc.query_id,
+             CAST(SUM(CASE
+               WHEN d.r <= LEAST({_EVAL_K}, rc.n2) THEN 3 * d.d
+               WHEN d.r > rc.n2
+                AND d.r <= LEAST({_EVAL_K}, rc.n2 + rc.n1) THEN d.d
+               ELSE 0 END) AS BIGINT) AS idcg_fp
+      FROM relcnt rc CROSS JOIN disc d
+      GROUP BY rc.query_id
+    )
+    SELECT g.arm, g.query_id,
+           rc.n2 + rc.n1 AS n_rel,
+           g.hits AS hits_at_k,
+           CAST(g.hits AS DOUBLE) / CAST(rc.n2 + rc.n1 AS DOUBLE)
+             AS recall_at_k,
+           CAST(g.dcg_fp AS DOUBLE) / CAST(i.idcg_fp AS DOUBLE) AS ndcg_at_k
+    FROM dcg g
+    JOIN idcg i ON i.query_id = g.query_id
+    JOIN relcnt rc ON rc.query_id = g.query_id
+    ORDER BY g.arm, g.query_id"""
+
+
+def _eval_oracle() -> str:
+    planted = _eval_planted_sql(D.DUCK, "documents", "embeddings")
+    cand = _eval_cand_sql("documents", "embeddings", "ev_planted")
+    tf = _rrf_tf_sql(D.DUCK, "ev_cand")
+    emb = _eval_emb_sql(D.DUCK, "documents", "embeddings", "ev_planted")
+    read = _eval_read_sql(D.DUCK, "ev_tf", "ev_emb", "ev_rel")
+    return (
+        f"WITH ev_planted AS ({planted}), ev_cand AS ({cand}), "
+        f"ev_tf AS ({tf}), ev_emb AS ({emb}), "
+        f"ev_rel AS (SELECT qid, doc_id, rel FROM ev_planted),"
+        + read.lstrip().removeprefix("WITH")
+    )
+
+
+@register(
+    "search_eval_ndcg",
+    _eval_oracle(),
+    doc="training-data ext (r12): retrieval-quality eval — nDCG@10 and "
+        "recall@10 of the lexical, semantic, and RRF-fused arms of "
+        "search_hybrid_rrf against PLANTED graded qrels (exact copy / "
+        "near copy / half-text / embedding-only paraphrase / text-only "
+        "keyword plants per probe, so the arms measurably diverge and "
+        "fusion demonstrably recovers both blind spots). DCG uses a "
+        "Python-precomputed fp6 discount table (no engine evaluates "
+        "log2), gains and discounts sum as exact BIGINTs, and the only "
+        "float ops are the final two divisions — hash-exact. At 100 TB "
+        "the eval adds one bounded qrel relation and two ≤|probes|·K "
+        "aggregates on top of the ranking arms' own cost",
+)
+def search_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs.createOrReplaceTempView("bq_ev_docs")
+    emb.createOrReplaceTempView("bq_ev_emb_raw")
+    spark.sql(
+        _eval_planted_sql(D.SPARK, "bq_ev_docs", "bq_ev_emb_raw")
+    ).createOrReplaceTempView("bq_ev_planted")
+    cand = spark.sql(_eval_cand_sql("bq_ev_docs", "bq_ev_emb_raw", "bq_ev_planted"))
+    # 1-partition single-file scan pitfall: spread the tokenize explode
+    cand = cand.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    cand.createOrReplaceTempView("bq_ev_cand")
+    # one corpus tokenize pass, lazily checkpointed (CTE-inlining class;
+    # honest: the first caller action materializes it inside its timing)
+    tf = spark.sql(_rrf_tf_sql(D.SPARK, "bq_ev_cand")).localCheckpoint(
+        eager=False
+    )
+    tf.createOrReplaceTempView("bq_ev_tf")
+    spark.sql(
+        _eval_emb_sql(D.SPARK, "bq_ev_docs", "bq_ev_emb_raw", "bq_ev_planted")
+    ).createOrReplaceTempView("bq_ev_emb")
+    spark.sql(
+        "SELECT qid, doc_id, rel FROM bq_ev_planted"
+    ).createOrReplaceTempView("bq_ev_rel")
+    return spark.sql(
+        _eval_read_sql(D.SPARK, "bq_ev_tf", "bq_ev_emb", "bq_ev_rel")
+    )
 
 
 @register(
