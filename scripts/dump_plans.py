@@ -23,6 +23,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="reports/plans")
+    ap.add_argument("--suffix", default="", help="filename suffix, e.g. _before")
+    ap.add_argument(
+        "--queries",
+        default=None,
+        help="comma-separated registry names (default: bench set + plan-risk)",
+    )
     args = ap.parse_args()
 
     spark = get_spark("dump-plans")
@@ -41,7 +47,13 @@ def main() -> None:
         # invisible in small-SF timings)
         "mg_heavy_hitters_tokens", "dedup_ssjoin_prefix",
     }
-    names = sorted({n for n, q in REGISTRY.items() if q.bench} | plan_risk)
+    if args.queries:
+        names = [n.strip() for n in args.queries.split(",") if n.strip()]
+        unknown = [n for n in names if n not in REGISTRY]
+        if unknown:
+            raise SystemExit(f"unknown queries: {unknown}")
+    else:
+        names = sorted({n for n, q in REGISTRY.items() if q.bench} | plan_risk)
     cap = 100_000
     for name in names:
         plan = physical_plan(REGISTRY[name].spark_fn(spark, args.sf_dir))
@@ -50,7 +62,7 @@ def main() -> None:
             # whole nested InMemoryRelation chain — the evidence (join
             # strategies, scan shapes) is all in the head
             plan = plan[:cap] + f"\n... [truncated {len(plan) - cap} chars]"
-        with open(os.path.join(args.out, f"{name}.txt"), "w") as f:
+        with open(os.path.join(args.out, f"{name}{args.suffix}.txt"), "w") as f:
             f.write(f"== {name} (sf_dir={args.sf_dir}) ==\n{plan}\n")
         print(name, file=sys.stderr)
     spark.stop()

@@ -231,6 +231,10 @@ _SCALAR_ANCHOR_OK = {
     "search_hybrid_rrf": 3,            # bounded 3-probe side × corpus
                                        # (semantic arm, knn shape) +
                                        # 1-row doc-count idf anchor
+    "search_eval_ndcg": 10,            # same RRF chain (3-probe semantic
+                                       # arm + 1-row idf anchor) + the
+                                       # fixed 10-row DCG discount table
+                                       # crossed with ≤|probes| relcnt
     "curation_dsir_select": 1,         # 1-row (traw, ttgt) totals anchor
                                        # folded into the bucket ratios
     "similarity_triplet_mining": 10,   # bounded 10-anchor side × corpus
