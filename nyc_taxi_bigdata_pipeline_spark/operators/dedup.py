@@ -228,7 +228,16 @@ def lsh_candidate_pairs(
     against the representative; identical docs verify at jaccard 1.0).
     Small buckets keep exact all-pairs semantics. Pass ``None`` to
     disable the cap."""
-    banded = band_rows(sigs, id_col, num_hashes, bands, hash_family)
+    # banded fans into the bucket-size agg, the tagged join, and both
+    # sides of the candidate self-join — the size agg and the join keys
+    # differ, so exchange reuse can't dedup them and the whole signature
+    # pass upstream (the corpus shingle explode + hash) recomputes once
+    # per reference (r12 stage probe: the candidate stage alone cost
+    # 2.55 s portable / 1.48 s xxhash64 at sf0.1 before this cut). Lazy
+    # in-operator checkpoint — first caller action materializes it.
+    banded = band_rows(sigs, id_col, num_hashes, bands, hash_family).localCheckpoint(
+        eager=False
+    )
 
     if bucket_cap is None:
         small, star = banded, None
