@@ -161,7 +161,7 @@ def _tfidf_tf_sql(engine: str, table: str) -> str:
     return _TFIDF_TF_SQL_T.format(unnest=unnest, table=table)
 
 
-def _tfidf_read_sql(tf_rel: str) -> str:
+def _tfidf_read_sql(tf_rel: str, w_rel: str | None = None) -> str:
     """Cosine of tf·idf vectors over the bounded adjacent-id pair set.
     Weights are EXACT INTEGERS: tf · idf_milli where idf_milli =
     FLOOR((LN(N) − LN(df)) · 1e3 + 0.5) — LN only ever sees
@@ -169,9 +169,13 @@ def _tfidf_read_sql(tf_rel: str) -> str:
     milli-unit scale keeps Σw² under 2^63 (micro-units would overflow
     at tf ≈ 54). Dot products and norms are exact BIGINT sums; the one
     float op is the final dot/√(na·nb), snapped to 1e-9. Engine-shared
-    text for both engines."""
-    return f"""
-    WITH n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
+    text for both engines. ``w_rel`` (r12): pre-materialized weight
+    relation — ``w`` fans into norms + both dot sides, the CTE-inlining
+    recompute class; the oracle keeps the one-shot text."""
+    w_block = (
+        f"w AS (SELECT * FROM {w_rel})"
+        if w_rel is not None
+        else f"""n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
                FROM {tf_rel}),
     dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
               FROM {tf_rel} GROUP BY tok),
@@ -183,7 +187,10 @@ def _tfidf_read_sql(tf_rel: str) -> str:
       FROM {tf_rel} t
       JOIN dfreq ON dfreq.tok = t.tok
       CROSS JOIN n
-    ),
+    )"""
+    )
+    return f"""
+    WITH {w_block},
     norms AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2
               FROM w GROUP BY doc_id),
     dot AS (
@@ -249,22 +256,9 @@ def _rrf_sem_dot(a: str, b: str, engine: str) -> str:
     return _dot(a, b, engine)
 
 
-def _rrf_chain(engine: str, tf_rel: str, emb_rel: str) -> str:
-    """The shared CTE list (no WITH keyword) through ``fused`` — split
-    out of :func:`_rrf_read_sql` (r12) so search_eval_ndcg can rank the
-    SAME three arms without duplicating the scoring text."""
-    probes = ", ".join(str(p) for p in _RRF_PROBES)
-    sem_dot = _rrf_sem_dot("q.embedding", "c.embedding", engine)
-    sem_qn = _rrf_sem_dot("q.embedding", "q.embedding", engine)
-    sem_cn = _rrf_sem_dot("c.embedding", "c.embedding", engine)
-    # bounded probe sides are the build sides BY DESIGN (the static-size
-    # estimator must never pick the corpus side — the OOM class)
-    lex_hint = "/*+ BROADCAST(p) */ " if engine == D.SPARK else ""
-    sem_hint = "/*+ BROADCAST(q) */ " if engine == D.SPARK else ""
-    rrf_term = (
-        lambda r: f"CAST(FLOOR(CAST(1000000000 AS DOUBLE)"
-        f" / CAST({_RRF_C} + {r} AS DOUBLE) + 0.5) AS BIGINT)"
-    )
+def _rrf_w_ctes(tf_rel: str) -> str:
+    """CTE list building the exact-integer tf·idf weight relation ``w``
+    from a (doc_id, tok, tf) relation (engine-shared text)."""
     return f"""n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
                FROM {tf_rel}),
     dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
@@ -277,8 +271,17 @@ def _rrf_chain(engine: str, tf_rel: str, emb_rel: str) -> str:
       FROM {tf_rel} t
       JOIN dfreq ON dfreq.tok = t.tok
       CROSS JOIN n
-    ),
-    norms AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2
+    )"""
+
+
+def _rrf_lex_ctes(engine: str) -> str:
+    """CTE list ranking the lexical arm (reads ``w``): per-probe exact
+    fp9 TF-IDF cosine over candidates sharing ≥1 token."""
+    probes = ", ".join(str(p) for p in _RRF_PROBES)
+    # bounded probe sides are the build sides BY DESIGN (the static-size
+    # estimator must never pick the corpus side — the OOM class)
+    lex_hint = "/*+ BROADCAST(p) */ " if engine == D.SPARK else ""
+    return f"""norms AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2
               FROM w GROUP BY doc_id),
     lexdot AS (
       SELECT {lex_hint}p.doc_id AS query_id, c.doc_id AS cand_id,
@@ -297,8 +300,18 @@ def _rrf_chain(engine: str, tf_rel: str, emb_rel: str) -> str:
       FROM lexdot
       JOIN norms na ON na.doc_id = query_id
       JOIN norms nb ON nb.doc_id = cand_id
-    ),
-    semscored AS (
+    )"""
+
+
+def _rrf_sem_ctes(engine: str, emb_rel: str) -> str:
+    """CTE list ranking the semantic arm: probe-broadcast embedding
+    cosine over one corpus scan."""
+    probes = ", ".join(str(p) for p in _RRF_PROBES)
+    sem_dot = _rrf_sem_dot("q.embedding", "c.embedding", engine)
+    sem_qn = _rrf_sem_dot("q.embedding", "q.embedding", engine)
+    sem_cn = _rrf_sem_dot("c.embedding", "c.embedding", engine)
+    sem_hint = "/*+ BROADCAST(q) */ " if engine == D.SPARK else ""
+    return f"""semscored AS (
       SELECT {sem_hint}q.doc_id AS query_id, c.doc_id AS cand_id,
              round({sem_dot} / (sqrt({sem_qn}) * sqrt({sem_cn})), 6) AS cos_sim
       FROM {emb_rel} q JOIN {emb_rel} c ON c.doc_id <> q.doc_id
@@ -309,8 +322,16 @@ def _rrf_chain(engine: str, tf_rel: str, emb_rel: str) -> str:
              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                   ORDER BY cos_sim DESC, cand_id) AS BIGINT) AS r_sem
       FROM semscored
-    ),
-    fused AS (
+    )"""
+
+
+def _rrf_fused_cte() -> str:
+    """The RRF fusion CTE (reads ``lex`` / ``sem``, engine-shared)."""
+    rrf_term = (
+        lambda r: f"CAST(FLOOR(CAST(1000000000 AS DOUBLE)"
+        f" / CAST({_RRF_C} + {r} AS DOUBLE) + 0.5) AS BIGINT)"
+    )
+    return f"""fused AS (
       SELECT COALESCE(l.query_id, s.query_id) AS query_id,
              COALESCE(l.cand_id, s.cand_id) AS cand_id,
              l.r_lex AS r_lex, s.r_sem AS r_sem,
@@ -322,7 +343,78 @@ def _rrf_chain(engine: str, tf_rel: str, emb_rel: str) -> str:
     )"""
 
 
-def _rrf_read_sql(engine: str, tf_rel: str, emb_rel: str) -> str:
+def _rrf_chain(
+    engine: str,
+    tf_rel: str,
+    emb_rel: str,
+    w_rel: str | None = None,
+    lex_rel: str | None = None,
+    sem_rel: str | None = None,
+) -> str:
+    """The shared CTE list (no WITH keyword) through ``fused`` — split
+    out of :func:`_rrf_read_sql` (r12) so search_eval_ndcg can rank the
+    SAME three arms without duplicating the scoring text.
+
+    The optional ``*_rel`` params substitute PRE-MATERIALIZED relations
+    for the corresponding CTE (r12 recompute fix): Spark inlines every
+    non-recursive CTE, so ``w`` (3 references: norms + both lexdot
+    sides) and, in the eval query, ``lex`` / ``sem`` (2 references
+    each: fused + arms) otherwise re-execute their whole subtree per
+    reference. A substituted ``lex``/``sem`` holds the top-``_RRF_FUSE_K``
+    rows per probe — every downstream consumer filters at least that
+    tight, so results are identical. The DuckDB oracle never passes
+    them (one-shot WITH text, byte-identical to the pre-r12 chain)."""
+    parts: list[str] = []
+    if lex_rel is None or sem_rel is None:
+        if lex_rel is None:
+            if w_rel is not None:
+                parts.append(f"w AS (SELECT * FROM {w_rel})")
+            else:
+                parts.append(_rrf_w_ctes(tf_rel))
+    if lex_rel is not None:
+        parts.append(f"lex AS (SELECT * FROM {lex_rel})")
+    else:
+        parts.append(_rrf_lex_ctes(engine))
+    if sem_rel is not None:
+        parts.append(f"sem AS (SELECT * FROM {sem_rel})")
+    else:
+        parts.append(_rrf_sem_ctes(engine, emb_rel))
+    parts.append(_rrf_fused_cte())
+    return ",\n    ".join(parts)
+
+
+def _rrf_w_sql(tf_rel: str) -> str:
+    """Standalone SQL for the ``w`` weight relation — the Spark side
+    materializes it once (3 downstream references)."""
+    return f"WITH {_rrf_w_ctes(tf_rel)} SELECT doc_id, tok, w FROM w"
+
+
+def _rrf_lex_topk_sql(engine: str, w_rel: str) -> str:
+    """Standalone SQL for the lexical arm's top-``_RRF_FUSE_K`` ranking
+    over a materialized ``w`` relation."""
+    return (
+        f"WITH w AS (SELECT * FROM {w_rel}),\n    {_rrf_lex_ctes(engine)}\n"
+        f"    SELECT query_id, cand_id, r_lex FROM lex"
+        f" WHERE r_lex <= {_RRF_FUSE_K}"
+    )
+
+
+def _rrf_sem_topk_sql(engine: str, emb_rel: str) -> str:
+    """Standalone SQL for the semantic arm's top-``_RRF_FUSE_K``
+    ranking."""
+    return (
+        f"WITH {_rrf_sem_ctes(engine, emb_rel)}\n"
+        f"    SELECT query_id, cand_id, r_sem FROM sem"
+        f" WHERE r_sem <= {_RRF_FUSE_K}"
+    )
+
+
+def _rrf_read_sql(
+    engine: str,
+    tf_rel: str,
+    emb_rel: str,
+    w_rel: str | None = None,
+) -> str:
     """Reciprocal-rank fusion of a lexical and a semantic ranking.
 
     Lexical arm: exact-integer TF-IDF cosine (tf · idf_milli weights —
@@ -337,7 +429,7 @@ def _rrf_read_sql(engine: str, tf_rel: str, emb_rel: str) -> str:
     is bit-identical cross-engine; final rank breaks ties by cand_id.
     """
     return f"""
-    WITH {_rrf_chain(engine, tf_rel, emb_rel)}
+    WITH {_rrf_chain(engine, tf_rel, emb_rel, w_rel=w_rel)}
     SELECT query_id, cand_id, r_lex, r_sem,
            CAST(rrf_fp AS DOUBLE) / 1000000000.0 AS rrf_score,
            CAST(rank AS BIGINT) AS rank
@@ -392,10 +484,16 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=False
     )
     tf.createOrReplaceTempView("bq_rrf_tf")
+    # w fans into norms + both lexdot sides (CTE-inlining class): one
+    # materialized weight pass instead of three (r12)
+    w = spark.sql(_rrf_w_sql("bq_rrf_tf")).localCheckpoint(eager=False)
+    w.createOrReplaceTempView("bq_rrf_w")
     spark.sql(_rrf_emb_sql("bq_rrf_docs", "bq_rrf_emb_raw")).createOrReplaceTempView(
         "bq_rrf_emb"
     )
-    return spark.sql(_rrf_read_sql(D.SPARK, "bq_rrf_tf", "bq_rrf_emb"))
+    return spark.sql(
+        _rrf_read_sql(D.SPARK, "bq_rrf_tf", "bq_rrf_emb", w_rel="bq_rrf_w")
+    )
 
 
 # ------------------------------------- retrieval-quality eval (nDCG@k)
@@ -514,13 +612,25 @@ def _eval_emb_sql(
     )
 
 
-def _eval_read_sql(engine: str, tf_rel: str, emb_rel: str, rel_rel: str) -> str:
+def _eval_read_sql(
+    engine: str,
+    tf_rel: str,
+    emb_rel: str,
+    rel_rel: str,
+    lex_rel: str | None = None,
+    sem_rel: str | None = None,
+) -> str:
     """nDCG@K + recall@K of the lexical, semantic, and fused arms against
     the planted qrels. DCG_fp = Σ gain·disc_fp6[r] is an exact BIGINT sum
     (gain ∈ {0,1,3}, disc from the literal table); IDCG_fp comes from the
     per-query (n2, n1) grade counts laid ideally over the same table; the
-    ONLY float ops are the two final single-rounded divisions."""
-    chain = _rrf_chain(engine, tf_rel, emb_rel)
+    ONLY float ops are the two final single-rounded divisions.
+    ``lex_rel``/``sem_rel``: pre-materialized top-``_RRF_FUSE_K`` arm
+    rankings (each arm is referenced TWICE — fused + arms — so the Spark
+    side materializes them once; see :func:`_rrf_chain`)."""
+    chain = _rrf_chain(
+        engine, tf_rel, emb_rel, lex_rel=lex_rel, sem_rel=sem_rel
+    )
     return f"""
     WITH {chain},
     rrffinal AS (
@@ -630,11 +740,39 @@ def search_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.sql(
         _eval_emb_sql(D.SPARK, "bq_ev_docs", "bq_ev_emb_raw", "bq_ev_planted")
     ).createOrReplaceTempView("bq_ev_emb")
-    spark.sql(
+    # the qrel relation is |probes|·5 rows but its view re-inlines the
+    # whole 5-way planted UNION (docs⋈emb point joins) per consumer
+    # (relcnt + dcg) — materialize it once
+    rel = spark.sql(
         "SELECT qid, doc_id, rel FROM bq_ev_planted"
-    ).createOrReplaceTempView("bq_ev_rel")
+    ).localCheckpoint(eager=False)
+    rel.createOrReplaceTempView("bq_ev_rel")
+    # r12 recompute fix (92 parquet scans / 141 Exchanges / 0 reuse in
+    # the inlined plan): w fans into norms + both lexdot sides, and each
+    # arm's ranking is referenced twice (fused + arms) — materialize w
+    # once and each arm's bounded top-K once (≤|probes|·_RRF_FUSE_K
+    # rows; every downstream consumer filters at least that tight, so
+    # results are identical). Lazy checkpoints: the caller's first
+    # action pays for them inside its own timing.
+    w = spark.sql(_rrf_w_sql("bq_ev_tf")).localCheckpoint(eager=False)
+    w.createOrReplaceTempView("bq_ev_w")
+    lex = spark.sql(
+        _rrf_lex_topk_sql(D.SPARK, "bq_ev_w")
+    ).localCheckpoint(eager=False)
+    lex.createOrReplaceTempView("bq_ev_lex")
+    sem = spark.sql(
+        _rrf_sem_topk_sql(D.SPARK, "bq_ev_emb")
+    ).localCheckpoint(eager=False)
+    sem.createOrReplaceTempView("bq_ev_sem")
     return spark.sql(
-        _eval_read_sql(D.SPARK, "bq_ev_tf", "bq_ev_emb", "bq_ev_rel")
+        _eval_read_sql(
+            D.SPARK,
+            "bq_ev_tf",
+            "bq_ev_emb",
+            "bq_ev_rel",
+            lex_rel="bq_ev_lex",
+            sem_rel="bq_ev_sem",
+        )
     )
 
 
@@ -661,4 +799,8 @@ def text_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=False
     )
     tf.createOrReplaceTempView("bq_tfidf_tf")
-    return spark.sql(_tfidf_read_sql("bq_tfidf_tf"))
+    # w fans into norms + both dot sides (CTE-inlining class): one
+    # materialized weight pass instead of three (r12)
+    w = spark.sql(_rrf_w_sql("bq_tfidf_tf")).localCheckpoint(eager=False)
+    w.createOrReplaceTempView("bq_tfidf_w")
+    return spark.sql(_tfidf_read_sql("bq_tfidf_tf", w_rel="bq_tfidf_w"))

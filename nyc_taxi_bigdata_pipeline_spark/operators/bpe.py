@@ -84,20 +84,92 @@ def _apply_merge(table: DataFrame, a: str, b: str) -> DataFrame:
     )
 
 
+def _learn_bpe_driver(
+    word_freqs: list[tuple[str, int]],
+    n_merges: int,
+    min_pair_freq: int,
+) -> list[tuple[str, str, int]]:
+    """Driver-side merge loop over a collected word-frequency table —
+    bit-identical to the distributed loop (same greedy left-to-right
+    apply, same count-DESC-then-lexicographic argmax; Python str
+    comparison is code-point order = Spark's UTF8String binary order).
+    Pinned against the distributed path in tests."""
+    vocab: dict[tuple[str, ...], int] = {}
+    for w, f in word_freqs:
+        syms = tuple(list(w[:-1]) + [w[-1] + END_OF_WORD])
+        vocab[syms] = vocab.get(syms, 0) + f
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, f in vocab.items():
+            for p in zip(syms, syms[1:]):
+                pairs[p] = pairs.get(p, 0) + f
+        if not pairs:
+            break
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_pair_freq:
+            break
+        merges.append((a, b, cnt))
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, f in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            t = tuple(out)
+            new_vocab[t] = new_vocab.get(t, 0) + f
+        vocab = new_vocab
+    return merges
+
+
+# Vocabulary cap for the driver-side merge loop: 200k distinct words ×
+# ~50 B is a ~10 MB bounded collect (the small_graph_cap class —
+# bounded driver state, never corpus-scaled). Heaps-law vocabularies of
+# web-scale corpora (10⁷–10⁸ types with junk) exceed it and take the
+# distributed loop.
+SMALL_VOCAB_CAP = 200_000
+
+
 def learn_bpe(
     docs: DataFrame,
     n_merges: int,
     text_col: str = "text",
     min_pair_freq: int = 2,
+    small_vocab_cap: int | None = SMALL_VOCAB_CAP,
 ) -> list[tuple[str, str, int]]:
     """Learn up to ``n_merges`` BPE merges; returns
     [(left, right, weighted_count), ...] in merge order. Stops early
     when the best pair's weighted frequency falls below
     ``min_pair_freq`` (merging hapax pairs is noise — reference
     trainer's default cutoff).
+
+    ``small_vocab_cap``: when the word-frequency table (the ONE corpus
+    pass, checkpointed either way) has at most this many distinct
+    words, the merge loop runs driver-side over the collected table —
+    one bounded collect replacing ~2 jobs per merge of fixed scheduler
+    overhead on a vocabulary-sized frame (the dedup_clusters
+    small_graph_cap pattern; every production BPE trainer is in-memory
+    at this stage). Same argmax tie-break, same greedy apply — result
+    lists are identical (test-pinned); ``None`` forces the distributed
+    loop.
     """
     spark = docs.sparkSession
     table = word_symbol_table(docs, text_col).localCheckpoint(eager=True)
+    if small_vocab_cap is not None:
+        n_words = table.count()
+        if n_words <= small_vocab_cap:
+            rows = table.select("word", "freq").collect()
+            table.unpersist()
+            return _learn_bpe_driver(
+                [(r["word"], int(r["freq"])) for r in rows],
+                n_merges,
+                min_pair_freq,
+            )
     merges: list[tuple[str, str, int]] = []
     pair_i = F.explode(
         F.expr("sequence(1, size(syms) - 1)")

@@ -192,6 +192,7 @@ def bfs_distances(
     max_hops: int = 6,
     src: str = "src",
     dst: str = "dst",
+    broadcast_nodes_max: int = BROADCAST_NODES_MAX,
 ) -> DataFrame:
     """Single/multi-source BFS min-hop distances over an (src, dst)
     edge table: returns (node, dist) for every node reachable from
@@ -200,14 +201,25 @@ def bfs_distances(
     Pregel-lite as a driver loop: each level equi-joins the FRONTIER
     (nodes first reached last level — not the whole visited set)
     against the edges, left-anti-joins out already-visited nodes, and
-    min-dedups the new frontier. Per level that is one shuffle join +
-    one aggregate, with cost proportional to the frontier's edge
-    fan-out — the visited set only ever participates in the anti join.
-    The loop stops early when the frontier empties.
+    min-dedups the new frontier. The edge projection is lazily
+    localCheckpointed ONCE before the loop (it is referenced every
+    level — without the cut the caller's edge build, often a distinct
+    over a corpus-scale table, re-executes per level). While the
+    frontier / visited node sets stay under ``broadcast_nodes_max``
+    they are broadcast (same threshold discipline as PageRank's rank
+    vector: node-bounded frames, so past the threshold both joins fall
+    back to shuffle equi-joins with identical results) — the edge
+    table is then never shuffled, and the only per-level exchange is
+    the min-dist aggregate over the frontier fan-out. Frontier sizes
+    come free from the per-level count that doubles as the
+    empty-frontier exit probe; visited size is the running sum
+    (frontiers are disjoint by construction of the anti join).
 
-    Iterative-loop hygiene (the PageRank depth-OOM lesson): visited and
-    frontier are eagerly localCheckpointed every level, so plan depth
-    and recompute stay O(1) per level regardless of ``max_hops``.
+    Iterative-loop hygiene (the PageRank depth-OOM lesson): each new
+    frontier is eagerly localCheckpointed, so plan depth and recompute
+    stay O(1) per level regardless of ``max_hops``; visited is a union
+    of those checkpointed frontiers (≤ max_hops + 1 shallow branches —
+    no per-level re-checkpoint of the whole visited set).
 
     Exact mirror of a bounded-depth recursive CTE with a final
     MIN(dist) per node (benchqueries/graph_ops.graph_bfs_hops pins the
@@ -217,19 +229,33 @@ def bfs_distances(
         "dist", F.lit(0).cast("int")
     ).localCheckpoint(eager=True)
     visited = frontier
-    e = edges.select(F.col(src).alias("node"), F.col(dst).alias("__nxt"))
+    n_frontier = frontier.count()
+    n_visited = n_frontier
+    e = edges.select(
+        F.col(src).alias("node"), F.col(dst).alias("__nxt")
+    ).localCheckpoint(eager=False)
     for _ in range(max_hops):
+        f_in = (
+            F.broadcast(frontier)
+            if n_frontier <= broadcast_nodes_max
+            else frontier
+        )
+        v_in = visited.select("node")
+        if n_visited <= broadcast_nodes_max:
+            v_in = F.broadcast(v_in)
         nxt = (
-            frontier.join(e, "node")
+            f_in.join(e, "node")
             .select(F.col("__nxt").alias("node"), (F.col("dist") + 1).alias("dist"))
-            .join(visited.select("node"), "node", "left_anti")
+            .join(v_in, "node", "left_anti")
             .groupBy("node")
             .agg(F.min("dist").cast("int").alias("dist"))
             .localCheckpoint(eager=True)
         )
-        if nxt.isEmpty():
+        n_frontier = nxt.count()
+        if n_frontier == 0:
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        visited = visited.unionByName(nxt)
+        n_visited += n_frontier
         frontier = nxt
     return visited
 
@@ -266,11 +292,13 @@ def sssp_relax(
         .withColumn("dist", F.lit(0).cast("long"))
         .localCheckpoint(eager=True)
     )
+    # referenced every round — without the cut the caller's edge build
+    # (often a corpus-scale join/distinct) re-executes per round
     e = edges.select(
         F.col(src).alias("node"),
         F.col(dst).alias("__nxt"),
         F.col(cost).alias("__c"),
-    )
+    ).localCheckpoint(eager=False)
     sig = dist.agg(
         F.count("*").alias("n"), F.sum("dist").alias("s")
     ).first()

@@ -50,7 +50,13 @@ def bm25_topk(
         F.col(id_col),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), " ")).alias("tok"),
     )
-    tf = toks.groupBy(id_col, "tok").agg(F.count("*").cast("bigint").alias("tf"))
+    # tf fans into dl / dfreq / scored (+ totals via dl) — the
+    # CTE-inlining recompute class: one materialized postings pass
+    # instead of four corpus tokenizes (lazy: the caller's first action
+    # pays for it inside its own timing)
+    tf = toks.groupBy(id_col, "tok").agg(
+        F.count("*").cast("bigint").alias("tf")
+    ).localCheckpoint(eager=False)
     dl = tf.groupBy(id_col).agg(F.sum("tf").cast("bigint").alias("dl"))
     dfreq = tf.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
     totals = dl.agg(

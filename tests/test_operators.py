@@ -1542,6 +1542,13 @@ def test_bfs_distances(spark):
     multi = spark.createDataFrame([(0,), (4,)], "node long")
     gotm = {r["node"]: r["dist"] for r in bfs_distances(und, multi).collect()}
     assert gotm[3] == 1 and gotm[2] == 2 and gotm[4] == 0
+    # r12: past the broadcast threshold the frontier/visited joins fall
+    # back to shuffle equi-joins — results must be identical
+    got_shuffle = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(und, src, broadcast_nodes_max=0).collect()
+    }
+    assert got_shuffle == got
 
 
 def test_bucketed_write_elides_join_shuffle(spark, tmp_path):
@@ -2133,11 +2140,30 @@ def test_learn_bpe_matches_reference(spark, bpe_corpus):
     assert len(bpe.learn_bpe(df, 5)) == 5  # corpus supports ≥5 merges
 
 
+def test_learn_bpe_distributed_path_matches_driver_path(spark, bpe_corpus):
+    """small_vocab_cap=None forces the distributed merge loop; it must
+    produce the identical merge list to the driver-side small-vocab
+    path (r12: the registry queries ride the driver path on bounded
+    vocabularies, so this equality is what keeps their results
+    unchanged)."""
+    from nyc_taxi_bigdata_pipeline_spark.operators import bpe
+
+    df, freqs = bpe_corpus
+    for n in (5, 25):
+        dist = bpe.learn_bpe(df, n, small_vocab_cap=None)
+        assert dist == _ref_learn_bpe(freqs, n)
+        assert dist == bpe.learn_bpe(df, n)
+
+
 def test_learn_bpe_partition_invariant(spark, bpe_corpus):
     from nyc_taxi_bigdata_pipeline_spark.operators import bpe
 
     df, freqs = bpe_corpus
-    assert bpe.learn_bpe(df.repartition(7), 8) == _ref_learn_bpe(freqs, 8)
+    # distributed loop forced: partition invariance is a property of
+    # the distributed path (the driver path collects one table)
+    assert bpe.learn_bpe(
+        df.repartition(7), 8, small_vocab_cap=None
+    ) == _ref_learn_bpe(freqs, 8)
 
 
 def test_bpe_encode_lossless_and_in_vocab(spark, bpe_corpus):
