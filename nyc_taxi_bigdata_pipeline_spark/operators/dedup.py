@@ -1249,6 +1249,14 @@ def hamming_near_pairs(
             "guarantees recall for Hamming ≤ 3 (a distance-4 pair can differ "
             "in every chunk); use more/narrower chunks for larger radii"
         )
+    # the chunk frame self-joins below, so everything upstream of it —
+    # often a full corpus pass (SimHash tokenize+votes) or per-row Python
+    # codec work (image phash decode) — would run once per join side
+    # (CTE-inlining recompute class). Lazy-checkpoint the 12-byte-per-row
+    # (id, hash) projection first: one upstream materialization, both
+    # sides read it (in-operator lazy checkpoint is the honest pattern —
+    # the first caller action pays for it inside its own timing).
+    hashed = hashed.select(id_col, hash_col).localCheckpoint(eager=False)
     chunks = hashed.select(
         id_col,
         F.col(hash_col).alias("__h"),

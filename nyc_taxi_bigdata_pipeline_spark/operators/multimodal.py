@@ -1265,9 +1265,15 @@ def crossclip_segment_pairs(
         )
 
     w = Window.partitionBy("media_id").orderBy("frame_idx")
+    # blocks fans into BOTH sides of the candidate join (probe + build),
+    # and everything upstream — typically the per-clip video decode +
+    # phash Python chain — would re-run once per side (the CTE-inlining
+    # recompute class). Lazy-checkpoint the tiny (media_id, phash, seq)
+    # frame at the fan-out frontier; the first caller action pays for
+    # the one materialization inside its own timing.
     seq = keyframes.select(
         "media_id", "phash", F.row_number().over(w).alias("seq")
-    )
+    ).localCheckpoint(eager=False)
     blocks = seq.select(
         "media_id",
         "seq",
