@@ -126,10 +126,16 @@ def per_key_exact_sample(
             [df.select(strata_col).schema.fields[0], StructField("__cut", LongType())]
         )
         cuts = spark.createDataFrame(cut_rows, sch)
+        # the survivor frame is read twice — the exactness-guard count
+        # below and the final window — and is tiny (≈ oversample·k·|strata|
+        # rows), while recomputing it costs a full scan + the ranking
+        # hash. Lazy checkpoint: the guard count materializes it (inside
+        # the operator's own timing), the window then reads the blocks.
         filtered = (
             staged.join(F.broadcast(cuts), strata_col)
             .filter(F.col("__h") <= F.col("__cut"))
             .drop("__cut")
+            .localCheckpoint(eager=False)
         )
         need = {r[strata_col]: min(k, r["__n"]) for r in counts}
         got = {

@@ -631,7 +631,16 @@ def ivfpq_topk(
         for qid, row in zip(q_ids, sims_to_cells)
     }
     all_cells = sorted({c for cells in probed.values() for c in cells})
-    sub_corpus = assigned.filter(F.col("__cell").isin(all_cells)).drop("__cell")
+    # sub_corpus feeds pq_encode AND the rerank's vector fetch — without
+    # staging, the KMeans transform + cell filter re-run once per
+    # consumer (CTE-inlining recompute class). Lazy checkpoint: bounded
+    # at (n_probe/n_cells)·corpus rows, materialized by the first
+    # caller action inside its own timing.
+    sub_corpus = (
+        assigned.filter(F.col("__cell").isin(all_cells))
+        .drop("__cell")
+        .localCheckpoint(eager=False)
+    )
 
     cb = pq_train_codebooks(
         corpus, dim, n_subvectors=n_subvectors, n_codes=n_codes,
