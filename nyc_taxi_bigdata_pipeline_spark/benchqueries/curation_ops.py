@@ -220,7 +220,7 @@ def curation_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------- domain-mixture sampling
 
 
-def _domain_mixture(engine: str, table: str) -> str:
+def _domain_mixture(engine: str, table: str, n_rel: str | None = None) -> str:
     # Target weight per domain: proportional to the numeric source
     # suffix + 1 (src0 lightest … src19 heaviest, summing to 1 over the
     # 20 sources) — a deterministic stand-in for a configured mixture.
@@ -228,9 +228,24 @@ def _domain_mixture(engine: str, table: str) -> str:
     # division truncates scale) but double-ish in DuckDB's division
     w_s = "(CAST(substring(source, 4) AS INT) + 1) / CAST(210 AS DOUBLE)"
     keep = D.h64("concat('mix#', doc_id)", engine)
+    # n_rel substitutes a pre-staged per-source count frame (Spark side):
+    # th is referenced by k AND the final select, and n/tot each re-inline
+    # the corpus scan per consumer (r12 plan audit: 5 documents scans) —
+    # with n staged, tot derives from it (SUM of group counts ≡ COUNT(*))
+    # and only k touches the corpus. The oracle keeps the one-shot text.
+    if n_rel:
+        head = (
+            f"WITH n AS (SELECT * FROM {n_rel}),\n"
+            f"    tot AS (SELECT CAST(SUM(n_s) AS DOUBLE) AS t FROM n),"
+        )
+    else:
+        head = (
+            f"WITH n AS (SELECT source, COUNT(*) AS n_s FROM {table} "
+            f"GROUP BY source),\n"
+            f"    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM {table}),"
+        )
     return f"""
-    WITH n AS (SELECT source, COUNT(*) AS n_s FROM {table} GROUP BY source),
-    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM {table}),
+    {head}
     th AS (SELECT source, n_s, {w_s} AS w_s,
                   CAST(FLOOR(LEAST(1.0, {w_s} * t / n_s) * 1000000) AS BIGINT) AS thr
            FROM n CROSS JOIN tot),
@@ -254,7 +269,16 @@ def _domain_mixture(engine: str, table: str) -> str:
         "broadcasts the fractions table (operators/curation.domain_mixture_sample)",
 )
 def curation_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _run_rendered(spark, sf_dir, "documents", _domain_mixture, "bq_mix_docs")
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "bq_mix_docs"
+    )
+    # one per-source count pass, staged lazily (~|sources| rows); the
+    # keep-count scan is then the only other corpus pass (2 total)
+    n = spark.sql(
+        "SELECT source, COUNT(*) AS n_s FROM bq_mix_docs GROUP BY source"
+    ).localCheckpoint(eager=False)
+    n.createOrReplaceTempView("bq_mix_n")
+    return spark.sql(_domain_mixture(D.SPARK, "bq_mix_docs", n_rel="bq_mix_n"))
 
 
 # ------------------------------------ duplicated-span detection (ExactSubstr class)

@@ -674,15 +674,8 @@ def dedup_incremental_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIMHASH_BITS = 16
 
 
-def _simhash(engine: str, table: str) -> str:
-    """Explode tokens → hash once per token row → 16 conditional-SUM
-    bit votes in ONE hash aggregate. Spark's higher-order array lambdas
-    are interpreted (never codegen'd); the exploded formulation keeps
-    the md5 and the bit votes inside whole-stage codegen with map-side
-    partial aggregation — measured 1.7 s → 1.4 s at sf0.1 over the
-    staged-array variant. (The same rewrite made minhash SLOWER — its
-    cost is the md5/conv itself, and the explode only added row
-    overhead — so minhash keeps the staged-array shape.)"""
+def _simhash_sh_sql(engine: str, table: str) -> str:
+    """The one corpus pass: per-doc {bits}-bit SimHash (doc_id, simhash)."""
     toks = D.split_ws("lower(trim(text))", engine)
     if engine == D.DUCK:
         exploded = f"SELECT doc_id, unnest({toks}) AS tok FROM {table}"
@@ -696,11 +689,49 @@ def _simhash(engine: str, table: str) -> str:
     simhash = " + ".join(
         f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(_SIMHASH_BITS)
     )
-    return f"""
-    WITH tok AS ({exploded}),
+    return f"""WITH tok AS ({exploded}),
+    hashed AS (SELECT doc_id, {th} AS th FROM tok),
+    bits AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id)
+    SELECT doc_id, CAST({simhash} AS BIGINT) AS simhash FROM bits"""
+
+
+def _simhash(engine: str, table: str, sh_rel: str | None = None) -> str:
+    """Explode tokens → hash once per token row → 16 conditional-SUM
+    bit votes in ONE hash aggregate. Spark's higher-order array lambdas
+    are interpreted (never codegen'd); the exploded formulation keeps
+    the md5 and the bit votes inside whole-stage codegen with map-side
+    partial aggregation — measured 1.7 s → 1.4 s at sf0.1 over the
+    staged-array variant. (The same rewrite made minhash SLOWER — its
+    cost is the md5/conv itself, and the explode only added row
+    overhead — so minhash keeps the staged-array shape.)
+
+    ``sh_rel`` substitutes a pre-staged (doc_id, simhash) frame (Spark
+    side): sh feeds BOTH sides of the adjacent-id pair join, so under
+    CTE inlining the corpus tokenize+hash+vote pass ran twice (r12 plan
+    audit). The oracle keeps the one-shot WITH text (sh_rel=None)."""
+    if sh_rel:
+        sh_ctes = f"WITH sh AS (SELECT * FROM {sh_rel})"
+    else:
+        toks = D.split_ws("lower(trim(text))", engine)
+        if engine == D.DUCK:
+            exploded = f"SELECT doc_id, unnest({toks}) AS tok FROM {table}"
+        else:
+            exploded = f"SELECT doc_id, explode({toks}) AS tok FROM {table}"
+        th = D.seeded_h64("tok", 99, engine)
+        votes = ", ".join(
+            f"CAST(SUM(CASE WHEN (th >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v{b}"
+            for b in range(_SIMHASH_BITS)
+        )
+        simhash = " + ".join(
+            f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)"
+            for b in range(_SIMHASH_BITS)
+        )
+        sh_ctes = f"""WITH tok AS ({exploded}),
     hashed AS (SELECT doc_id, {th} AS th FROM tok),
     bits AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id),
-    sh AS (SELECT doc_id, CAST({simhash} AS BIGINT) AS simhash FROM bits)
+    sh AS (SELECT doc_id, CAST({simhash} AS BIGINT) AS simhash FROM bits)"""
+    return f"""
+    {sh_ctes}
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(bit_count({D.bit_xor('a.simhash', 'b.simhash', engine)}) AS INT) AS hamming
     FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1"""
@@ -714,7 +745,16 @@ def _simhash(engine: str, table: str) -> str:
     bench=True,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _run_rendered(spark, sf_dir, "documents", _simhash, "bq_simh_docs")
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "bq_simh_docs"
+    )
+    # one simhash pass, staged lazily ((doc_id, simhash) — 16 bytes/doc);
+    # both sides of the adjacent-id pair join read the checkpointed frame
+    sh = spark.sql(
+        _simhash_sh_sql(D.SPARK, "bq_simh_docs")
+    ).localCheckpoint(eager=False)
+    sh.createOrReplaceTempView("bq_simh_sh")
+    return spark.sql(_simhash(D.SPARK, "bq_simh_docs", sh_rel="bq_simh_sh"))
 
 
 # ------------------------------------------------------- fuzzy ed≤1 join

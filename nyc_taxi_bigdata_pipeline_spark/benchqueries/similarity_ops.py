@@ -78,12 +78,8 @@ _TRIP_K_NEG = 5
 _TRIP_MARGIN_FP = 50_000  # 0.05 cosine in fp6
 
 
-def _triplet_sql(engine: str, table: str) -> str:
-    """Per anchor: hardest positive (max same-label cosine) and top-k
-    hardest different-label negatives, each flagged semi-hard per the
-    FaceNet criterion cos_pos − margin ≤ cos_neg < cos_pos. Cosines are
-    fp6 integers (round-6 + snap, the proven knn idiom) so every
-    comparison and the margin test are exact cross-engine."""
+def _triplet_scored_sql(engine: str, table: str) -> str:
+    """The one corpus pass: bounded anchor side × corpus fp6 cosines."""
     dot = _dot("q.embedding", "c.embedding", engine)
     qn = _dot("q.embedding", "q.embedding", engine)
     cn = _dot("c.embedding", "c.embedding", engine)
@@ -92,12 +88,32 @@ def _triplet_sql(engine: str, table: str) -> str:
         f"CAST(FLOOR(round({dot} / (sqrt({qn}) * sqrt({cn})), 6)"
         " * 1000000.0 + 0.5) AS BIGINT)"
     )
-    return f"""
-    WITH scored AS (
-      SELECT {hint}q.vec_id AS a, c.vec_id AS b,
+    return f"""SELECT {hint}q.vec_id AS a, c.vec_id AS b,
              q.label AS la, c.label AS lb, {fp} AS cos_fp
       FROM {table} q JOIN {table} c ON c.vec_id <> q.vec_id
-      WHERE q.vec_id < {_TRIP_ANCHORS}
+      WHERE q.vec_id < {_TRIP_ANCHORS}"""
+
+
+def _triplet_sql(engine: str, table: str, scored_rel: str | None = None) -> str:
+    """Per anchor: hardest positive (max same-label cosine) and top-k
+    hardest different-label negatives, each flagged semi-hard per the
+    FaceNet criterion cos_pos − margin ≤ cos_neg < cos_pos. Cosines are
+    fp6 integers (round-6 + snap, the proven knn idiom) so every
+    comparison and the margin test are exact cross-engine.
+
+    ``scored_rel`` substitutes a pre-staged scored relation: the scored
+    CTE is referenced by BOTH pos and neg, and Spark inlines
+    non-recursive CTEs, so the anchor×corpus cosine pass would run once
+    per consumer (r12 plan audit: 4 embeddings scans, 0 reuse). The
+    oracle keeps the one-shot WITH text (scored_rel=None)."""
+    scored = (
+        f"SELECT * FROM {scored_rel}"
+        if scored_rel
+        else _triplet_scored_sql(engine, table)
+    )
+    return f"""
+    WITH scored AS (
+      {scored}
     ),
     pos AS (SELECT a, CAST(MAX(cos_fp) AS BIGINT) AS pos_fp
             FROM scored WHERE la = lb GROUP BY a),
@@ -130,7 +146,14 @@ def similarity_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
         "bq_trip_emb"
     )
-    return spark.sql(_triplet_sql(D.SPARK, "bq_trip_emb"))
+    # one anchor×corpus cosine pass, staged (lazy — first caller action
+    # materializes it inside its own timing); pos and neg read the
+    # checkpointed |anchors|·N narrow frame instead of re-scanning
+    scored = spark.sql(
+        _triplet_scored_sql(D.SPARK, "bq_trip_emb")
+    ).localCheckpoint(eager=False)
+    scored.createOrReplaceTempView("bq_trip_scored")
+    return spark.sql(_triplet_sql(D.SPARK, "bq_trip_emb", "bq_trip_scored"))
 
 
 # ------------------------------------------- MMR diversified selection

@@ -553,19 +553,14 @@ def _ln_micro(x: str) -> str:
     return f"CAST(FLOOR(LN(CAST({x} AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"
 
 
-def _psi_sql(engine: str, table: str) -> str:
+def _psi_counts_ctes(engine: str, table: str) -> str:
+    """The corpus-touching prefix of the PSI chain: events → global-range
+    anchor → equal-width buckets → per-(type, arm, bkt) counts. Everything
+    downstream is arithmetic over the bounded ≤|event_type|·2·10-row count
+    frame, so this is the natural staging frontier."""
     day = D.epoch_day("ts", engine)
     b = "10"
-    lnr = (
-        f"{_ln_micro('cc + 1')} - {_ln_micro(f'nc + {b}')}"
-        f" - {_ln_micro('cb + 1')} + {_ln_micro(f'nb + {b}')}"
-    )
-    pdiff = (
-        f"(CAST(cc + 1 AS DOUBLE) / CAST(nc + {b} AS DOUBLE)"
-        f" - CAST(cb + 1 AS DOUBLE) / CAST(nb + {b} AS DOUBLE))"
-    )
-    return f"""
-    WITH e AS (
+    return f"""WITH e AS (
       SELECT event_type, ({day}) % 2 AS arm, value AS x
       FROM {table} WHERE value IS NOT NULL AND ts IS NOT NULL
     ),
@@ -583,7 +578,31 @@ def _psi_sql(engine: str, table: str) -> str:
       FROM e CROSS JOIN mm
     ),
     c AS (SELECT event_type, arm, bkt, CAST(COUNT(*) AS BIGINT) AS cnt
-          FROM bkts GROUP BY event_type, arm, bkt),
+          FROM bkts GROUP BY event_type, arm, bkt)"""
+
+
+def _psi_sql(engine: str, table: str, counts_rel: str | None = None) -> str:
+    b = "10"
+    lnr = (
+        f"{_ln_micro('cc + 1')} - {_ln_micro(f'nc + {b}')}"
+        f" - {_ln_micro('cb + 1')} + {_ln_micro(f'nb + {b}')}"
+    )
+    pdiff = (
+        f"(CAST(cc + 1 AS DOUBLE) / CAST(nc + {b} AS DOUBLE)"
+        f" - CAST(cb + 1 AS DOUBLE) / CAST(nb + {b} AS DOUBLE))"
+    )
+    # counts_rel substitutes a pre-staged count frame on the Spark side:
+    # c's downstream consumers (n ×2 via grid's n0/n1, terms' c0/c1) each
+    # re-inline the whole events chain under CTE inlining (r12 plan
+    # audit: 8 events scans, 0 reuse). The oracle keeps the one-shot
+    # WITH text (counts_rel=None).
+    head = (
+        f"WITH c AS (SELECT * FROM {counts_rel})"
+        if counts_rel
+        else _psi_counts_ctes(engine, table)
+    )
+    return f"""
+    {head},
     n AS (SELECT event_type, arm, CAST(SUM(cnt) AS BIGINT) AS n
           FROM c GROUP BY event_type, arm),
     grid AS (
@@ -633,7 +652,15 @@ def drift_psi_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView(
         "bq_psi_events"
     )
-    return spark.sql(_psi_sql(D.SPARK, "bq_psi_events"))
+    # two corpus passes total (range anchor + bucket counts), staged
+    # lazily; the read SQL's four count-frame consumers hit the
+    # checkpointed ≤|event_type|·2·10-row frame instead of re-scanning
+    counts = spark.sql(
+        _psi_counts_ctes(D.SPARK, "bq_psi_events")
+        + "\n    SELECT event_type, arm, bkt, cnt FROM c"
+    ).localCheckpoint(eager=False)
+    counts.createOrReplaceTempView("bq_psi_counts")
+    return spark.sql(_psi_sql(D.SPARK, "bq_psi_events", "bq_psi_counts"))
 
 
 # One-way ANOVA F-test across event types — the k-arm generalization of

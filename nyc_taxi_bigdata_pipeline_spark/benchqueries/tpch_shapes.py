@@ -629,6 +629,13 @@ def sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + INTERVAL 60 DAY"
             ),
         )
+        # li feeds per_order AND the qualifying filter through a
+        # non-exchange frontier (the orders side broadcasts), so the
+        # scan+join recomputed once per branch (r12 executed-plan audit:
+        # lineitem×2/orders×2, 0 reuse); narrow to what both consumers
+        # need and stage lazily
+        .select("l_orderkey", "l_suppkey", "late")
+        .localCheckpoint(eager=False)
     )
     per_order = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
         F.count_distinct("l_suppkey").alias("n_supp"),
