@@ -1020,9 +1020,20 @@ def curation_url_dedup_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "documents").createOrReplaceTempView(
         "bq_urlddc_docs"
     )
-    canon = spark.sql(_url_canon_sql(D.SPARK, "bq_urlddc_docs"))
+    # canon (the regex canonicalize pass) feeds firsts, the keep join
+    # AND tot; kept feeds capped AND uniq — both frontiers are
+    # projections/joins (not exchanges), so the corpus pass re-ran per
+    # consumer (r12 plan audit: 3 documents scans, 0 reuse). Stage the
+    # narrow frames lazily; no new exchange is introduced.
+    canon = spark.sql(
+        _url_canon_sql(D.SPARK, "bq_urlddc_docs")
+    ).localCheckpoint(eager=False)
     firsts = canon.groupBy("curl").agg(F.min("doc_id").alias("doc_id"))
-    kept = canon.join(firsts.select("doc_id"), "doc_id", "left_semi")
+    kept = (
+        canon.join(firsts.select("doc_id"), "doc_id", "left_semi")
+        .select("domain", "doc_id")
+        .localCheckpoint(eager=False)
+    )
     h = F.expr(D.seeded_h64("CAST(doc_id AS STRING)", _URL_SEED, D.SPARK))
     capped = per_key_exact_sample(
         kept.select("domain", "doc_id"),
