@@ -1036,7 +1036,7 @@ def curation_url_dedup_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     h = F.expr(D.seeded_h64("CAST(doc_id AS STRING)", _URL_SEED, D.SPARK))
     capped = per_key_exact_sample(
-        kept.select("domain", "doc_id"),
+        kept,
         "domain",
         _URL_CAP,
         key_col="doc_id",

@@ -446,6 +446,7 @@ def _minhash_pipeline_oracle(
         "the (a·h+b) mod P member family, and the star-pair bucket cap. "
         "Oracle-converted r12 (was rows-only on xxhash64): the xxhash64 "
         "default stays the scale path, same plan shape",
+    bench=True,
 )
 def dedup_minhash_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import minhash_dedup
@@ -674,8 +675,12 @@ def dedup_incremental_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIMHASH_BITS = 16
 
 
-def _simhash_sh_sql(engine: str, table: str) -> str:
-    """The one corpus pass: per-doc {bits}-bit SimHash (doc_id, simhash)."""
+def _simhash_core(engine: str, table: str) -> tuple[str, str]:
+    """(cte_list, final_select) of the one corpus simhash pass — the
+    single source both :func:`_simhash_sh_sql` and :func:`_simhash`'s
+    ``sh_rel=None`` branch render from (r12 ADVICE: the CTE chain was
+    duplicated verbatim between them, so an edit to one copy would
+    silently desync the Spark staged pass from the oracle)."""
     toks = D.split_ws("lower(trim(text))", engine)
     if engine == D.DUCK:
         exploded = f"SELECT doc_id, unnest({toks}) AS tok FROM {table}"
@@ -689,10 +694,18 @@ def _simhash_sh_sql(engine: str, table: str) -> str:
     simhash = " + ".join(
         f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(_SIMHASH_BITS)
     )
-    return f"""WITH tok AS ({exploded}),
+    ctes = f"""WITH tok AS ({exploded}),
     hashed AS (SELECT doc_id, {th} AS th FROM tok),
-    bits AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id)
-    SELECT doc_id, CAST({simhash} AS BIGINT) AS simhash FROM bits"""
+    bits AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id)"""
+    select = f"SELECT doc_id, CAST({simhash} AS BIGINT) AS simhash FROM bits"
+    return ctes, select
+
+
+def _simhash_sh_sql(engine: str, table: str) -> str:
+    """The one corpus pass: per-doc {bits}-bit SimHash (doc_id, simhash)."""
+    ctes, select = _simhash_core(engine, table)
+    return f"""{ctes}
+    {select}"""
 
 
 def _simhash(engine: str, table: str, sh_rel: str | None = None) -> str:
@@ -712,24 +725,9 @@ def _simhash(engine: str, table: str, sh_rel: str | None = None) -> str:
     if sh_rel:
         sh_ctes = f"WITH sh AS (SELECT * FROM {sh_rel})"
     else:
-        toks = D.split_ws("lower(trim(text))", engine)
-        if engine == D.DUCK:
-            exploded = f"SELECT doc_id, unnest({toks}) AS tok FROM {table}"
-        else:
-            exploded = f"SELECT doc_id, explode({toks}) AS tok FROM {table}"
-        th = D.seeded_h64("tok", 99, engine)
-        votes = ", ".join(
-            f"CAST(SUM(CASE WHEN (th >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v{b}"
-            for b in range(_SIMHASH_BITS)
-        )
-        simhash = " + ".join(
-            f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)"
-            for b in range(_SIMHASH_BITS)
-        )
-        sh_ctes = f"""WITH tok AS ({exploded}),
-    hashed AS (SELECT doc_id, {th} AS th FROM tok),
-    bits AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id),
-    sh AS (SELECT doc_id, CAST({simhash} AS BIGINT) AS simhash FROM bits)"""
+        ctes, select = _simhash_core(engine, table)
+        sh_ctes = f"""{ctes},
+    sh AS ({select})"""
     return f"""
     {sh_ctes}
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -920,6 +918,7 @@ def _containment_oracle(table: str, n: int = 14, thr: str = "0.8") -> str:
         "the oracle brute-forces all shared-shingle directed pairs, so "
         "hash-equality proves the pruning lossless "
         "(operators/dedup.py:containment_join_prefix)",
+    bench=True,
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import containment_join_prefix

@@ -38,6 +38,7 @@ ORDER BY id_a, id_b"""
     doc="training-data ext: bounded edit-distance self-join (PassJoin "
         "segment blocking + JVM levenshtein verify); oracle = brute-force "
         "all-pairs, so the hash gate proves the blocking lossless",
+    bench=True,
 )
 def fuzzy_join_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")

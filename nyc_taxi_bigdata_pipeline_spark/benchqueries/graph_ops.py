@@ -197,6 +197,7 @@ FROM final GROUP BY dist ORDER BY dist"""
         "hash. At scale each level's cost is frontier fan-out, not "
         "visited-set size; the anti join is the only touch of the "
         "accumulated set",
+    bench=True,
 )
 def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import bfs_distances

@@ -135,6 +135,7 @@ def _bigram_lm_sql(engine: str, table: str) -> str:
         "can't); micro-nat fixed-point per bigram, exact-integer doc "
         "SUM, one final division (operators/text.py:"
         "bigram_logprob_features)",
+    bench=True,
 )
 def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import bigram_logprob_features
@@ -488,9 +489,15 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialized weight pass instead of three (r12)
     w = spark.sql(_rrf_w_sql("bq_rrf_tf")).localCheckpoint(eager=False)
     w.createOrReplaceTempView("bq_rrf_w")
-    spark.sql(_rrf_emb_sql("bq_rrf_docs", "bq_rrf_emb_raw")).createOrReplaceTempView(
-        "bq_rrf_emb"
-    )
+    # the emb relation (docs⋈embeddings, text-not-null filter) feeds BOTH
+    # sides of the semantic arm's probe self-join (q + c) — CTE-inlining
+    # class: without staging, documents AND embeddings each scan twice
+    # (r13 plan audit: 4 of the query's 8 scans). One lazy-checkpointed
+    # pass; both join sides read the narrow (doc_id, embedding) blocks.
+    emb_rel = spark.sql(
+        _rrf_emb_sql("bq_rrf_docs", "bq_rrf_emb_raw")
+    ).localCheckpoint(eager=False)
+    emb_rel.createOrReplaceTempView("bq_rrf_emb")
     return spark.sql(
         _rrf_read_sql(D.SPARK, "bq_rrf_tf", "bq_rrf_emb", w_rel="bq_rrf_w")
     )

@@ -105,6 +105,7 @@ def add_minhash(
     num_hashes: int = 32,
     id_col: str = "doc_id",
     hash_family: str = "xxhash64",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc minhash signature ``(id_col, mh0..mhN-1)`` in the exploded
     hash-aggregate shape: explode shingles → xxhash64 the STRING once per
@@ -133,24 +134,36 @@ def add_minhash(
     ``hash_family``: ``"xxhash64"`` (default, JVM scale path) or
     ``"portable"`` (md5 base hash + (a·h+b) mod P members — identical
     plan shape, DuckDB-replayable; see the module comment above
-    ``_PORTABLE_P``)."""
+    ``_PORTABLE_P``).
+
+    ``shingles``: caller-precomputed ``(id_col, __h)`` hashed-shingle
+    frame over the SAME docs/n/hash_family (the :func:`hashed_shingles`
+    contract) — skips the explode+hash pass. Signatures are identical
+    either way: MIN over each family member ignores duplicate shingles
+    (min of a multiset == min of its support), so the distinct frame
+    yields the same mh columns as the raw position rows."""
     n = 5
-    pos = df.select(
-        F.col(id_col),
-        F.col(text_col).alias("__t"),
-        F.explode(
-            F.sequence(F.lit(1), F.greatest(F.length(text_col) - (n - 1), F.lit(1)))
-        ).alias("__i"),
-    )
-    gram = F.col("__t").substr(F.col("__i"), F.lit(n))
+    if shingles is None:
+        pos = df.select(
+            F.col(id_col),
+            F.col(text_col).alias("__t"),
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.length(text_col) - (n - 1), F.lit(1)))
+            ).alias("__i"),
+        )
+        gram = F.col("__t").substr(F.col("__i"), F.lit(n))
+        base_h = (
+            _portable_h64(gram) if hash_family == "portable" else F.xxhash64(gram)
+        )
+        sh = pos.select(id_col, base_h.alias("__h"))
+    else:
+        sh = shingles.select(id_col, "__h")
     if hash_family == "portable":
-        sh = pos.select(id_col, _portable_h64(gram).alias("__h"))
         aggs = [
             F.min(_portable_member(F.col("__h"), a, b)).alias(f"mh{k}")
             for k, (a, b) in enumerate(portable_minhash_params(num_hashes))
         ]
     else:
-        sh = pos.select(id_col, F.xxhash64(gram).alias("__h"))
         aggs = [
             F.min(F.xxhash64(F.col("__h"), F.lit(seed))).alias(f"mh{seed}")
             for seed in range(num_hashes)
@@ -426,6 +439,37 @@ def jaccard_verify(
     return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
 
+# Verify-stage array dictionary broadcast cap (bytes of int64 hash
+# elements). Under the cap, each candidate doc's sorted shingle array is
+# collected ONCE and broadcast, and the Arrow kernel reads pair IDS only
+# — vs the join shape, which physically duplicates every array once per
+# pair it appears in, through the pair-join shuffle AND the Python
+# boundary (measured 2.3 GB for ~73.5k containment candidates at sf0.1
+# whose distinct arrays total ~80 MB — a ~29× amplification at ~29
+# pairs/doc). 256 MB is far inside the 32 GB local driver heap and any
+# prod executor's broadcast budget; past the cap the operator falls
+# back to the join shape with identical results (the graph.py
+# broadcast_nodes_max discipline — fallback is test-pinned via cap=0).
+BROADCAST_ARRAYS_MAX_BYTES = 256 << 20
+
+
+def _arrays_map_or_none(arrays: DataFrame, id_col: str, cap_bytes: int):
+    """Collect ``(id, sorted hash array)`` into a driver dict when the
+    total element payload fits ``cap_bytes``; None → caller uses the
+    join shape. One SUM(size) job decides (it also materializes the
+    arrays checkpoint, which the fallback's joins then reuse)."""
+    if cap_bytes <= 0:
+        return None
+    total = arrays.agg(F.sum(F.size("__sh"))).first()[0]
+    if total is None or total * 8 > cap_bytes:
+        return None
+    import numpy as np
+
+    return {
+        r[0]: np.asarray(r[1], dtype=np.int64) for r in arrays.collect()
+    }
+
+
 def jaccard_verify_arrow(
     pairs: DataFrame,
     docs: DataFrame,
@@ -435,6 +479,7 @@ def jaccard_verify_arrow(
     shingle_n: int = 5,
     hash_family: str = "xxhash64",
     shingles: DataFrame | None = None,
+    broadcast_arrays_max_bytes: int = BROADCAST_ARRAYS_MAX_BYTES,
 ) -> DataFrame:
     """Exact shingle-Jaccard on candidates via an Arrow kernel — the
     scale path twin of :func:`jaccard_verify` (same shingle hashes,
@@ -489,6 +534,39 @@ def jaccard_verify_arrow(
     arrays = sh.groupBy(id_col).agg(
         F.sort_array(F.collect_set("__h")).alias("__sh")
     ).localCheckpoint(eager=False)
+
+    pair_types = dict(pairs.dtypes)
+    id_a_t, id_b_t = pair_types["id_a"], pair_types["id_b"]
+    out_schema = f"id_a {id_a_t}, id_b {id_b_t}, jaccard double"
+
+    amap = _arrays_map_or_none(arrays, id_col, broadcast_arrays_max_bytes)
+    if amap is not None:
+        bc = pairs.sparkSession.sparkContext.broadcast(amap)
+
+        def bkernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            m = bc.value  # once per task (guide §4.5)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                ida, idb = pdf["id_a"].tolist(), pdf["id_b"].tolist()
+                keep_a, keep_b, jac_l = [], [], []
+                for i in range(len(pdf)):
+                    a = m.get(ida[i])
+                    b = m.get(idb[i])
+                    if a is None or b is None:  # ≡ the inner-join drop
+                        continue
+                    inter = np.intersect1d(a, b, assume_unique=True).size
+                    j = inter / (len(a) + len(b) - inter)
+                    if j >= threshold:
+                        keep_a.append(ida[i])
+                        keep_b.append(idb[i])
+                        jac_l.append(j)
+                yield pd.DataFrame(
+                    {"id_a": keep_a, "id_b": keep_b, "jaccard": jac_l}
+                )
+
+        return pairs.select("id_a", "id_b").mapInPandas(bkernel, out_schema)
+
     cand = (
         pairs.join(
             arrays.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sa")),
@@ -499,8 +577,6 @@ def jaccard_verify_arrow(
             "id_b",
         )
     )
-    id_a_t = dict(cand.dtypes)["id_a"]
-    id_b_t = dict(cand.dtypes)["id_b"]
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -517,9 +593,7 @@ def jaccard_verify_arrow(
             )
             yield out[out["jaccard"] >= threshold]
 
-    return cand.mapInPandas(
-        kernel, f"id_a {id_a_t}, id_b {id_b_t}, jaccard double"
-    )
+    return cand.mapInPandas(kernel, out_schema)
 
 
 def jaccard_join_prefix(
@@ -528,6 +602,7 @@ def jaccard_join_prefix(
     text_col: str = "text",
     threshold: float = 0.8,
     shingle_n: int = 5,
+    broadcast_arrays_max_bytes: int = BROADCAST_ARRAYS_MAX_BYTES,
 ) -> DataFrame:
     """EXACT set-similarity self-join at a Jaccard threshold via prefix
     filtering (SSJoin/All-Pairs class — Chaudhuri et al. ICDE'06,
@@ -604,7 +679,8 @@ def jaccard_join_prefix(
         docs, id_col, text_col, threshold, shingle_n, shingles=sh
     )
     return jaccard_verify_arrow(
-        cand, docs, id_col, text_col, threshold, shingle_n=shingle_n, shingles=sh
+        cand, docs, id_col, text_col, threshold, shingle_n=shingle_n, shingles=sh,
+        broadcast_arrays_max_bytes=broadcast_arrays_max_bytes,
     )
 
 
@@ -702,6 +778,7 @@ def containment_join_prefix(
     text_col: str = "text",
     threshold: float = 0.8,
     shingle_n: int = 5,
+    broadcast_arrays_max_bytes: int = BROADCAST_ARRAYS_MAX_BYTES,
 ) -> DataFrame:
     """EXACT directed set-CONTAINMENT self-join: all ordered pairs
     (src, dst), src ≠ dst, with |S_src ∩ S_dst| / |S_src| ≥ threshold
@@ -804,7 +881,7 @@ def containment_join_prefix(
     # of re-running the corpus explode+hash+distinct pass (r12)
     return containment_verify_arrow(
         cand, docs, id_col, text_col, threshold, shingle_n=shingle_n,
-        shingles=sh,
+        shingles=sh, broadcast_arrays_max_bytes=broadcast_arrays_max_bytes,
     )
 
 
@@ -816,6 +893,7 @@ def containment_verify_arrow(
     threshold: float = 0.8,
     shingle_n: int = 5,
     shingles: DataFrame | None = None,
+    broadcast_arrays_max_bytes: int = BROADCAST_ARRAYS_MAX_BYTES,
 ) -> DataFrame:
     """Exact directed shingle-containment on candidate pairs — the
     :func:`jaccard_verify_arrow` shape with the source-normalized
@@ -824,7 +902,9 @@ def containment_verify_arrow(
     sorted array; a mapInPandas kernel intersects per pair
     (np.intersect1d on presorted uniques, O(|A|+|B|)). ``shingles`` as
     in :func:`jaccard_verify_arrow` (precomputed (id, __h) frame —
-    skips the re-shingle pass)."""
+    skips the re-shingle pass). Under ``broadcast_arrays_max_bytes``
+    the array dictionary is broadcast and the kernel reads pair IDS
+    only (see the cap constant's comment); past it, the join shape."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -847,6 +927,39 @@ def containment_verify_arrow(
     arrays = sh.groupBy(id_col).agg(
         F.sort_array(F.collect_set("__h")).alias("__sh")
     ).localCheckpoint(eager=False)
+
+    pair_types = dict(pairs.dtypes)
+    src_t, dst_t = pair_types["src_id"], pair_types["dst_id"]
+    out_schema = f"src_id {src_t}, dst_id {dst_t}, containment double"
+
+    amap = _arrays_map_or_none(arrays, id_col, broadcast_arrays_max_bytes)
+    if amap is not None:
+        bc = pairs.sparkSession.sparkContext.broadcast(amap)
+
+        def bkernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            m = bc.value  # once per task (guide §4.5)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                ids, idd = pdf["src_id"].tolist(), pdf["dst_id"].tolist()
+                keep_s, keep_d, con_l = [], [], []
+                for i in range(len(pdf)):
+                    s = m.get(ids[i])
+                    d = m.get(idd[i])
+                    if s is None or d is None:  # ≡ the inner-join drop
+                        continue
+                    inter = np.intersect1d(s, d, assume_unique=True).size
+                    c = inter / len(s)
+                    if c >= threshold:
+                        keep_s.append(ids[i])
+                        keep_d.append(idd[i])
+                        con_l.append(c)
+                yield pd.DataFrame(
+                    {"src_id": keep_s, "dst_id": keep_d, "containment": con_l}
+                )
+
+        return pairs.select("src_id", "dst_id").mapInPandas(bkernel, out_schema)
+
     cand = pairs.join(
         arrays.select(F.col(id_col).alias("src_id"), F.col("__sh").alias("__ss")),
         "src_id",
@@ -854,8 +967,6 @@ def containment_verify_arrow(
         arrays.select(F.col(id_col).alias("dst_id"), F.col("__sh").alias("__sd")),
         "dst_id",
     )
-    src_t = dict(cand.dtypes)["src_id"]
-    dst_t = dict(cand.dtypes)["dst_id"]
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -876,9 +987,7 @@ def containment_verify_arrow(
             )
             yield out[out["containment"] >= threshold]
 
-    return cand.mapInPandas(
-        kernel, f"src_id {src_t}, dst_id {dst_t}, containment double"
-    )
+    return cand.mapInPandas(kernel, out_schema)
 
 
 def minhash_dedup(
@@ -894,6 +1003,7 @@ def minhash_dedup(
     kernel: str = "arrow",
     sigs: DataFrame | None = None,
     hash_family: str = "xxhash64",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: signatures → LSH candidates →
     [signature-estimate prefilter →] exact verify. Returns confirmed
@@ -922,13 +1032,23 @@ def minhash_dedup(
     and shingle scheme as :func:`add_minhash`) — avoids re-shingling
     when the caller already built them (dedup_incremental reuses the
     batch signatures for the within-batch pass). May cover a SUPERSET
-    of ``docs``; the operator semi-joins to docs' ids."""
+    of ``docs``; the operator semi-joins to docs' ids.
+
+    ``shingles``: caller-precomputed hashed-shingle frame (the
+    :func:`hashed_shingles` contract, superset-safe) — forwarded to the
+    verify stage (and to the signature build when ``sigs`` is absent)
+    so one corpus explode+hash pass feeds the whole chain."""
     if sigs is not None:
         sigs = sigs.join(docs.select(id_col), id_col, "left_semi")
     else:
+        sig_shingles = (
+            shingles.join(docs.select(id_col), id_col, "left_semi")
+            if shingles is not None
+            else None
+        )
         sigs = add_minhash(
             docs.select(id_col, text_col), text_col, num_hashes, id_col,
-            hash_family=hash_family,
+            hash_family=hash_family, shingles=sig_shingles,
         )
     pairs = lsh_candidate_pairs(
         sigs, id_col, num_hashes, bands, bucket_cap, hash_family
@@ -943,7 +1063,7 @@ def minhash_dedup(
         )
     if kernel == "arrow":
         return jaccard_verify_arrow(pairs, docs, id_col, text_col, threshold,
-                                    hash_family=hash_family)
+                                    hash_family=hash_family, shingles=shingles)
     return jaccard_verify(pairs, docs, id_col, text_col, threshold,
                           materialize_shingles=materialize_shingles,
                           hash_family=hash_family)
@@ -1131,8 +1251,17 @@ def dedup_incremental(
     can't guarantee disjointness should pre-check with
     ``new_docs.join(corpus_index, id, 'left_semi').isEmpty()``.
     """
+    # ONE batch explode+hash pass (r13): the hashed-shingle frame feeds
+    # the signature build, the cross-corpus verify, AND the within-batch
+    # verify — before this cut the batch text was exploded+hashed three
+    # times (signatures + each verify's shingle rebuild). Lazy cut; the
+    # first caller action materializes it.
+    sh_batch = hashed_shingles(
+        new_docs.select(id_col, text_col), id_col, text_col
+    ).localCheckpoint(eager=False)
     new_sigs = add_minhash(
-        new_docs.select(id_col, text_col), text_col, num_hashes, id_col
+        new_docs.select(id_col, text_col), text_col, num_hashes, id_col,
+        shingles=sh_batch,
     ).localCheckpoint(eager=False)
     # lazy cut: the batch signatures are read by the cross-corpus
     # banding AND reused (filtered to survivors) by the within-batch
@@ -1160,8 +1289,14 @@ def dedup_incremental(
         cross.select(F.col("id_b").alias(id_col)).distinct(), id_col, "left_semi"
     )
     docs_both = new_docs.select(id_col, text_col).unionByName(cand_corpus)
+    # batch shingles from the shared frame; only the touched corpus
+    # slice is freshly exploded (that slice is the whole point of the
+    # incremental shape — never the corpus)
+    sh_both = sh_batch.unionByName(
+        hashed_shingles(cand_corpus, id_col, text_col)
+    )
     confirmed = jaccard_verify_arrow(
-        cross, docs_both, id_col, text_col, threshold
+        cross, docs_both, id_col, text_col, threshold, shingles=sh_both
     )
     contaminated = confirmed.select(F.col("id_a").alias(id_col)).distinct()
     # same lazy-cut reasoning: minhash_dedup fans the survivor frame
@@ -1179,7 +1314,7 @@ def dedup_incremental(
     # (measured ~1.2 s for 18 nodes at sf0.1; identical output)
     in_batch = minhash_dedup(
         survivors, id_col, text_col, num_hashes, bands, threshold, bucket_cap,
-        sigs=new_sigs,
+        sigs=new_sigs, shingles=sh_batch,
     )
     return keep_canonical(survivors, in_batch, id_col, small_graph_cap=200_000)
 

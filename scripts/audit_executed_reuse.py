@@ -20,8 +20,14 @@ from nyc_taxi_bigdata_pipeline_spark.session import get_spark
 
 
 def _executed(df) -> str:
+    """FINAL AQE plan only. After execution ``executedPlan().toString()``
+    prints BOTH the final and the initial plan (``== Initial Plan ==``
+    section) — counting over the whole string doubles every per-table
+    scan count and inflates ReusedExchange (r12 ADVICE). Slice the
+    initial-plan section off before counting."""
     qe = df._jdf.queryExecution()
-    return qe.executedPlan().toString()
+    plan = qe.executedPlan().toString()
+    return plan.split("== Initial Plan ==")[0]
 
 
 def _tables(plan: str) -> dict[str, int]:

@@ -28,8 +28,13 @@ from nyc_taxi_bigdata_pipeline_spark.benchqueries import REGISTRY
 from nyc_taxi_bigdata_pipeline_spark.plans.explain import physical_plan
 from nyc_taxi_bigdata_pipeline_spark.session import get_spark
 
-_TABLE_RE = re.compile(r"FileScan parquet[^\[]*\[[^\]]*\][^/]*(/[^\s,\]]+\.parquet)")
 _SCAN_RE = re.compile(r"Scan parquet|FileScan parquet")
+# bare shuffle Exchange nodes only: exclude ReusedExchange and
+# BroadcastExchange, and count TREE lines only (the formatted details
+# section repeats node names — r12 ADVICE: the substring count
+# overlapped and inflated the exch/reused columns)
+_EXCH_RE = re.compile(r"^[^(]*(?<![A-Za-z])Exchange ", re.MULTILINE)
+_REUSED_RE = re.compile(r"^[^(]*ReusedExchange\b", re.MULTILINE)
 
 
 def main() -> None:
@@ -58,8 +63,8 @@ def main() -> None:
             (
                 name,
                 scans,
-                plan.count("Exchange"),
-                plan.count("ReusedExchange"),
+                len(_EXCH_RE.findall(plan)),
+                len(_REUSED_RE.findall(plan)),
                 plan.count("BatchEvalPython"),
                 plan.count("ArrowEvalPython")
                 + plan.count("MapInArrow")

@@ -1625,6 +1625,56 @@ def test_jaccard_verify_arrow_matches_relational(spark, sf_dir):
         for r in dedup.jaccard_verify_arrow(pairs, corpus, threshold=0.5).collect()
     }
     assert rel == arw and len(rel) > 100
+    # broadcast_arrays_max_bytes=0 forces the join-shape fallback (the
+    # over-cap path a corpus-scale candidate set takes) — must be
+    # bit-identical to the broadcast-dictionary path used above
+    fb = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in dedup.jaccard_verify_arrow(
+            pairs, corpus, threshold=0.5, broadcast_arrays_max_bytes=0
+        ).collect()
+    }
+    assert fb == arw
+
+
+def test_containment_verify_broadcast_matches_join_fallback(spark):
+    """containment_verify_arrow's broadcast-dictionary path (arrays
+    collected once, kernel reads pair ids only) must equal the join
+    shape it replaces under the byte cap, containment values included."""
+    long_text = " ".join(f"tok{i:03d}" for i in range(80))
+    short_text = " ".join(f"tok{i:03d}" for i in range(20))
+    mid_text = " ".join(f"tok{i:03d}" for i in range(10, 55))
+    df = spark.createDataFrame(
+        [(1, short_text), (2, long_text), (3, mid_text)],
+        "doc_id long, text string",
+    )
+    bcast = {
+        (r.src_id, r.dst_id, round(r.containment, 9))
+        for r in dedup.containment_join_prefix(
+            df, threshold=0.4, shingle_n=14
+        ).collect()
+    }
+    pairs_all = spark.createDataFrame(
+        [(a, b) for a in (1, 2, 3) for b in (1, 2, 3) if a != b],
+        "src_id long, dst_id long",
+    )
+    join_shape = {
+        (r.src_id, r.dst_id, round(r.containment, 9))
+        for r in dedup.containment_verify_arrow(
+            pairs_all, df, threshold=0.4, shingle_n=14,
+            broadcast_arrays_max_bytes=0,
+        ).collect()
+    }
+    bcast_all = {
+        (r.src_id, r.dst_id, round(r.containment, 9))
+        for r in dedup.containment_verify_arrow(
+            pairs_all, df, threshold=0.4, shingle_n=14
+        ).collect()
+    }
+    assert bcast_all == join_shape and len(join_shape) >= 2
+    # the prefix-filter chain's confirmed set is a subset decided by the
+    # same verify — consistent across paths
+    assert bcast <= bcast_all
 
 
 def test_duplicated_spans_matches_sql_twin(spark, sf_dir):

@@ -64,12 +64,30 @@ def test_topk_plans_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in physical_plan(df)
 
 
-def test_no_python_udf_across_jvm_registry(spark, sf_dir):
+@pytest.fixture(scope="module")
+def registry_plans(spark, sf_dir):
+    """One formatted physical plan per registry query, built ONCE and
+    shared by the three registry-wide sweeps below. Each sweep used to
+    re-plan all 201 queries itself (~95 s apiece, the suite's three
+    slowest tests — r13 suite-wall-clock fix); the assertions are over
+    the plan STRING, so one build serves all three unchanged."""
+    plans: dict[str, str] = {}
+    for name, q in REGISTRY.items():
+        plans[name] = physical_plan(q.spark_fn(spark, sf_dir))
+        for t in spark.catalog.listTables():
+            if t.isTemporary:
+                spark.catalog.dropTempView(t.name)
+    return plans
+
+
+def test_no_python_udf_across_jvm_registry(registry_plans):
     """Every registry query except the numpy similarity paths must stay
     JVM-side (§2.11: zero Python UDFs in the reference hot path too)."""
-    for name, q in REGISTRY.items():
-        df = q.spark_fn(spark, sf_dir)
-        assert_no_python_udf(df)
+    for name, plan in registry_plans.items():
+        for bad in ("BatchEvalPython", "ArrowEvalPython"):
+            assert bad not in plan, (
+                f"{name}: Python UDF in hot path ({bad})"
+            )
 
 
 def _plan_nodes(plan: str) -> list[str]:
@@ -140,9 +158,15 @@ def test_ssjoin_corpus_joins_never_broadcast(spark, sf_dir):
         F.col("text").isNotNull()
     )
     # the checkpointed-source shape that mis-estimates: same as the
-    # probe corpora and any iterative pipeline handing over a frame
+    # probe corpora and any iterative pipeline handing over a frame.
+    # broadcast_arrays_max_bytes=0 pins the JOIN-shape verify (the
+    # over-cap corpus path whose joins this test exists to guard); the
+    # under-cap broadcast-dictionary path has no corpus-scale join to
+    # mis-broadcast (arrays collected once, kernel reads pair ids).
     docs = spark.createDataFrame(docs.limit(50).collect(), docs.schema)
-    plan = physical_plan(jaccard_join_prefix(docs, threshold=0.8))
+    plan = physical_plan(
+        jaccard_join_prefix(docs, threshold=0.8, broadcast_arrays_max_bytes=0)
+    )
     assert plan.count("SortMergeJoin") >= 3, plan[:2000]
 
 
@@ -247,14 +271,13 @@ _SCALAR_ANCHOR_OK = {
 }
 
 
-def test_no_cartesian_products_across_registry(spark, sf_dir):
+def test_no_cartesian_products_across_registry(registry_plans):
     """Engine-wide guardrail: NO query may plan a CartesianProduct, and
     BroadcastNestedLoopJoin is tolerated only for whitelisted scalar-
     anchor shapes (a 1-row aggregate folded into every row) — a BNLJ
     against anything larger is the O(n*m) cliff the explode+equi-join
     rewrites exist to avoid."""
-    for name, q in REGISTRY.items():
-        plan = physical_plan(q.spark_fn(spark, sf_dir))
+    for name, plan in registry_plans.items():
         assert "CartesianProduct" not in plan, name
         if name not in _SCALAR_ANCHOR_OK:
             assert "BroadcastNestedLoopJoin" not in plan, name
@@ -461,13 +484,13 @@ def _unpartitioned_windows(plan: str) -> int:
     return hits
 
 
-def test_no_unpartitioned_windows_over_raw_rows(spark, sf_dir):
+def test_no_unpartitioned_windows_over_raw_rows(registry_plans):
     """Engine-wide guardrail (mirrors the BNLJ gate): a Window without a
     partition spec forces Exchange SinglePartition + a one-task sort of
     its whole input — tolerated only where the input is a bounded
     aggregate or a documented miniature."""
-    for name, q in REGISTRY.items():
-        n = _unpartitioned_windows(physical_plan(q.spark_fn(spark, sf_dir)))
+    for name, plan in registry_plans.items():
+        n = _unpartitioned_windows(plan)
         if name in _GLOBAL_WINDOW_OK:
             assert n <= _GLOBAL_WINDOW_OK[name][0], (
                 f"{name}: {n} unpartitioned windows > whitelisted "
