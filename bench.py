@@ -126,13 +126,30 @@ def _release_query_state(spark) -> None:
     for the whole session — at --all volume (189 queries x 2 passes)
     the accumulated block-manager occupancy measurably slows the
     shuffle-heavy tail (r10: second sweep ran 262 s vs 208 on a FASTER
-    host purely from accumulation order). Millisecond-scale per query."""
+    host purely from accumulation order). Millisecond-scale per query.
+
+    r13: python gc alone leaves the JVM-side RDD references to the
+    ASYNC ContextCleaner, whose backlog let checkpoint blocks pile up
+    across a sweep anyway (the multimodal_features 12-s sweep artifact,
+    VERDICT r12 item 2 — block-manager occupancy, not the query).
+    Explicitly unpersist whatever is still registered as persistent:
+    between queries nothing live references those RDDs, and dropping a
+    finished query's blocks is the anti-caching contract, never a
+    result reuse."""
     import gc
 
     for t in spark.catalog.listTables():
         if t.isTemporary:
             spark.catalog.dropTempView(t.name)
     gc.collect()
+    try:
+        it = (
+            spark.sparkContext._jsc.getPersistentRDDs().values().iterator()
+        )
+        while it.hasNext():
+            it.next().unpersist(False)
+    except Exception:
+        pass  # release is hygiene, never a bench failure
 
 
 def main() -> None:
@@ -185,7 +202,35 @@ def main() -> None:
     _calibration(spark)  # warm the probes' codegen like the queries
     _calibration_seq(spark)
     _calibration_par(spark)
-    for _ in range(args.repeat):
+    # SPARK_GRAFT_BENCH_TRACE=1: per-pass per-query timings + coarse
+    # host telemetry to STDERR (stdout stays the one-line JSON contract)
+    # — the r13 sweep-outlier investigation needed pass-level visibility
+    # that min-of-passes hides.
+    trace = os.environ.get("SPARK_GRAFT_BENCH_TRACE") == "1"
+
+    def _trace(p: int, name: str, dt: float) -> None:
+        if not trace:
+            return
+        import subprocess
+
+        try:
+            mem = next(
+                ln.split()[1]
+                for ln in open("/proc/meminfo")
+                if ln.startswith("MemAvailable")
+            )
+            npy = subprocess.run(
+                ["sh", "-c", "ps -e -o comm= | grep -c ^python"],
+                capture_output=True, text=True,
+            ).stdout.strip()
+        except Exception:
+            mem = npy = "?"
+        print(
+            f"TRACE pass{p} {name} {dt:.3f}s mem_avail_kb={mem} pyprocs={npy}",
+            file=sys.stderr, flush=True,
+        )
+
+    for rep in range(args.repeat):
         calib = min(calib, _calibration(spark))
         calib_seq = min(calib_seq, _calibration_seq(spark))
         calib_par = min(calib_par, _calibration_par(spark))
@@ -196,6 +241,7 @@ def main() -> None:
             dt = time.perf_counter() - t0
             assert rows is not None
             timings[name] = round(min(timings.get(name, float("inf")), dt), 4)
+            _trace(rep, name, dt)
             _release_query_state(spark)
 
     sf = None

@@ -41,6 +41,14 @@ RUNTIME_CONFS: dict[str, str] = {
 # Builder-time defaults for sessions we create ourselves.
 BUILD_CONFS: dict[str, str] = {
     **RUNTIME_CONFS,
+    # python workers fork from a daemon that has numpy/pandas/pyarrow
+    # PRELOADED (daemon_preload.py): Spark reaps idle workers after a
+    # hardcoded 1 minute, so any >1-min JVM-only stretch makes the next
+    # python-boundary query pay cores× worker respawn — with the stock
+    # daemon that is dominated by per-worker library imports (measured
+    # 1.04 s → 0.55 s per 32-worker respawn; the r13 sweep-artifact fix)
+    "spark.python.daemon.module":
+        "nyc_taxi_bigdata_pipeline_spark.daemon_preload",
     # dims up to ~64 MB are broadcast: zone lookup, nation/region/enums
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.execution.arrow.pyspark.enabled": "true",
@@ -73,6 +81,16 @@ def get_spark(
     """
     cpus = default_parallelism()
     mem_gb = os.environ.get("SPARK_GRAFT_MEM_GB", "32")
+    # the preload daemon module (BUILD_CONFS) must be importable by the
+    # worker daemon, whose PYTHONPATH comes from the JVM's environment —
+    # which inherits THIS process's env at gateway launch. sys.path
+    # insertions don't propagate; the env var does.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + pp if pp else "")
+        )
     builder = (
         SparkSession.builder.master(master or f"local[{cpus}]")
         .appName(app_name)

@@ -80,8 +80,16 @@ def test_budget_prefix_random(spark, seed):
             w *= 500            # heavy-tail weights
         rows.append((score, i, w))
     total = sum(w for _, _, w in rows)
-    for budget in (0, 1, total // 100, total // 3, (total * 9) // 10,
-                   total, total + 5):
+    # seed 1 sweeps every budget class; the other seeds re-test the
+    # distinct classes only (empty / deep-refinement / all-kept) — the
+    # full 3×7 cross re-ran the same code paths 21× and was among the
+    # suite's slowest tests (r13 suite-wall-clock fix, coverage kept)
+    budgets = (
+        (0, 1, total // 100, total // 3, (total * 9) // 10, total, total + 5)
+        if seed == 1
+        else (1, total // 100, total)
+    )
+    for budget in budgets:
         _check(spark, rows, budget, n_bins=4, leaf_rows=16)
 
 
@@ -89,7 +97,9 @@ def test_budget_prefix_all_one_score(spark):
     """Pure Phase B: every doc ties on score, boundary is id-refined."""
     rows = [(7, i, 10 + (i % 3)) for i in range(2000)]
     total = sum(w for _, _, w in rows)
-    for budget in (0, 5, 1000, total // 2, total - 1, total):
+    # budget classes: empty / first-doc-overflow / mid-refinement / all
+    # (1000 and total-1 re-ran the same id-refinement path as total//2)
+    for budget in (0, 5, total // 2, total):
         _check(spark, rows, budget, n_bins=4, leaf_rows=16)
 
 
@@ -202,7 +212,11 @@ def test_grouped_budget_adversarial_mixture(spark, seed):
     rows.append(("solo", 1, 30_000, 50))
     rows.append(("giantfirst", 9, 40_000, 1_000_000))
     rows.append(("giantfirst", 8, 40_001, 3))
-    for frac in ((1, 100), (1, 3), (9, 10)):
+    # seed 11 sweeps all three fractions; seed 12 re-tests the deepest-
+    # refinement one only (the 2×3 cross repeated identical code paths
+    # — r13 suite-wall-clock fix, class coverage kept)
+    fracs = ((1, 100), (1, 3), (9, 10)) if seed == 11 else ((1, 3),)
+    for frac in fracs:
         _gcheck(spark, rows, frac, n_bins=4, leaf_rows=16)
 
 

@@ -2401,6 +2401,33 @@ def test_levenshtein_self_join_matches_bruteforce(spark):
         assert expected, f"fixture must contain pairs within k={k}"
 
 
+def test_levenshtein_candidates_verified_param_exact(spark):
+    """``verified=True`` (DP pushed below the pair distinct) must yield
+    the same candidate SET as the default post-distinct shape, minus
+    only the >k rows the verify removes — i.e. filtering the default's
+    output equals the verified output (distinct commutes with the
+    deterministic per-row filter)."""
+    from nyc_taxi_bigdata_pipeline_spark.operators.editdist import (
+        levenshtein_candidates,
+    )
+
+    rows = [(i, f"token{i % 40:02d}x{i % 7}") for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    import pyspark.sql.functions as F2
+    default_filtered = {
+        (r.pid_a, r.pid_b)
+        for r in levenshtein_candidates(df, "id", "s", k=1)
+        .filter(F2.levenshtein("ps_a", "ps_b") <= 1)
+        .collect()
+    }
+    verified = {
+        (r.pid_a, r.pid_b)
+        for r in levenshtein_candidates(df, "id", "s", k=1, verified=True)
+        .collect()
+    }
+    assert verified == default_filtered and verified
+
+
 def test_levenshtein_self_join_partition_invariant(spark):
     from nyc_taxi_bigdata_pipeline_spark.operators.editdist import (
         levenshtein_self_join,
