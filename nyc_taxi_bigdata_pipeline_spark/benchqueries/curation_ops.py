@@ -272,13 +272,12 @@ def curation_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "documents").createOrReplaceTempView(
         "bq_mix_docs"
     )
-    # one per-source count pass, staged lazily (~|sources| rows); the
-    # keep-count scan is then the only other corpus pass (2 total)
-    n = spark.sql(
-        "SELECT source, COUNT(*) AS n_s FROM bq_mix_docs GROUP BY source"
-    ).localCheckpoint(eager=False)
-    n.createOrReplaceTempView("bq_mix_n")
-    return spark.sql(_domain_mixture(D.SPARK, "bq_mix_docs", n_rel="bq_mix_n"))
+    # one-shot WITH deliberately (r12 staging REVERTED r13): the count
+    # frame's consumers all sit above the same (source)-keyed aggregate
+    # exchange, which runtime exchange reuse already dedups — the staged
+    # checkpoint only added a job boundary and measured 0.84–0.87×
+    # at the 10×/100× salted tiers (scripts/bench_r13_scale_receipts.py)
+    return spark.sql(_domain_mixture(D.SPARK, "bq_mix_docs"))
 
 
 # ------------------------------------ duplicated-span detection (ExactSubstr class)

@@ -563,16 +563,14 @@ def dataset_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "documents").createOrReplaceTempView(
         "bq_tmix_docs"
     )
-    # one per-language count pass, staged lazily (~|langs| rows); the
-    # hash-gate keep scan is then the only other corpus pass (2 total)
-    n = spark.sql(
-        "SELECT lang, CAST(COUNT(*) AS BIGINT) AS nd"
-        " FROM bq_tmix_docs GROUP BY lang"
-    ).localCheckpoint(eager=False)
-    n.createOrReplaceTempView("bq_tmix_n")
-    return spark.sql(
-        _temperature_mixture(D.SPARK, "bq_tmix_docs", n_rel="bq_tmix_n")
-    )
+    # one-shot WITH deliberately (r12 staging REVERTED r13): same
+    # runtime-exchange-reuse finding as curation_domain_mixture — the
+    # staged count frame measured 0.99× at 10× (flat; the checkpoint
+    # job boundary buys nothing). Probe note: the Σsqrt-micro BIGINT
+    # accumulator saturates near 10⁸ docs (100× tier overflow) — a
+    # DECIMAL(38,0) widening is the known fix (ANOVA precedent) but is
+    # oracle-text-coupled; unreachable at driver SFs.
+    return spark.sql(_temperature_mixture(D.SPARK, "bq_tmix_docs"))
 
 
 # ----------------------------------------------------- corpus datacard

@@ -146,14 +146,12 @@ def similarity_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
         "bq_trip_emb"
     )
-    # one anchor×corpus cosine pass, staged (lazy — first caller action
-    # materializes it inside its own timing); pos and neg read the
-    # checkpointed |anchors|·N narrow frame instead of re-scanning
-    scored = spark.sql(
-        _triplet_scored_sql(D.SPARK, "bq_trip_emb")
-    ).localCheckpoint(eager=False)
-    scored.createOrReplaceTempView("bq_trip_scored")
-    return spark.sql(_triplet_sql(D.SPARK, "bq_trip_emb", "bq_trip_scored"))
+    # one-shot WITH deliberately (r12 staging REVERTED r13): measured
+    # 0.96× at the 100× salted tier and flat at fixture — the pos/neg
+    # consumers' window exchanges runtime-reuse the scored subtree, so
+    # the checkpoint's job boundary is pure overhead
+    # (bench_r13_scale_receipts.py).
+    return spark.sql(_triplet_sql(D.SPARK, "bq_trip_emb"))
 
 
 # ------------------------------------------- MMR diversified selection

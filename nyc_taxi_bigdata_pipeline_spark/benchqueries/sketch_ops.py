@@ -481,16 +481,13 @@ def _hll_overlap_sql(engine: str, table: str, regs_rel: str | None = None) -> st
 )
 def hll_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("bq_hllov_orders")
-    # one register-build pass, staged lazily (≤2×256 rows); the exact
-    # INTERSECT exhibit collapses to one both-years pass → 2 corpus
-    # passes total (was 5, r12 plan audit)
-    regs = spark.sql(
-        _hll_overlap_regs_sql(D.SPARK, "bq_hllov_orders")
-    ).localCheckpoint(eager=False)
-    regs.createOrReplaceTempView("bq_hllov_regs")
-    return spark.sql(
-        _hll_overlap_sql(D.SPARK, "bq_hllov_orders", regs_rel="bq_hllov_regs")
-    )
+    # one-shot WITH deliberately (r12 register staging REVERTED r13):
+    # the register consumers sit above the same aggregate exchange
+    # (runtime-reused) and the staged checkpoint measured 0.77×/0.96×
+    # at the 100×/10× salted tiers (bench_r13_scale_receipts.py). The
+    # r12 one-pass both-years INTERSECT exhibit (inside _hll_overlap_sql)
+    # is kept — that part is a genuine pass cut, not a checkpoint.
+    return spark.sql(_hll_overlap_sql(D.SPARK, "bq_hllov_orders"))
 
 
 _MG_CAP = 40  # vocab at test SFs is 31 tokens, ~30 above 1/(cap+1) ≈ 2.4%

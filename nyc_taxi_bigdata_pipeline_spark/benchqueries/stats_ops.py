@@ -652,15 +652,14 @@ def drift_psi_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events").createOrReplaceTempView(
         "bq_psi_events"
     )
-    # two corpus passes total (range anchor + bucket counts), staged
-    # lazily; the read SQL's four count-frame consumers hit the
-    # checkpointed ≤|event_type|·2·10-row frame instead of re-scanning
-    counts = spark.sql(
-        _psi_counts_ctes(D.SPARK, "bq_psi_events")
-        + "\n    SELECT event_type, arm, bkt, cnt FROM c"
-    ).localCheckpoint(eager=False)
-    counts.createOrReplaceTempView("bq_psi_counts")
-    return spark.sql(_psi_sql(D.SPARK, "bq_psi_events", "bq_psi_counts"))
+    # one-shot WITH deliberately (r12 staging REVERTED r13): the four
+    # count-frame consumers all sit above the identical
+    # (event_type, arm, bkt)-keyed aggregate exchange, which runtime
+    # ReusedExchange dedups on its own — the r12 "0 runtime reuse"
+    # classification came from the audit script's final+initial-plan
+    # double count (fixed this round). Staged measured 0.59×/0.73× at
+    # the 10×/100× salted tiers (bench_r13_scale_receipts.py).
+    return spark.sql(_psi_sql(D.SPARK, "bq_psi_events"))
 
 
 # One-way ANOVA F-test across event types — the k-arm generalization of
