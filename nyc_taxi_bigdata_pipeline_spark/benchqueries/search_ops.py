@@ -489,15 +489,16 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialized weight pass instead of three (r12)
     w = spark.sql(_rrf_w_sql("bq_rrf_tf")).localCheckpoint(eager=False)
     w.createOrReplaceTempView("bq_rrf_w")
-    # the emb relation (docs⋈embeddings, text-not-null filter) feeds BOTH
-    # sides of the semantic arm's probe self-join (q + c) — CTE-inlining
-    # class: without staging, documents AND embeddings each scan twice
-    # (r13 plan audit: 4 of the query's 8 scans). One lazy-checkpointed
-    # pass; both join sides read the narrow (doc_id, embedding) blocks.
-    emb_rel = spark.sql(
-        _rrf_emb_sql("bq_rrf_docs", "bq_rrf_emb_raw")
-    ).localCheckpoint(eager=False)
-    emb_rel.createOrReplaceTempView("bq_rrf_emb")
+    # emb relation deliberately NOT staged (r13 measured rejection): it
+    # feeds both semantic-arm sides, but the q side prunes to the 3
+    # probe rows at the scan (nearly-free re-read) while a checkpoint
+    # would materialize the FULL corpus-scale (doc_id, embedding) frame
+    # to save it — 0.88× at the 100× salted tier
+    # (bench_r13_scale_receipts.py). The ×2 scans in the plan are one
+    # full pass + one pruned probe read, not a recompute class.
+    spark.sql(_rrf_emb_sql("bq_rrf_docs", "bq_rrf_emb_raw")).createOrReplaceTempView(
+        "bq_rrf_emb"
+    )
     return spark.sql(
         _rrf_read_sql(D.SPARK, "bq_rrf_tf", "bq_rrf_emb", w_rel="bq_rrf_w")
     )
